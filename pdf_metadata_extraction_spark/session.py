@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Design notes (100 TB target):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  (mega-domain skew is expected in Common-Crawl-style inputs; the
+  reference has no analogue — SURVEY.md §4).
+- Arrow on, bounded batch size: every Python kernel in this engine is a
+  vectorized pandas UDF / mapInPandas / applyInPandas stage; per-row
+  Python UDFs are banned (BASELINE.json input_hint).
+- shuffle partitions default to cores locally; on a real cluster set
+  ``spark.sql.shuffle.partitions`` ~ 2-3x total cores and rely on AQE
+  coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "pdf_metadata_extraction_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
