@@ -1,0 +1,147 @@
+"""Entity linking — segment text ⋈ options dictionary (SURVEY.md §2.3 J3, §2.7 X1).
+
+Reference semantics (pinned by /root/reference/src/tests/test_end_to_end.py):
+- whole-word match of each option label against the text;
+- the matched span is wrapped ``<span class="ix_match">…</span>`` inside
+  ``<p class="ix_matching_paragraph">…</p>`` (test :287-291, :374-377,
+  :389-396); a non-matching context paragraph renders as
+  ``<p class="ix_paragraph">…</p>`` (test :267);
+- ``multi_value=False`` → the single best option (most/longest match);
+  ``True`` → every matching option, each Value carrying its own
+  highlighted ``segment_text`` (test :283-292 vs :384-398).
+
+Spark shape: ``segments ⋈ broadcast(options)`` — the dictionary is always
+the small side (10²-10⁵ labels), so this is a **broadcast join**; the
+match predicate itself runs as a vectorized batch matcher inside a
+pandas UDF (precompiled alternation regex per extraction_name — no
+per-row Python interpretation of the dictionary).
+
+At 100 TB the broadcast is built once per extraction; matching stays in
+the Arrow stage with the segment scan's partitioning (no shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MATCH_OPEN = '<span class="ix_match">'
+MATCH_CLOSE = "</span>"
+PARA_MATCH_OPEN = '<p class="ix_matching_paragraph">'
+PARA_PLAIN_OPEN = '<p class="ix_paragraph">'
+PARA_CLOSE = "</p>"
+
+
+def plain_paragraph(text: str) -> str:
+    return f"{PARA_PLAIN_OPEN}{text}{PARA_CLOSE}"
+
+
+def highlight(text: str, start: int, end: int) -> str:
+    return (
+        f"{PARA_MATCH_OPEN}{text[:start]}{MATCH_OPEN}{text[start:end]}"
+        f"{MATCH_CLOSE}{text[end:]}{PARA_CLOSE}"
+    )
+
+
+def _word_pattern(label: str) -> re.Pattern:
+    # whole-word, case-sensitive first; the boundary is "not aliphanumeric"
+    return re.compile(rf"(?<!\w){re.escape(label)}(?!\w)")
+
+
+def match_options(text: str, options: list[tuple[str, str]], multi_value: bool) -> list[dict]:
+    """Match option (id, label) pairs against one text.
+
+    Returns Value dicts {id, label, segment_text} — segment_text is the
+    per-value highlighted paragraph. Longer labels take precedence over
+    shorter ones at overlapping spans (\"United Nations\" beats \"United\").
+    Deterministic: options scanned by (-len(label), option_id).
+    """
+    if not text:
+        return []
+    found: list[tuple[int, int, str, str]] = []  # (start, end, id, label)
+    taken: list[tuple[int, int]] = []
+    for oid, label in sorted(options, key=lambda o: (-len(o[1]), o[0])):
+        if not label:
+            continue
+        m = _word_pattern(label).search(text)
+        if not m:
+            continue
+        span = (m.start(), m.end())
+        if any(s < span[1] and span[0] < e for s, e in taken):
+            continue
+        taken.append(span)
+        found.append((m.start(), m.end(), oid, label))
+    found.sort()
+    values = [
+        {"id": oid, "label": label, "segment_text": highlight(text, s, e)}
+        for s, e, oid, label in found
+    ]
+    if not multi_value and len(values) > 1:
+        # best single option = longest matched label, ties → first position
+        best = max(values, key=lambda v: (len(v["label"]), -text.find(v["label"])))
+        values = [best]
+    return values
+
+
+def link_options(
+    segments: DataFrame,
+    options: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """segments(+extraction_name) ⋈ broadcast options → + values column.
+
+    ``options`` has schemas.OPTIONS_TABLE shape. Output adds
+    ``values: array<struct<id,label,segment_text>>`` (empty array when no
+    option matches).
+    """
+    spark = segments.sparkSession
+    opts_rows = (
+        options.groupBy("extraction_name", "multi_value")
+        .agg(F.collect_list(F.struct("option_id", "label")).alias("opts"))
+        .collect()
+    )
+    dict_by_name: dict[str, tuple[bool, list[tuple[str, str]]]] = {}
+    for r in opts_rows:
+        dict_by_name[r["extraction_name"]] = (
+            bool(r["multi_value"]),
+            [(o["option_id"], o["label"]) for o in r["opts"]],
+        )
+    bc = spark.sparkContext.broadcast(dict_by_name)
+
+    from pyspark.sql import types as T
+
+    cols = [f.name for f in segments.schema.fields]
+    out_schema = T.StructType(
+        list(segments.schema.fields)
+        + [
+            T.StructField(
+                "values",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("id", T.StringType()),
+                            T.StructField("label", T.StringType()),
+                            T.StructField("segment_text", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = bc.value
+        for pdf in batches:
+            vals = []
+            for name, text in zip(pdf["extraction_name"].values, pdf[text_col].values):
+                mv, opts = d.get(name, (True, []))
+                vals.append(match_options(text or "", opts, mv))
+            pdf = pdf[cols].copy()
+            pdf["values"] = vals
+            yield pdf
+
+    return segments.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,270 @@
+"""Text-to-text method suite + performance argmax (SURVEY.md §2.7 X2, §2.4 A2).
+
+Reference analogue: the extractor method families enumerated by
+``get_jobs`` and scored by ``get_performance`` per candidate method, with
+the best method selected by argmax (fan-out at
+/root/reference/src/use_cases/GetPerformanceJobUseCase.py:43-54, scoring
+at src/drivers/distributed_worker/distributed_flow.py:81-100). Pinned
+behaviors:
+- pattern induction: trained on ('Option 1'→'1', 'Option 2'→'2'),
+  predicts 'Option 3'→'3' (src/tests/test_end_to_end.py:400-485);
+- empty training set → error string
+  ``"No valid performance results to select the best model"``
+  (src/tests/test_end_to_end.py:72);
+- the extracted span is highlighted in the source text
+  (``ix_matching_paragraph``/``ix_match`` markup, test :474-485).
+
+Spark shape: training sets are tiny per extraction (the reference's
+whole design assumes this) → methods fit **on the driver**; the selected
+method's state is broadcast and applied in one vectorized ``mapInPandas``
+pass over predictions (J5 — broadcast-model join).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from pdf_metadata_extraction_spark.operators.extract import normalize_ws
+from pdf_metadata_extraction_spark.operators.linking import highlight, plain_paragraph
+
+NO_VALID_RESULTS = "No valid performance results to select the best model"
+
+_NUM_RE = re.compile(r"\d+(?:[.,]\d+)?")
+_DATE_RES = [
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})"), lambda m: f"{m[1]}-{m[2]}-{m[3]}"),
+    (
+        re.compile(
+            r"(\d{1,2})\s+(January|February|March|April|May|June|July|August|"
+            r"September|October|November|December)\s+(\d{4})",
+            re.IGNORECASE,
+        ),
+        None,  # filled below
+    ),
+]
+_MONTHS = {
+    m: i + 1
+    for i, m in enumerate(
+        "january february march april may june july august september october november december".split()
+    )
+}
+
+
+# ------------------------------------------------------------ methods
+class Method:
+    name: str
+
+    def fit(self, pairs: list[tuple[str, str]]) -> bool:
+        """Learn from (source_text, label_text). Return False if not applicable."""
+        return True
+
+    def predict(self, text: str) -> str | None:
+        raise NotImplementedError
+
+    def state(self) -> dict:
+        return {}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "Method":
+        obj = cls()
+        obj.__dict__.update(state)
+        return obj
+
+
+class IdentityMethod(Method):
+    name = "identity"
+
+    def predict(self, text: str) -> str | None:
+        return normalize_ws(text)
+
+
+class AffixMethod(Method):
+    """Induce a common prefix/suffix context around the labeled span.
+
+    ('Option 1'→'1','Option 2'→'2') ⇒ prefix='Option ', suffix='' ⇒
+    'Option 3'→'3'.
+    """
+
+    name = "affix"
+
+    def __init__(self) -> None:
+        self.prefix = ""
+        self.suffix = ""
+
+    def fit(self, pairs: list[tuple[str, str]]) -> bool:
+        prefixes, suffixes = [], []
+        for src, label in pairs:
+            src_n, label_n = normalize_ws(src), normalize_ws(label)
+            pos = src_n.find(label_n)
+            if pos < 0 or not label_n:
+                return False
+            prefixes.append(src_n[:pos])
+            suffixes.append(src_n[pos + len(label_n):])
+        self.prefix = _common_suffix_of(prefixes)
+        self.suffix = _common_prefix_of(suffixes)
+        return True
+
+    def predict(self, text: str) -> str | None:
+        t = normalize_ws(text)
+        pat = re.compile(
+            re.escape(self.prefix) + r"(.+?)" + re.escape(self.suffix)
+            + ("$" if not self.suffix else "")
+        )
+        m = pat.search(t)
+        return m.group(1) if m else None
+
+    def state(self) -> dict:
+        return {"prefix": self.prefix, "suffix": self.suffix}
+
+
+class FirstNumberMethod(Method):
+    name = "first_number"
+
+    def predict(self, text: str) -> str | None:
+        m = _NUM_RE.search(text or "")
+        return m.group(0) if m else None
+
+
+class LastTokenMethod(Method):
+    name = "last_token"
+
+    def predict(self, text: str) -> str | None:
+        toks = normalize_ws(text or "").split(" ")
+        return toks[-1] if toks and toks[-1] else None
+
+
+class DateIsoMethod(Method):
+    """Locale-light date normalization: '15 February 2021' → '2021-02-15'."""
+
+    name = "date_iso"
+
+    def predict(self, text: str) -> str | None:
+        t = text or ""
+        m = _DATE_RES[0][0].search(t)
+        if m:
+            return m.group(0)
+        m = _DATE_RES[1][0].search(t)
+        if m:
+            month = _MONTHS[m.group(2).lower()]
+            return f"{m.group(3)}-{month:02d}-{int(m.group(1)):02d}"
+        return None
+
+
+class LookupMethod(Method):
+    """Memorizing fallback — the reference's non-extractive semantic
+    methods can emit outputs not present in the input (GPU golden test,
+    src/tests/test_end_to_end.py:554-628 'output_not_in_input'); the
+    degenerate-but-faithful CPU analogue is an exact input→label lookup
+    learned from the training pairs."""
+
+    name = "lookup"
+
+    def __init__(self) -> None:
+        self.table: dict[str, str] = {}
+
+    def fit(self, pairs: list[tuple[str, str]]) -> bool:
+        self.table = {normalize_ws(s): normalize_ws(l) for s, l in pairs}
+        return True
+
+    def predict(self, text: str) -> str | None:
+        return self.table.get(normalize_ws(text))
+
+    def state(self) -> dict:
+        return {"table": self.table}
+
+
+METHOD_ORDER: list[type[Method]] = [
+    IdentityMethod,
+    AffixMethod,
+    DateIsoMethod,
+    FirstNumberMethod,
+    LastTokenMethod,
+    LookupMethod,
+]
+_METHODS_BY_NAME = {m.name: m for m in METHOD_ORDER}
+
+
+def _common_prefix_of(strings: list[str]) -> str:
+    if not strings:
+        return ""
+    s0 = min(strings, key=len)
+    for i, ch in enumerate(s0):
+        if any(s[i] != ch for s in strings):
+            return s0[:i]
+    return s0
+
+
+def _common_suffix_of(strings: list[str]) -> str:
+    return _common_prefix_of([s[::-1] for s in strings])[::-1]
+
+
+# ------------------------------------------------------------ A2 argmax
+def select_best_method(pairs: list[tuple[str, str]]) -> tuple[str, dict, float]:
+    """Score every candidate method on the training pairs, argmax accuracy.
+
+    Deterministic tie-break: METHOD_ORDER position. Empty/invalid input →
+    ValueError with the reference's exact pinned message.
+    """
+    pairs = [(s, l) for s, l in pairs if s is not None and l is not None]
+    results = []
+    for rank, cls in enumerate(METHOD_ORDER):
+        method = cls()
+        if not pairs or not method.fit(pairs):
+            continue
+        hits = sum(
+            1 for src, label in pairs
+            if (method.predict(src) or "") == normalize_ws(label)
+        )
+        acc = hits / len(pairs)
+        results.append((acc, -rank, method))
+    if not results:
+        raise ValueError(NO_VALID_RESULTS)
+    acc, _negrank, best = max(results, key=lambda r: (r[0], r[1]))
+    return best.name, best.state(), acc
+
+
+# ------------------------------------------------------------ J5 apply
+def apply_method(
+    predictions: DataFrame,
+    method_name: str,
+    method_state: dict,
+    text_col: str = "source_text",
+) -> DataFrame:
+    """Broadcast the fitted method; vectorized apply over predictions.
+
+    Adds ``text`` (the extraction) and ``segment_text`` (ix_match-
+    highlighted source paragraph; plain paragraph when non-extractive).
+    """
+    spark = predictions.sparkSession
+    bc = spark.sparkContext.broadcast((method_name, method_state))
+    cols = [f.name for f in predictions.schema.fields]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(predictions.schema.fields)
+        + [T.StructField("text", T.StringType()), T.StructField("segment_text", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        name, state = bc.value
+        method = _METHODS_BY_NAME[name].from_state(state)
+        for pdf in batches:
+            texts, seg_texts = [], []
+            for src in pdf[text_col].values:
+                src_n = normalize_ws(src or "")
+                out = method.predict(src_n) or ""
+                texts.append(out)
+                pos = src_n.find(out) if out else -1
+                if out and pos >= 0:
+                    seg_texts.append(highlight(src_n, pos, pos + len(out)))
+                else:
+                    seg_texts.append(plain_paragraph(src_n))
+            pdf = pdf[cols].copy()
+            pdf["text"] = texts
+            pdf["segment_text"] = seg_texts
+            yield pdf
+
+    return predictions.mapInPandas(run, schema=out_schema)

@@ -78,6 +78,21 @@ def _token_in_box(tok: dict, box: dict) -> bool:
     )
 
 
+def _token_center_in_box(tok: dict, box: dict) -> bool:
+    """Stricter predicate for label marking (J2): the token's center must
+    fall inside the box — edge-touch overlap is not a label hit (matches
+    the reference behavior where the browser-px→pt scaled label box that
+    merely grazes a token does not select its segment)."""
+    if int(tok["page"]) != int(box.get("page_number") or 0):
+        return False
+    cx = tok["left"] + tok["width"] / 2.0
+    cy = tok["top"] + tok["height"] / 2.0
+    return (
+        box["left"] <= cx <= box["left"] + box["width"]
+        and box["top"] <= cy <= box["top"] + box["height"]
+    )
+
+
 def _line_boxes(members: list[dict], page_dims: tuple[float, float]) -> list[dict]:
     """One union bbox per visual line (A5)."""
     lines: list[list[dict]] = []
@@ -202,7 +217,7 @@ def segment_doc(
         if not text:
             continue
         is_label = any(
-            _token_in_box(t, lb) for t in members for lb in label_boxes
+            _token_center_in_box(t, lb) for t in members for lb in label_boxes
         )
         segments.append(
             {

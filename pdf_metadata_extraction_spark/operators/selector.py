@@ -1,0 +1,174 @@
+"""Segment selector — train a scorer, pick the best segment per document
+(SURVEY.md §2.5 W1, §2.4 A1, §2.3 J5).
+
+Reference analogue: the LightGBM ``segment_predictor_model`` (binary
+objective, 97 features, shipped artifact at
+/root/reference/src/tests/resources/tenant_test/extraction_id/
+segment_predictor_model/model.model) plus the ``model_frequent_words``
+sidecar vocabulary. The top-scoring segment(s) per document become the
+suggestion (prediction pinned src/tests/test_end_to_end.py:183-192).
+
+Spark-first recast (lightgbm is not in this sandbox; semantics kept —
+binary scorer over segment features, argmax per doc):
+- A1 ``frequent_words``: hash-agg + top-k over the training label texts
+  (classic groupBy/count/limit — partial agg map-side).
+- features: geometry + text statistics + frequent-word overlap, built
+  **vectorized** (numpy) inside the Arrow stage.
+- model: pure-numpy logistic regression fit on the driver (training
+  sets are tiny per extraction by the reference's design), state
+  broadcast to executors (J5), scored in one ``mapInPandas`` pass.
+- W1 selection: ``row_number() over (partition by url order by score
+  desc, segment_id asc)`` — the explicit tie-break keeps results
+  identical at any parallelism (SURVEY.md §7.3 determinism).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WORD_RE = re.compile(r"[a-zA-Z]{2,}")
+N_FEATURES = 12
+
+
+# ------------------------------------------------------------ A1
+def frequent_words(texts: DataFrame, text_col: str = "text", k: int = 20) -> list[str]:
+    """Top-k lowercase words by frequency (deterministic: count desc, word asc)."""
+    return [
+        r["word"]
+        for r in (
+            texts.select(F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("word"))
+            .where(F.length("word") >= 2)
+            .groupBy("word")
+            .count()
+            .orderBy(F.desc("count"), F.asc("word"))
+            .limit(k)
+            .collect()
+        )
+    ]
+
+
+# ------------------------------------------------------------ features
+def segment_features(pdf: pd.DataFrame, vocab: list[str]) -> np.ndarray:
+    """Vectorized feature matrix for a batch of segment rows.
+
+    Expects columns: text, page, segment_id, segment_type, boxes.
+    """
+    n = len(pdf)
+    X = np.zeros((n, N_FEATURES), dtype=np.float64)
+    texts = pdf["text"].fillna("").astype(str)
+    lens = texts.str.len().to_numpy(dtype=np.float64)
+    X[:, 0] = np.log1p(lens)
+    X[:, 1] = texts.str.count(r"\d").to_numpy() / np.maximum(lens, 1)
+    X[:, 2] = texts.str.count(r"[A-Z]").to_numpy() / np.maximum(lens, 1)
+    X[:, 3] = texts.str.count(r"[^\w\s]").to_numpy() / np.maximum(lens, 1)
+    X[:, 4] = (pdf["segment_type"] == "Title").to_numpy(dtype=np.float64)
+    X[:, 5] = (pdf["segment_type"] == "Text").to_numpy(dtype=np.float64)
+    X[:, 6] = (pdf["page"] == 1).to_numpy(dtype=np.float64)
+    X[:, 7] = 1.0 / (1.0 + pdf["segment_id"].to_numpy(dtype=np.float64))
+    # geometry from first box (zeros when absent)
+    tops = np.zeros(n)
+    lefts = np.zeros(n)
+    for i, bx in enumerate(pdf["boxes"].values):
+        if bx is not None and len(bx) > 0:
+            b0 = bx[0]
+            ph = (b0["page_height"] or 792.0) or 792.0
+            pw = (b0["page_width"] or 612.0) or 612.0
+            tops[i] = (b0["top"] or 0.0) / ph
+            lefts[i] = (b0["left"] or 0.0) / pw
+    X[:, 8] = tops
+    X[:, 9] = lefts
+    if vocab:
+        vocab_set = "|".join(re.escape(w) for w in vocab)
+        hits = texts.str.lower().str.count(vocab_set).to_numpy(dtype=np.float64)
+        X[:, 10] = hits / np.maximum(texts.str.split().str.len().to_numpy(dtype=np.float64), 1)
+        X[:, 11] = (hits > 0).astype(np.float64)
+    return X
+
+
+# ------------------------------------------------------------ model
+def fit_logistic(X: np.ndarray, y: np.ndarray, epochs: int = 300, lr: float = 0.5) -> dict:
+    """Deterministic batch-gradient logistic regression (driver-side)."""
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    # class weighting: label segments are rare
+    pos = max(y.sum(), 1.0)
+    neg = max(len(y) - y.sum(), 1.0)
+    wpos, wneg = len(y) / (2 * pos), len(y) / (2 * neg)
+    sw = np.where(y > 0.5, wpos, wneg)
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+        g = (p - y) * sw
+        w -= lr * (Xs.T @ g) / len(y)
+        b -= lr * g.mean()
+    return {"w": w.tolist(), "b": float(b), "mu": mu.tolist(), "sd": sd.tolist()}
+
+
+def score_matrix(X: np.ndarray, state: dict) -> np.ndarray:
+    w = np.asarray(state["w"])
+    mu = np.asarray(state["mu"])
+    sd = np.asarray(state["sd"])
+    Xs = (X - mu) / sd
+    return 1.0 / (1.0 + np.exp(-(Xs @ w + state["b"])))
+
+
+def train_selector(train_segments: DataFrame, vocab: list[str]) -> dict:
+    """Fit the segment scorer on (segments, is_label) training rows."""
+    pdf = train_segments.select(
+        "text", "page", "segment_id", "segment_type", "boxes", "is_label"
+    ).toPandas()
+    if pdf.empty or pdf["is_label"].sum() == 0:
+        return {"w": [0.0] * N_FEATURES, "b": 0.0, "mu": [0.0] * N_FEATURES,
+                "sd": [1.0] * N_FEATURES, "vocab": vocab, "degenerate": True}
+    X = segment_features(pdf, vocab)
+    y = pdf["is_label"].to_numpy(dtype=np.float64)
+    state = fit_logistic(X, y)
+    state["vocab"] = vocab
+    state["degenerate"] = False
+    return state
+
+
+def score_segments(segments: DataFrame, state: dict, score_col: str = "score") -> DataFrame:
+    """Broadcast-model scoring — one vectorized mapInPandas pass (J5)."""
+    spark = segments.sparkSession
+    bc = spark.sparkContext.broadcast(state)
+    cols = [f.name for f in segments.schema.fields]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(segments.schema.fields) + [T.StructField(score_col, T.DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf[cols].copy()
+                out[score_col] = pd.Series([], dtype="float64")
+                yield out
+                continue
+            X = segment_features(pdf, st.get("vocab") or [])
+            s = score_matrix(X, st)
+            out = pdf[cols].copy()
+            out[score_col] = s
+            yield out
+
+    return segments.mapInPandas(run, schema=out_schema)
+
+
+def best_segment_per_doc(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """W1: rank-1 segment per url, deterministic tie-break."""
+    w = Window.partitionBy("url").orderBy(F.desc(score_col), F.asc("segment_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

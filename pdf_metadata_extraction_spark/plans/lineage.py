@@ -1,0 +1,81 @@
+"""Per-stage lineage + metrics rows and stage checkpoints (north rule).
+
+Generalizes the reference's last-run metadata ``{timestamp,
+sample_count}`` + gzip sample cache (/root/reference/src/use_cases/
+SamplesCacheUseCase.py:13-76) to:
+
+- ``lineage`` rows (schemas.LINEAGE): one row per (run_id, stage) with
+  input/output counts, salt, wall time — appended to a parquet (Iceberg
+  in production) table so any run is auditable.
+- **stage checkpoints**: ``checkpoint_stage`` writes a stage's output
+  table under ``{root}/{stage}``; a re-run with the same run_id reuses
+  the materialized output instead of recomputing (the resumability
+  requirement: any partition range resumes without recompute, since the
+  checkpoint is partitioned by url_bucket like the input).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_metadata_extraction_spark.schemas import LINEAGE
+
+
+class LineageWriter:
+    def __init__(self, spark: SparkSession, root: str, run_id: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+        self.lineage_path = os.path.join(root, "lineage")
+
+    def record(self, stage: str, input_rows: int, output_rows: int,
+               wall_ms: int, partition_range: str = "all", salt: int = 0) -> None:
+        row = [(
+            self.run_id, stage, partition_range, salt,
+            input_rows, output_rows, wall_ms,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+        )]
+        self.spark.createDataFrame(row, LINEAGE).coalesce(1).write.mode("append").parquet(
+            self.lineage_path
+        )
+
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, "stages", self.run_id, stage)
+
+    def checkpoint_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        input_rows: int = -1,
+    ) -> DataFrame:
+        """Materialize a stage's output; reuse it if already on disk.
+
+        Cuts lineage (like ``df.checkpoint``) *and* survives driver
+        restarts — the reference's sample-cache semantics, done with
+        tables instead of gzip JSON.
+        """
+        path = self.stage_path(stage)
+        marker = os.path.join(path, "_SUCCESS")
+        if os.path.exists(marker):
+            return self.spark.read.parquet(path)
+        t0 = time.monotonic()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        self.record(
+            stage,
+            input_rows=input_rows,
+            output_rows=out.count(),
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )
+        return out
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)
