@@ -89,8 +89,10 @@ def segments_from_pages(pages_with_boxes: DataFrame) -> DataFrame:
             for rec in pdf.to_dict("records"):
                 data = rec.get("html")
                 toks = tokenize_bytes(bytes(data) if data is not None else None)
-                sb = [dict(b) for b in (rec.get("xml_segments_boxes") or [])]
-                lb = [dict(b) for b in (rec.get("label_segments_boxes") or [])]
+                raw_sb = rec.get("xml_segments_boxes")
+                raw_lb = rec.get("label_segments_boxes")
+                sb = [dict(b) for b in raw_sb] if raw_sb is not None else []
+                lb = [dict(b) for b in raw_lb] if raw_lb is not None else []
                 dims = (0.0, 0.0)
                 if sb and sb[0].get("page_width"):
                     dims = (sb[0]["page_width"], sb[0]["page_height"])
