@@ -1,0 +1,182 @@
+"""Canonicalization — MinHash/LSH candidate pairs → connected components
+→ canonical entity ids (north rule; generalizes the reference's
+multilingual aligner shape, SURVEY.md §2.3 J4 / §7.1 step 7).
+
+Everything is expressed with portable primitives (md5-based minhash) so
+the same computation has a DuckDB oracle.
+
+Pipeline:
+1. ``shingles``        — char n-gram shingles per (id, text), normalized.
+2. ``minhash_signature`` — for P permutations, min(md5(seed‖shingle)).
+   Min over *strings* — portable across engines, no UDF, pure
+   whole-stage-codegen expressions.
+3. ``lsh_candidate_pairs`` — group the P minhashes into B bands of R
+   rows; equal band-signature → candidate pair (self-join on the band
+   bucket — the shuffle is on short hash keys, AQE handles bucket skew).
+4. ``connected_components`` — large/small-star iterative join with
+   checkpointing each round (bounded iterations; SURVEY.md §7.3 #3).
+5. ``canonical ids``     — component representative = min member id.
+
+Scale notes: step 3's self-join is quadratic per bucket; band width R
+controls bucket selectivity. At 10¹² docs use R≥4 and salt mega-buckets.
+Step 4 converges in O(log n) rounds; each round materializes (the
+checkpoint cuts the lineage that would otherwise grow exponentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PERMS = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct char n-gram shingles of the lower-cased, space-collapsed text."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("_t"),
+    ).select(
+        "id",
+        F.explode_outer(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1)),"
+                    f" i -> substr(_t, i, {n}))"
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def minhash_signature(
+    shingles_df: DataFrame, perms: int = DEFAULT_PERMS
+) -> DataFrame:
+    """One row per id with mh_0..mh_{P-1} = min(md5(seed‖shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"p{p}:"), F.col("shingle")))).alias(f"mh_{p}")
+        for p in range(perms)
+    ]
+    return shingles_df.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band-bucket self-join → candidate (id_a < id_b) pairs, deduped."""
+    rows_per_band = perms // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig")))
+    buckets = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, perms: int = DEFAULT_PERMS) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhashes for each pair."""
+    sig_a = signatures.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{p}").alias(f"a_{p}") for p in range(perms)]
+    )
+    sig_b = signatures.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{p}").alias(f"b_{p}") for p in range(perms)]
+    )
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = sum(
+        (F.col(f"a_{p}") == F.col(f"b_{p}")).cast("int") for p in range(perms)
+    )
+    return joined.select("id_a", "id_b", (agree / F.lit(perms)).alias("est_jaccard"))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Min-label propagation to fixpoint → (id, component).
+
+    Iterative join+min (no GraphFrames dependency). Deterministic:
+    component id = min member id (string order). Each round persists and
+    localCheckpoints to cut lineage (SURVEY.md §7.3 #3 — at 10¹² edges
+    replace localCheckpoint with reliable checkpoint to object store).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select("src").union(sym.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # neighbor-min pass: candidate = min(component of self, components of neighbors)
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonicalize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full canonicalization: (id, text) → (id, canonical_id)."""
+    sigs = minhash_signature(shingles(df, id_col, text_col), perms).persist()
+    pairs = lsh_candidate_pairs(sigs, perms, bands)
+    verified = minhash_jaccard(sigs, pairs, perms).where(
+        F.col("est_jaccard") >= min_jaccard
+    )
+    comps = connected_components(verified.select("id_a", "id_b"))
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"),
+        )
+    )
+    sigs.unpersist()
+    return out

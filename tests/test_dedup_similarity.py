@@ -1,0 +1,157 @@
+"""Tests for the scale-path operators: dedup suite, canonicalization,
+similarity search, text stats, multimodal plumbing, watermark consume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_metadata_extraction_spark.operators import dedup, similarity, textstats
+from pdf_metadata_extraction_spark.operators.canonicalize import (
+    canonicalize,
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # ws/case dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "completely different text about spark engines"),  # exact dup of 4
+        (6, "le renard brun rapide saute par dessus le chien paresseux"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["canonical_id"]: r for r in
+           dedup.exact_duplicates(docs, "doc_id").collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["member_ids"] == [1, 2]
+    assert out[4]["n_dups"] == 2
+
+
+def test_simhash_near_dup(spark, docs):
+    sims = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    assert sims[1] == sims[2]  # normalized identical
+    # near-dup differs in few bits; unrelated differs in many
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sims[1], sims[3]) <= hamming(sims[1], sims[4])
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, "doc_id", min_jaccard=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (4, 5) in pairs and pairs[(4, 5)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+
+def test_minhash_lsh_and_canonicalize(spark, docs):
+    sigs = minhash_signature(shingles(docs, "doc_id", "text"))
+    assert sigs.count() == 6
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs and (4, 5) in pairs
+    canon = {r["doc_id"]: r["canonical_id"] for r in
+             canonicalize(docs, "doc_id", "text").collect()}
+    assert canon[1] == canon[2] == 1
+    assert canon[4] == canon[5] == 4
+    assert canon[6] == 6
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]), (5, [0.8, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = similarity.cosine_topk(df, df.where("vec_id = 1"), k=2)
+    got = [(r["match_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (5, 2)]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    import random
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = similarity.lsh_topk(df, df.where("vec_id < 3"), k=3, dim=8, n_planes=3)
+    pdf = out.toPandas()
+    assert set(pdf["query_id"]) <= {0, 1, 2}
+    assert (pdf["rank"] <= 3).all()
+
+
+def test_textstats(spark, docs):
+    lang = {r["id"]: r["detected_lang"] for r in
+            textstats.detect_language(docs, "doc_id").collect()}
+    assert lang[1] == "en" and lang[6] == "fr"
+    q = {r["id"]: r for r in textstats.quality_score(docs, "doc_id").collect()}
+    assert 0.0 <= q[1]["quality"] <= 1.0 and q[1]["alpha_ratio"] > 0.7
+    tc = {r["id"]: r for r in textstats.token_counts(docs, "doc_id").collect()}
+    assert tc[1]["ws_tokens"] == 9
+    fp = {r["id"]: r for r in textstats.fingerprint(docs, "doc_id").collect()}
+    assert fp[1]["fp_md5"] == fp[2]["fp_md5"]
+    assert fp[1]["fp_int"] == fp[2]["fp_int"] and fp[1]["fp_int"] != fp[4]["fp_int"]
+
+
+def test_multimodal_plumbing(spark):
+    from pdf_metadata_extraction_spark.operators import multimodal as mm
+    media = mm.synth_media(spark, 12)
+    feats = mm.extract_media_features(media, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["features"]) == mm.FEATURE_DIM for r in rows)
+    # determinism: same bytes → same features
+    again = {r["media_id"]: r["features"] for r in
+             mm.extract_media_features(media, deterministic_fake=True).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception):
+        mm.extract_media_features(media).collect()
+    plan = mm.frame_sample_plan(media, every_ms=500)
+    assert plan.where("media_id = 'm000002'").count() > 0
+
+
+def test_watermark_consume_once(spark, tmp_path):
+    from pdf_metadata_extraction_spark.operators.watermark import (
+        WatermarkStore, consume,
+    )
+    df = spark.createDataFrame(
+        [("r", "e", i, f"doc{i}") for i in range(5)],
+        "run_name string, extraction_name string, seq long, payload string",
+    )
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    first = consume(df, store, "r", "e", "labeled_data")
+    assert first.count() == 5
+    # pinned consume-once semantics (reference test_app.py:501-547)
+    second = consume(df, store, "r", "e", "labeled_data")
+    assert second.count() == 0
+
+
+def test_task_stream_validation(spark, tmp_path):
+    from pdf_metadata_extraction_spark.streaming.tasks import parse_tasks
+    raw = spark.createDataFrame(
+        [
+            ('{"tenant":"t","task":"create_model","params":{"id":"x"}}',),
+            ('not json at all',),
+            ('{"tenant":"t","task":"bogus","params":{"id":"y"}}',),
+            ('{"tenant":"t","task":"suggestions","params":{"id":"z"}}',),
+        ],
+        "value string",
+    )
+    out = parse_tasks(raw).collect()
+    assert sorted(r["params"]["id"] for r in out) == ["x", "z"]
