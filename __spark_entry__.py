@@ -1,38 +1,722 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline (pages → extract →
+segment → entity-link → edges) on pages synthesized deterministically
+from the sf0.001 ``documents`` table.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (key comments cite the operator ids); ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Every computation here is built on
+engine-portable primitives (md5, substr, split, window functions) so
+the value-hash comparison is exact; floats are rounded identically on
+both sides.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+_ENTITY_LABELS = ["spark", "united nations", "window", "merge", "customer"]
+_LANGS = ["en", "fr", "es", "de", "pt"]
+_MARKERS = {
+    "en": [" the ", " and ", " of ", " is ", " that "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "es": [" el ", " los ", " que ", " es ", " una "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "pt": [" o ", " os ", " que ", " uma ", " com "],
+}
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_norm(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "_norm",
+        F.concat(
+            F.lit(" "), F.lower(F.regexp_replace("text", r"\s+", " ")), F.lit(" ")
+        ),
+    )
+
+
+def _doubled_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate corpus: every doc plus an upper-cased
+    copy at id+100000 (normalization makes them identical → guaranteed
+    dup pairs for the dedup oracles)."""
+    return docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+
+
+_DOUBLED_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, upper(text) AS text FROM documents"
+)
+
+
+def _perturbed_corpus(docs: DataFrame) -> DataFrame:
+    """Doc plus a copy with a perturbed head → high-but-<1 jaccard pairs."""
+    return docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("zzzz "), F.expr("substr(text, 9)")).alias("text"),
+        )
+    )
+
+
+_PERTURBED_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, "
+    "concat('zzzz ', substr(text, 9)) AS text FROM documents"
+)
+
+
+# ================================================================ flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → synthetic pages(html) → extract → segment →
+    dictionary entity-link → (subj, pred, obj) edges."""
+    import pandas as pd
+
+    from pdf_metadata_extraction_spark.operators.extract import extract_tokens
+    from pdf_metadata_extraction_spark.operators.linking import link_options
+    from pdf_metadata_extraction_spark.operators.segment import segment_tokens
+    from pdf_metadata_extraction_spark.operators.triples import triples_to_edges
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+
+    def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = [
+                (
+                    "<!doctype html><html><head><title>x</title></head><body>"
+                    "<nav>boilerplate</nav><main><p>%s</p></main>"
+                    "<footer>f</footer></body></html>" % t
+                ).encode()
+                for t in pdf["text"].fillna("")
+            ]
+            yield pd.DataFrame(
+                {"url": "doc://" + pdf["doc_id"].astype(str), "html": html}
+            )
+
+    pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+    segs = segment_tokens(extract_tokens(pages)).withColumn(
+        "extraction_name", F.lit("mentions")
+    )
+    options = spark.createDataFrame(
+        [("mentions", str(i), lab, True) for i, lab in enumerate(_ENTITY_LABELS)],
+        "extraction_name string, option_id string, label string, multi_value boolean",
+    )
+    linked = link_options(segs, options).where(F.size("values") > 0)
+    triples = linked.select(
+        F.lit("flagship").alias("run_name"),
+        "extraction_name",
+        "url",
+        F.col("url").alias("entity_name"),
+        F.lit(None).cast("string").alias("text"),
+        "values",
+        F.col("text").alias("segment_text"),
+        F.col("page").alias("page_number"),
+        F.col("boxes").alias("segments_boxes"),
+    )
+    return triples_to_edges(triples)
 
 
+# ================================================================ queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_metadata_extraction_spark.operators import dedup, similarity, textstats
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingles,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ------------------------------------------------ F1 tenancy filter
+    def f1_tenancy_filter(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "documents")
+            .where((F.col("lang") == "en") & (F.col("source") == "src1"))
+            .select("doc_id", "n_chars")
+        )
+
+    # ------------------------------------------------ F5/F6 box scaling
+    def f5_box_scaling(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        return p.select(
+            "p_partkey",
+            F.round(F.col("p_size") * 0.75, 6).alias("ingest_left"),
+            F.round(F.col("p_size") * (4.0 / 3.0), 6).alias("egress_left"),
+        )
+
+    # ------------------------------------------------ A1 frequent words
+    def a1_frequent_words(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.select(
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+            )
+            .where(F.length("word") >= 2)
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(20)
+        )
+
+    # ------------------------------------------------ A2 method argmax
+    def a2_method_argmax(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy("event_type")
+            .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+            .orderBy(F.desc("avg_value"), F.asc("event_type"))
+            .limit(1)
+        )
+
+    # ------------------------------------------------ A4 ordered concat
+    def a4_segment_concat(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        parts = d.select(
+            "source", F.struct("doc_id", F.expr("substr(text, 1, 20)").alias("frag")).alias("s")
+        )
+        return (
+            parts.groupBy("source")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.transform(F.array_sort(F.collect_list("s")), lambda x: x["frag"])
+                    )
+                ).alias("concat_md5")
+            )
+        )
+
+    # ------------------------------------------------ A5 union bbox
+    def a5_union_bbox(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        return p.groupBy("p_brand").agg(
+            F.min("p_size").alias("left"),
+            F.max(F.col("p_size") + F.lit(10)).alias("right"),
+            F.count("*").alias("n_members"),
+        )
+
+    # ------------------------------------------------ W1 best per group
+    def w1_best_per_group(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("user_id", "event_id", "value")
+        )
+
+    # ------------------------------------------------ W2 reading order
+    def w2_reading_order(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return d.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("position")
+        )
+
+    # ------------------------------------------------ W4 sessionization
+    def w4_sessionize(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        return (
+            e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"))
+        )
+
+    # ------------------------------------------------ streaming-shaped agg
+    def hourly_event_agg(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        )
+
+    # ------------------------------------------------ J3 dictionary link
+    def j3_dict_match(spark, sf_dir):
+        d = _docs_norm(_t(spark, sf_dir, "documents"))
+        labels = spark.createDataFrame([(l,) for l in _ENTITY_LABELS], "label string")
+        return (
+            d.join(
+                F.broadcast(labels),
+                F.instr(F.col("_norm"), F.concat(F.lit(" "), F.col("label"), F.lit(" "))) > 0,
+            )
+            .groupBy("label")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    # ------------------------------------------------ KG mention triples
+    def kg_mention_triples(spark, sf_dir):
+        d = _docs_norm(_t(spark, sf_dir, "documents"))
+        labels = spark.createDataFrame([(l,) for l in _ENTITY_LABELS], "label string")
+        return d.join(
+            F.broadcast(labels),
+            F.instr(F.col("_norm"), F.concat(F.lit(" "), F.col("label"), F.lit(" "))) > 0,
+        ).select(
+            F.col("doc_id").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("label").alias("obj"),
+        )
+
+    # ------------------------------------------------ J4 positional zip
+    def j4_zip_join(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        w = Window.orderBy("doc_id")
+        en = d.where("lang = 'en'").select(
+            F.col("doc_id").alias("en_doc"), F.row_number().over(w).cast("long").alias("position")
+        )
+        fr = d.where("lang = 'fr'").select(
+            F.col("doc_id").alias("fr_doc"), F.row_number().over(w).cast("long").alias("position")
+        )
+        return en.join(fr, "position").select("position", "en_doc", "fr_doc")
+
+    # ------------------------------------------------ dedup: exact
+    def dedup_exact(spark, sf_dir):
+        corpus = _doubled_corpus(_t(spark, sf_dir, "documents"))
+        return dedup.exact_duplicates(corpus, "doc_id").select(
+            "text_hash", "n_dups", "canonical_id"
+        )
+
+    # ------------------------------------------------ dedup: simhash
+    def dedup_simhash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").where("doc_id < 100")
+        return dedup.simhash(d, "doc_id")
+
+    # ------------------------------------------------ dedup: minhash sigs
+    def minhash_signatures(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").where("doc_id < 50")
+        return minhash_signature(shingles(d, "doc_id", "text"), perms=4)
+
+    # ------------------------------------------------ dedup: LSH pairs
+    def minhash_dup_pairs(spark, sf_dir):
+        corpus = _doubled_corpus(_t(spark, sf_dir, "documents"))
+        sigs = minhash_signature(shingles(corpus, "doc_id", "text"), perms=4)
+        return lsh_candidate_pairs(sigs, perms=4, bands=1)
+
+    # ------------------------------------------------ dedup: ngram jaccard
+    def ngram_jaccard(spark, sf_dir):
+        corpus = _perturbed_corpus(_t(spark, sf_dir, "documents"))
+        return dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", min_jaccard=0.5, prefix_chars=80
+        )
+
+    # ------------------------------------------------ connected components
+    def canonical_components(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        edges = d.select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+        ).unionByName(
+            d.where("doc_id % 10 < 3").select(
+                F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+            )
+        )
+        return connected_components(edges).select("id", "component")
+
+    # ------------------------------------------------ similarity: exact topk
+    def cosine_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        out = similarity.cosine_topk(emb, emb.where("vec_id < 5"), k=3)
+        return out.select(
+            "query_id", "match_id", F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    # ------------------------------------------------ similarity: near-dup
+    def embedding_near_dup(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                       F.col("label").alias("label"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                       F.col("label").alias("label"))
+        return (
+            a.join(b, "label")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(similarity.cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+            )
+            .where(F.col("sim") >= 0.35)
+        )
+
+    # ------------------------------------------------ textstats
+    def lang_id(spark, sf_dir):
+        return textstats.detect_language(_t(spark, sf_dir, "documents"), "doc_id")
+
+    def quality_scores(spark, sf_dir):
+        return textstats.quality_score(_t(spark, sf_dir, "documents"), "doc_id")
+
+    def token_count(spark, sf_dir):
+        return textstats.token_counts(_t(spark, sf_dir, "documents"), "doc_id")
+
+    def doc_fingerprint(spark, sf_dir):
+        return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id")
+
+    # ------------------------------------------------ generic agg engine
+    def q1_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    # ------------------------------------------------ no-oracle extras
+    def lsh_ann_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return similarity.lsh_topk(emb, emb.where("vec_id < 5"), k=3, dim=64, n_planes=6)
+
+    def pages_roundtrip(spark, sf_dir):
+        """Byte-identity flagship invariant under the oracle harness:
+        wrap documents.text as HTML, extract, compare to the original."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.extract import extract_text
+
+        docs = _t(spark, sf_dir, "documents")
+
+        def to_pages(batches):
+            for pdf in batches:
+                html = [
+                    (
+                        "<!doctype html><html><head><title>t</title></head><body>"
+                        "<header>hdr</header><main><p>%s</p></main>"
+                        "<script>junk()</script></body></html>" % t
+                    ).encode()
+                    for t in pdf["text"].fillna("")
+                ]
+                yield pd.DataFrame(
+                    {"url": pdf["doc_id"].astype("int64"), "html": html}
+                )
+
+        pages = docs.mapInPandas(to_pages, schema="url long, html binary")
+        return extract_text(pages.withColumn("url", F.col("url").cast("string"))).select(
+            F.col("url").cast("long").alias("doc_id"), "text"
+        )
+
+    return {
+        "f1_tenancy_filter": f1_tenancy_filter,
+        "f5_box_scaling": f5_box_scaling,
+        "a1_frequent_words": a1_frequent_words,
+        "a2_method_argmax": a2_method_argmax,
+        "a4_segment_concat": a4_segment_concat,
+        "a5_union_bbox": a5_union_bbox,
+        "w1_best_per_group": w1_best_per_group,
+        "w2_reading_order": w2_reading_order,
+        "w4_sessionize": w4_sessionize,
+        "hourly_event_agg": hourly_event_agg,
+        "j3_dict_match": j3_dict_match,
+        "kg_mention_triples": kg_mention_triples,
+        "j4_zip_join": j4_zip_join,
+        "dedup_exact": dedup_exact,
+        "dedup_simhash": dedup_simhash,
+        "minhash_signatures": minhash_signatures,
+        "minhash_dup_pairs": minhash_dup_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "canonical_components": canonical_components,
+        "cosine_topk": cosine_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "lang_id": lang_id,
+        "quality_scores": quality_scores,
+        "token_count": token_count,
+        "doc_fingerprint": doc_fingerprint,
+        "q1_pricing_summary": q1_pricing_summary,
+        "lsh_ann_topk": lsh_ann_topk,
+        "pages_roundtrip": pages_roundtrip,
+    }
+
+
+# ================================================================ oracles
+def _simhash_sql(bits: int = 16) -> str:
+    hv = "cast(concat('0x', substr(md5(w), 1, 4)) AS BIGINT)"
+    sums = ", ".join(
+        f"sum(CASE WHEN (({hv}) // {2 ** k}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{k}"
+        for k in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN s_{k} > 0 THEN {2 ** k} ELSE 0 END" for k in range(bits))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id AS id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents WHERE doc_id < 100
+  ) WHERE w <> ''
+), bit_sums AS (
+  SELECT id, {sums} FROM words GROUP BY id
+)
+SELECT id, CAST({sim} AS BIGINT) AS simhash FROM bit_sums
+"""
+
+
+def _lang_sql() -> str:
+    score_exprs = []
+    for lang in _LANGS:
+        terms = " + ".join(
+            f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}"
+            for m in _MARKERS[lang]
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    # argmax chain: first language reaching the max wins (ties → _LANGS order)
+    when_sql = " ".join(
+        f"WHEN {' AND '.join(f's_{l} >= s_{o}' for o in _LANGS if o != l)} THEN '{l}'"
+        for l in _LANGS
+    )
+    best = f"greatest({', '.join('s_' + l for l in _LANGS)})"
+    total = " + ".join(f"s_{l}" for l in _LANGS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id AS id, {', '.join(score_exprs)} FROM (
+    SELECT doc_id, concat(' ', lower(text), ' ') AS padded FROM documents
+  )
+)
+SELECT id,
+  CASE WHEN {best} > 0 THEN (CASE {when_sql} END) ELSE 'und' END AS detected_lang,
+  round(CASE WHEN ({total}) > 0 THEN {best} / ({total}) ELSE 0.0 END, 6) AS lang_confidence
+FROM scored
+"""
+
+
+def _minhash_sig_sql(perms: int, source_sql: str, where: str = "") -> str:
+    mins = ", ".join(
+        f"min(md5(concat('p{p}:', shingle))) AS mh_{p}" for p in range(perms)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+norm AS (
+  SELECT doc_id AS id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM src {where}
+), sh AS (
+  SELECT id, unnest(list_distinct(
+    [substr(t, i, 3) FOR i IN generate_series(1, greatest(length(t) - 2, 1))]
+  )) AS shingle FROM norm
+)
+SELECT id, {mins} FROM sh GROUP BY id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    labels_values = ", ".join(f"('{l}')" for l in _ENTITY_LABELS)
+    emb_explode = """
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+"""
+    return {
+        "f1_tenancy_filter": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE lang = 'en' AND source = 'src1'"
+        ),
+        "f5_box_scaling": (
+            "SELECT p_partkey, CAST(round(p_size * 0.75, 6) AS DOUBLE) AS ingest_left, "
+            "CAST(round(p_size * (4.0/3.0), 6) AS DOUBLE) AS egress_left FROM part"
+        ),
+        "a1_frequent_words": """
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+) WHERE length(word) >= 2
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+""",
+        "a2_method_argmax": (
+            "SELECT event_type, round(avg(value), 6) AS avg_value FROM events "
+            "GROUP BY event_type ORDER BY avg_value DESC, event_type ASC LIMIT 1"
+        ),
+        "a4_segment_concat": (
+            "SELECT source, md5(string_agg(substr(text, 1, 20), ' ' ORDER BY doc_id)) "
+            "AS concat_md5 FROM documents GROUP BY source"
+        ),
+        "a5_union_bbox": (
+            "SELECT p_brand, min(p_size) AS left, max(p_size + 10) AS right, "
+            "count(*) AS n_members FROM part GROUP BY p_brand"
+        ),
+        "w1_best_per_group": """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "w2_reading_order": (
+            "SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS position "
+            "FROM documents"
+        ),
+        "w4_sessionize": """
+SELECT user_id, sum(new_s) AS n_sessions FROM (
+  SELECT user_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM events
+) GROUP BY user_id
+""",
+        "hourly_event_agg": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+            "round(avg(value), 6) AS avg_value FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "j3_dict_match": f"""
+SELECT label, count(*) AS n_docs
+FROM (SELECT concat(' ', lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS _norm
+      FROM documents) d
+JOIN (VALUES {labels_values}) AS o(label)
+  ON position(concat(' ', o.label, ' ') IN d._norm) > 0
+GROUP BY label
+""",
+        "kg_mention_triples": f"""
+SELECT doc_id AS subj, 'mentions' AS pred, label AS obj
+FROM (SELECT doc_id, concat(' ', lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS _norm
+      FROM documents) d
+JOIN (VALUES {labels_values}) AS o(label)
+  ON position(concat(' ', o.label, ' ') IN d._norm) > 0
+""",
+        "j4_zip_join": """
+WITH en AS (SELECT doc_id AS en_doc, row_number() OVER (ORDER BY doc_id) AS position
+            FROM documents WHERE lang = 'en'),
+     fr AS (SELECT doc_id AS fr_doc, row_number() OVER (ORDER BY doc_id) AS position
+            FROM documents WHERE lang = 'fr')
+SELECT position, en_doc, fr_doc FROM en JOIN fr USING (position)
+""",
+        "dedup_exact": f"""
+WITH corpus AS ({_DOUBLED_SQL})
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
+       count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_simhash": _simhash_sql(16),
+        "minhash_signatures": _minhash_sig_sql(
+            4, "SELECT doc_id, text FROM documents", "WHERE id < 50"
+        ),
+        "minhash_dup_pairs": f"""
+WITH sigs AS ({_minhash_sig_sql(4, _DOUBLED_SQL)})
+SELECT a.id AS id_a, b.id AS id_b
+FROM sigs a JOIN sigs b
+  ON concat(a.mh_0,'|',a.mh_1,'|',a.mh_2,'|',a.mh_3) =
+     concat(b.mh_0,'|',b.mh_1,'|',b.mh_2,'|',b.mh_3)
+WHERE a.id < b.id
+""",
+        "ngram_jaccard": f"""
+WITH corpus AS ({_PERTURBED_SQL}),
+norm AS (
+  SELECT doc_id AS id,
+         substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 80) AS t
+  FROM corpus
+), grams AS (
+  SELECT id, unnest(list_distinct(
+    [substr(t, i, 3) FOR i IN generate_series(1, greatest(length(t) - 2, 1))]
+  )) AS gram FROM norm
+), sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
+        "canonical_components": """
+WITH RECURSIVE
+edges0 AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+""",
+        "cosine_topk": f"""
+WITH e AS ({emb_explode}),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         sum(q.val * c.val) /
+         (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))) AS sim_raw
+  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, match_id, round(sim_raw, 4) AS sim, rank FROM (
+  SELECT query_id, match_id, sim_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 3
+""",
+        "embedding_near_dup": f"""
+WITH e AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(sum(a.val * b.val) /
+               (sqrt(sum(a.val * a.val)) * sqrt(sum(b.val * b.val))), 4) AS sim
+  FROM e a JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
+""",
+        "lang_id": _lang_sql(),
+        "quality_scores": """
+SELECT doc_id AS id, length(text) AS n_chars,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1), 6) AS digit_ratio,
+  round(CAST(greatest(length(text), 1) AS DOUBLE) /
+        (length(text) - length(replace(text, ' ', '')) + 1), 6) AS mean_word_len,
+  CAST(round(
+    (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END) +
+    (CASE WHEN CAST(greatest(length(text),1) AS DOUBLE) /
+               (length(text) - length(replace(text, ' ', '')) + 1)
+          BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END) +
+    (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+               greatest(length(text), 1) >= 0.6 THEN 0.2 ELSE 0.0 END) +
+    (CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) /
+               greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END), 6) AS DOUBLE) AS quality
+FROM documents
+""",
+        "token_count": """
+SELECT doc_id AS id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+  CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) +
+       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS bpe_tokens_est
+FROM documents
+""",
+        "doc_fingerprint": """
+SELECT doc_id AS id,
+  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+  CAST(concat('0x', substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp_int
+FROM documents
+""",
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "pages_roundtrip": "SELECT doc_id, text FROM documents",
+        # lsh_ann_topk: intentionally no oracle (approximate by design) —
+        # driver records the weaker rows-only check.
+    }
