@@ -58,8 +58,8 @@ def _doubled_corpus(docs: DataFrame) -> DataFrame:
 
 
 _DOUBLED_SQL = (
-    "SELECT doc_id, text FROM documents "
-    "UNION ALL SELECT doc_id + 100000 AS doc_id, upper(text) AS text FROM documents"
+    "SELECT doc_id, text FROM documents WHERE doc_id < 250 "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, upper(text) AS text FROM documents WHERE doc_id < 250"
 )
 
 
@@ -74,9 +74,9 @@ def _perturbed_corpus(docs: DataFrame) -> DataFrame:
 
 
 _PERTURBED_SQL = (
-    "SELECT doc_id, text FROM documents "
+    "SELECT doc_id, text FROM documents WHERE doc_id < 250 "
     "UNION ALL SELECT doc_id + 100000 AS doc_id, "
-    "concat('zzzz ', substr(text, 9)) AS text FROM documents"
+    "concat('zzzz ', substr(text, 9)) AS text FROM documents WHERE doc_id < 250"
 )
 
 
@@ -287,7 +287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------------------------------------------ dedup: exact
     def dedup_exact(spark, sf_dir):
-        corpus = _doubled_corpus(_t(spark, sf_dir, "documents"))
+        corpus = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+            _t(spark, sf_dir, "documents").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), F.upper("text").alias("text")
+            )
+        )
         return dedup.exact_duplicates(corpus, "doc_id").select(
             "text_hash", "n_dups", "canonical_id"
         )
@@ -304,13 +308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------------------------------------------ dedup: LSH pairs
     def minhash_dup_pairs(spark, sf_dir):
-        corpus = _doubled_corpus(_t(spark, sf_dir, "documents"))
+        corpus = _doubled_corpus(
+            _t(spark, sf_dir, "documents").where("doc_id < 250")
+        )
         sigs = minhash_signature(shingles(corpus, "doc_id", "text"), perms=4)
         return lsh_candidate_pairs(sigs, perms=4, bands=1)
 
     # ------------------------------------------------ dedup: ngram jaccard
     def ngram_jaccard(spark, sf_dir):
-        corpus = _perturbed_corpus(_t(spark, sf_dir, "documents"))
+        corpus = _perturbed_corpus(
+            _t(spark, sf_dir, "documents").where("doc_id < 250")
+        )
         return dedup.ngram_jaccard_pairs(
             corpus, "doc_id", min_jaccard=0.5, prefix_chars=80
         )
@@ -593,8 +601,9 @@ WITH en AS (SELECT doc_id AS en_doc, row_number() OVER (ORDER BY doc_id) AS posi
             FROM documents WHERE lang = 'fr')
 SELECT position, en_doc, fr_doc FROM en JOIN fr USING (position)
 """,
-        "dedup_exact": f"""
-WITH corpus AS ({_DOUBLED_SQL})
+        "dedup_exact": """
+WITH corpus AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents)
 SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
        count(*) AS n_dups, min(doc_id) AS canonical_id
 FROM corpus GROUP BY 1 HAVING count(*) > 1

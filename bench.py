@@ -1,0 +1,121 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports pages/sec for the KG pipeline (the north-rule throughput
+number) under "extras". Two-parallelism scaling evidence is produced by
+tools/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pdf_metadata_extraction_spark.operators import dedup, similarity, textstats
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        lsh_candidate_pairs, minhash_signature, shingles,
+    )
+    from pdf_metadata_extraction_spark.operators.linking import link_options
+    from pdf_metadata_extraction_spark.operators.triples import triples_to_edges
+    from pdf_metadata_extraction_spark.session import get_spark
+    from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    q_entries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # ---- KG pipeline: pages → tokens → segments → entity link → edges
+    import tempfile
+
+    from pdf_metadata_extraction_spark.plans.pipeline import segments_from_pages
+
+    pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{N_PAGES}")
+
+    def pages_synth():
+        if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+            generate_pages(spark, N_PAGES).repartition("url_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("url_bucket").parquet(pages_dir)
+
+    timed("pages_synth", pages_synth)
+    pages = spark.read.parquet(pages_dir).select("url", "html")
+
+    def kg_pipeline():
+        segs = segments_from_pages(pages).withColumn(
+            "extraction_name", F.lit("mentions")
+        )
+        options = spark.createDataFrame(
+            [("mentions", str(i), lab, True)
+             for i, lab in enumerate(entrymod._ENTITY_LABELS)],
+            "extraction_name string, option_id string, label string, multi_value boolean",
+        )
+        linked = link_options(segs, options).where(F.size("values") > 0)
+        n = triples_to_edges(
+            linked.select(
+                F.lit("bench").alias("run_name"), "extraction_name", "url",
+                F.col("url").alias("entity_name"),
+                F.lit(None).cast("string").alias("text"), "values",
+                F.col("text").alias("segment_text"),
+                F.col("page").alias("page_number"),
+                F.col("boxes").alias("segments_boxes"),
+            )
+        ).count()
+        extras["kg_edges"] = n
+
+    timed("kg_pipeline", kg_pipeline)
+    # warm run: fixed costs (python worker pools, first-job spin-up)
+    # amortized — this is the per-row throughput that scales
+    timed("kg_pipeline_warm", kg_pipeline)
+    extras["kg_pages"] = N_PAGES
+    extras["pages_per_sec"] = round(N_PAGES / timings["kg_pipeline"], 1)
+    extras["pages_per_sec_warm"] = round(N_PAGES / timings["kg_pipeline_warm"], 1)
+
+    # ---- representative operator queries at SF_DIR
+    def run_query(name: str):
+        return lambda: q_entries[name](spark, SF_DIR).count()
+
+    for name in [
+        "minhash_dup_pairs", "ngram_jaccard", "canonical_components",
+        "cosine_topk", "lsh_ann_topk", "lang_id", "quality_scores",
+        "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
+        "kg_mention_triples", "dedup_exact",
+    ]:
+        timed(name, run_query(name))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_construct_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "extras": extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

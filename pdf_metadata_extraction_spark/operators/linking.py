@@ -99,17 +99,14 @@ def link_options(
     option matches).
     """
     spark = segments.sparkSession
-    opts_rows = (
-        options.groupBy("extraction_name", "multi_value")
-        .agg(F.collect_list(F.struct("option_id", "label")).alias("opts"))
-        .collect()
-    )
+    # plain collect (the dictionary is small by contract) — grouping it
+    # driver-side avoids a shuffle job just to build the broadcast
     dict_by_name: dict[str, tuple[bool, list[tuple[str, str]]]] = {}
-    for r in opts_rows:
-        dict_by_name[r["extraction_name"]] = (
-            bool(r["multi_value"]),
-            [(o["option_id"], o["label"]) for o in r["opts"]],
-        )
+    for r in options.select(
+        "extraction_name", "multi_value", "option_id", "label"
+    ).collect():
+        mv, opts = dict_by_name.setdefault(r["extraction_name"], (bool(r["multi_value"]), []))
+        opts.append((r["option_id"], r["label"]))
     bc = spark.sparkContext.broadcast(dict_by_name)
 
     from pyspark.sql import types as T

@@ -52,30 +52,31 @@ def triples_to_edges(triples: DataFrame) -> DataFrame:
     Options case → one edge per linked value (obj = option id); text
     case → one edge with obj = extracted text.
     """
-    has_values = F.size(F.coalesce(F.col("values"), F.array())) > 0
-    option_edges = (
-        triples.where(has_values)
-        .select(
-            F.coalesce("entity_name", "url").alias("subj"),
-            F.col("extraction_name").alias("pred"),
-            F.explode("values").alias("v"),
-            F.col("url").alias("provenance_url"),
-        )
-        .select(
-            "subj", "pred",
-            F.col("v.id").alias("obj"),
-            "provenance_url",
-            F.col("v.segment_text").alias("segment_text"),
-        )
+    # single pass: unify the two obj sources into one array, then explode —
+    # a union here would recompute the whole upstream pipeline twice.
+    has_values = F.coalesce(F.size("values"), F.lit(0)) > 0
+    obj_struct = lambda obj, seg: F.struct(  # noqa: E731
+        obj.alias("obj"), seg.alias("segment_text")
     )
-    text_edges = (
-        triples.where(~has_values & F.col("text").isNotNull() & (F.col("text") != ""))
-        .select(
-            F.coalesce("entity_name", "url").alias("subj"),
-            F.col("extraction_name").alias("pred"),
-            F.col("text").alias("obj"),
-            F.col("url").alias("provenance_url"),
-            F.col("segment_text").alias("segment_text"),
-        )
+    objs = F.when(
+        has_values,
+        F.transform(
+            F.col("values"), lambda v: obj_struct(v["id"], v["segment_text"])
+        ),
+    ).otherwise(
+        F.when(
+            F.col("text").isNotNull() & (F.col("text") != ""),
+            F.array(obj_struct(F.col("text"), F.col("segment_text"))),
+        ).otherwise(F.array().cast("array<struct<obj:string,segment_text:string>>"))
     )
-    return option_edges.unionByName(text_edges)
+    return triples.select(
+        F.coalesce("entity_name", "url").alias("subj"),
+        F.col("extraction_name").alias("pred"),
+        F.explode(objs).alias("o"),
+        F.col("url").alias("provenance_url"),
+    ).select(
+        "subj", "pred",
+        F.col("o.obj").alias("obj"),
+        "provenance_url",
+        F.col("o.segment_text").alias("segment_text"),
+    )

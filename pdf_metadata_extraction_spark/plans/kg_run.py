@@ -1,0 +1,81 @@
+"""The production-shaped KG run: every stage checkpointed + lineage rows
+(north rule: resumable from checkpoint with per-partition lineage +
+metrics).
+
+Stages (each materialized under {work_dir}/stages/{run_id}/{stage},
+partitioned by url_bucket where applicable — a re-run with the same
+run_id reuses finished stages instead of recomputing, and any url_bucket
+range can be re-read independently):
+
+    pages → segments → linked → edges → nodes (canonicalized)
+
+On a cluster swap the parquet writes for Iceberg tables
+(``writeTo(...).append()``) — the layout and resume semantics carry over
+(Iceberg snapshot = our _SUCCESS marker).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_metadata_extraction_spark.operators.canonicalize import canonicalize
+from pdf_metadata_extraction_spark.operators.linking import link_options
+from pdf_metadata_extraction_spark.operators.skew import DEFAULT_SALT, with_salt
+from pdf_metadata_extraction_spark.operators.triples import triples_to_edges
+from pdf_metadata_extraction_spark.plans.lineage import LineageWriter
+from pdf_metadata_extraction_spark.plans.pipeline import segments_from_pages
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    options: DataFrame,
+    work_dir: str,
+    run_id: str = "run0",
+    extraction_name: str = "mentions",
+    n_salt: int = DEFAULT_SALT,
+) -> dict[str, DataFrame]:
+    """Full pipeline with stage checkpoints + lineage. Returns the stage
+    DataFrames {segments, linked, edges, nodes}."""
+    lw = LineageWriter(spark, work_dir, run_id)
+    t0 = time.monotonic()
+
+    segs = segments_from_pages(pages).withColumn(
+        "extraction_name", F.lit(extraction_name)
+    )
+    # deterministic salt rides along so a resumed bucket recomputes with
+    # the same layout (SURVEY.md §7.3 #4)
+    segs = with_salt(segs, "url", n_salt)
+    segs = lw.checkpoint_stage("segments", segs, partition_by=["salt"])
+
+    linked = link_options(segs, options).where(F.size("values") > 0)
+    linked = lw.checkpoint_stage("linked", linked, partition_by=["salt"])
+
+    edges = triples_to_edges(
+        linked.select(
+            F.lit(run_id).alias("run_name"), "extraction_name", "url",
+            F.col("url").alias("entity_name"),
+            F.lit(None).cast("string").alias("text"), "values",
+            F.col("text").alias("segment_text"),
+            F.col("page").alias("page_number"),
+            F.col("boxes").alias("segments_boxes"),
+        )
+    )
+    edges = lw.checkpoint_stage("edges", edges)
+
+    # canonicalize object surface forms (obj strings) → nodes table
+    surface = edges.select(F.col("obj").alias("id")).distinct().withColumn(
+        "text", F.col("id")
+    )
+    nodes = canonicalize(surface, "id", "text").select(
+        F.col("id").alias("node_id"),
+        F.col("canonical_id"),
+    )
+    nodes = lw.checkpoint_stage("nodes", nodes)
+
+    lw.record("pipeline_total", input_rows=-1, output_rows=edges.count(),
+              wall_ms=int((time.monotonic() - t0) * 1000))
+    return {"segments": segs, "linked": linked, "edges": edges, "nodes": nodes}

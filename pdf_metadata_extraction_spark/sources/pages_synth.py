@@ -170,6 +170,9 @@ def generate_pages(spark: SparkSession, n_docs: int, skew_frac: float = 0.5,
 
 
 def write_pages(spark: SparkSession, path: str, n_docs: int, skew_frac: float = 0.5) -> None:
-    generate_pages(spark, n_docs, skew_frac).write.mode("overwrite").partitionBy(
-        "url_bucket"
-    ).parquet(path)
+    # repartition by the bucket column first → exactly one file per bucket
+    # (without it every task writes a sliver of every bucket: tasks×buckets
+    # tiny files, which dominates both write and scan time)
+    generate_pages(spark, n_docs, skew_frac).repartition("url_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("url_bucket").parquet(path)

@@ -1,0 +1,73 @@
+"""Resumability + lineage + skew tests (north rule requirements)."""
+
+import pyspark.sql.functions as F
+
+from pdf_metadata_extraction_spark.operators.skew import (
+    domain_of,
+    salted_groupby_count,
+    with_salt,
+)
+from pdf_metadata_extraction_spark.plans.kg_run import run_kg_pipeline
+from pdf_metadata_extraction_spark.sources.pages_synth import MEGA_DOMAIN, generate_pages
+
+
+def _options(spark):
+    return spark.createDataFrame(
+        [("mentions", str(i), lab, True) for i, lab in enumerate(
+            ["spark", "united nations", "assembly", "resolution"])],
+        "extraction_name string, option_id string, label string, multi_value boolean",
+    )
+
+
+def test_kg_run_checkpoints_and_resume(spark, tmp_path):
+    pages = generate_pages(spark, 40, partitions=4).select("url", "html")
+    work = str(tmp_path / "kg")
+    out1 = run_kg_pipeline(spark, pages, _options(spark), work, run_id="r1")
+    edges1 = sorted(tuple(r) for r in out1["edges"].collect())
+    assert len(edges1) > 0
+
+    # resume: stage outputs on disk are reused — feed EMPTY pages and the
+    # same run_id; results must be identical (no recompute of finished stages)
+    empty = pages.limit(0)
+    out2 = run_kg_pipeline(spark, empty, _options(spark), work, run_id="r1")
+    edges2 = sorted(tuple(r) for r in out2["edges"].collect())
+    assert edges1 == edges2
+
+    # lineage rows recorded per stage
+    lineage = spark.read.parquet(f"{work}/lineage")
+    stages = {r["stage"] for r in lineage.collect()}
+    assert {"segments", "linked", "edges", "nodes", "pipeline_total"} <= stages
+    assert lineage.where(F.col("wall_ms") < 0).count() == 0
+
+
+def test_mega_domain_skew_and_salting(spark):
+    pages = generate_pages(spark, 400, partitions=4)
+    dom_counts = (
+        pages.select(domain_of("url").alias("d"))
+        .groupBy("d").count().orderBy(F.desc("count")).collect()
+    )
+    # the skew knob: mega-domain holds ~50% of rows
+    assert dom_counts[0]["d"] == MEGA_DOMAIN
+    assert dom_counts[0]["count"] > 0.4 * 400
+
+    # salted two-phase count: same answer as plain groupBy
+    plain = {r["d"]: r["count"] for r in dom_counts}
+    with_dom = pages.withColumn("d", domain_of("url"))
+    salted = {r["d"]: r["n"] for r in salted_groupby_count(with_dom, "d").collect()}
+    assert salted == plain
+
+    # the salt actually splits the hot key across partitions
+    salts = (
+        with_salt(with_dom.where(F.col("d") == MEGA_DOMAIN), "d")
+        .select("salt").distinct().count()
+    )
+    assert salts > 4
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    edges = e.entry(spark)
+    rows = edges.collect()
+    assert len(rows) >= 0
+    assert set(edges.columns) == {"subj", "pred", "obj", "provenance_url", "segment_text"}
