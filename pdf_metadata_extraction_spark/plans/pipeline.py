@@ -85,19 +85,23 @@ def segments_from_pages(pages_with_boxes: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            urls = pdf["url"].values
+            htmls = pdf["html"].values
+            sbs = pdf["xml_segments_boxes"].values if has_seg else None
+            lbs = pdf["label_segments_boxes"].values if has_label else None
             rows = []
-            for rec in pdf.to_dict("records"):
-                data = rec.get("html")
+            for i in range(len(pdf)):
+                data = htmls[i]
                 toks = tokenize_bytes(bytes(data) if data is not None else None)
-                raw_sb = rec.get("xml_segments_boxes")
-                raw_lb = rec.get("label_segments_boxes")
+                raw_sb = sbs[i] if sbs is not None else None
+                raw_lb = lbs[i] if lbs is not None else None
                 sb = [dict(b) for b in raw_sb] if raw_sb is not None else []
                 lb = [dict(b) for b in raw_lb] if raw_lb is not None else []
                 dims = (0.0, 0.0)
                 if sb and sb[0].get("page_width"):
                     dims = (sb[0]["page_width"], sb[0]["page_height"])
                 for s in segment_doc(toks, sb, lb, dims):
-                    s["url"] = rec["url"]
+                    s["url"] = urls[i]
                     rows.append(s)
             yield pd.DataFrame(
                 rows,

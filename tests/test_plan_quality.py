@@ -1,0 +1,66 @@
+"""Physical-plan quality gates (the 100 TB checklist): pushdown, pruning,
+broadcast choice, no shuffles in map-only stages, codegen coverage."""
+
+import pyspark.sql.functions as F
+
+from pdf_metadata_extraction_spark.operators.extract import extract_text
+from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages, write_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    write_pages(spark, path, 64)
+    pages = spark.read.parquet(path)
+    q = pages.where(F.col("lang") == "en").select("url", "lang")
+    plan = q.queryExecution if False else q._jdf.queryExecution().toString()
+    # predicate reaches the scan; scan reads only the projected columns
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "html" not in plan.split("ReadSchema")[-1]
+
+
+def test_partition_pruning_on_bucket(spark, tmp_path):
+    path = str(tmp_path / "pages_b")
+    write_pages(spark, path, 64)
+    pages = spark.read.parquet(path)
+    q = pages.where(F.col("url_bucket") == 3).select("url")
+    # partition column filter → partition pruning, not a data filter
+    plan = q._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "url_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_dictionary_join_is_broadcast(spark):
+    from pdf_metadata_extraction_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id int, embedding array<float>"
+    )
+    plan = _plan(cosine_topk(emb, emb.where("vec_id < 2"), k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exact_dedup_has_partial_agg(spark):
+    from pdf_metadata_extraction_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id int, text string")
+    plan = _plan(exact_duplicates(df, "doc_id"))
+    # two HashAggregate nodes around one Exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # AQE may add a read, but no extra shuffle
+
+
+def test_extract_is_map_only(spark):
+    pages = generate_pages(spark, 8, partitions=2)
+    assert "Exchange" not in _plan(extract_text(pages))
+
+
+def test_scalar_ops_stay_in_codegen(spark):
+    from pdf_metadata_extraction_spark.operators.textstats import quality_score
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id int, text string")
+    plan = _plan(quality_score(df, "doc_id"))
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
