@@ -62,5 +62,6 @@ def test_scalar_ops_stay_in_codegen(spark):
 
     df = spark.createDataFrame([(1, "hello world")], "doc_id int, text string")
     plan = _plan(quality_score(df, "doc_id"))
-    assert "WholeStageCodegen" in plan
+    # '*(1)' is the whole-stage-codegen marker in the physical plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
