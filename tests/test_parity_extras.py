@@ -1,0 +1,127 @@
+"""Parity tests for F2 valid-pages filter, S8 model store + D3 TTL,
+S4 table IO, and the streaming availableNow dispatch."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_metadata_extraction_spark.operators.pages_filter import (
+    filter_tokens_for_prediction,
+    filter_tokens_for_training,
+    label_pages,
+    page_range_stats,
+)
+from pdf_metadata_extraction_spark.schemas import LABELS
+
+
+def _label(spark, url, pages):
+    boxes = [
+        dict(left=10.0, top=10.0, width=5.0, height=5.0, page_width=612.0,
+             page_height=792.0, page_number=p, segment_type=None)
+        for p in pages
+    ]
+    return spark.createDataFrame(
+        [dict(run_name="r", extraction_name="e", url=url, language_iso="en",
+              label_text="x", values=None, source_text=None, entity_name=None,
+              page_width=612.0, page_height=792.0, xml_segments_boxes=[],
+              label_segments_boxes=boxes)],
+        LABELS,
+    )
+
+
+def test_valid_pages_filter_training(spark):
+    labels = _label(spark, "u1", [5])
+    keep = {(r["url"], r["page"]) for r in label_pages(labels).collect()}
+    assert keep == {("u1", 4), ("u1", 5), ("u1", 6)}
+    tokens = spark.createDataFrame(
+        [("u1", p, 0, "t", 0.0, 0.0, 1.0, 1.0, "f", 1.0, False) for p in range(1, 11)],
+        "url string, page int, token_idx int, text string, left double, top double,"
+        "width double, height double, font_id string, font_size double, bold boolean",
+    )
+    kept = filter_tokens_for_training(tokens, labels)
+    assert sorted(r["page"] for r in kept.collect()) == [4, 5, 6]
+
+
+def test_valid_pages_filter_prediction(spark):
+    labels = _label(spark, "u1", [3, 7])
+    stats = page_range_stats(labels)
+    assert stats == (2, 8)
+    tokens = spark.createDataFrame(
+        [("u1", p) for p in range(1, 11)], "url string, page int"
+    )
+    kept = filter_tokens_for_prediction(tokens, stats)
+    assert sorted(r["page"] for r in kept.collect()) == list(range(2, 9))
+    # no boxes → no filter (degenerate ok)
+    empty = _label(spark, "u2", [])
+    assert page_range_stats(empty) is None
+    assert filter_tokens_for_prediction(tokens, None).count() == 10
+
+
+def test_model_store_roundtrip_and_ttl(tmp_path):
+    from pdf_metadata_extraction_spark.plans.model_store import (
+        MODEL_NOT_FOUND, cleanup_stale_models, load_model, save_model,
+    )
+    from pdf_metadata_extraction_spark.plans.pipeline import ExtractionModel
+
+    root = str(tmp_path / "models")
+    m = ExtractionModel(run_name="r", extraction_name="e", kind="text_to_text",
+                        method_name="affix", method_state={"prefix": "Option ", "suffix": ""},
+                        options=[("1", "one")])
+    save_model(root, m)
+    back = load_model(root, "r", "e")
+    assert back == m
+    # pinned error string (reference test_end_to_end.py:85-95)
+    with pytest.raises(FileNotFoundError, match=MODEL_NOT_FOUND):
+        load_model(root, "r", "missing")
+    # D3 TTL: too-new survives, stale removed
+    assert cleanup_stale_models(root) == []
+    removed = cleanup_stale_models(root, now=time.time() + 4 * 24 * 3600)
+    assert len(removed) == 1
+    with pytest.raises(FileNotFoundError):
+        load_model(root, "r", "e")
+
+
+def test_write_table_tenancy_injection(spark, tmp_path):
+    from pdf_metadata_extraction_spark.sources.io import read_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, payload string")
+    path = str(tmp_path / "t")
+    write_table(df, "labeled_data", path, mode="overwrite", tenancy=("r1", "e1"))
+    back = read_table(spark, "labeled_data", path)
+    rows = back.collect()
+    assert all(r["run_name"] == "r1" and r["extraction_name"] == "e1" for r in rows)
+    # tenancy partition columns exist on disk (pruning layout)
+    assert os.path.isdir(os.path.join(path, "run_name=r1", "extraction_name=e1"))
+
+
+def test_streaming_available_now_dispatch(spark, tmp_path):
+    from pdf_metadata_extraction_spark.streaming.tasks import run_dispatch, task_stream
+
+    task_dir = tmp_path / "tasks"
+    task_dir.mkdir()
+    (task_dir / "batch1.jsonl").write_text(
+        '{"tenant":"t","task":"create_model","params":{"id":"a"}}\n'
+        "garbage line\n"
+        '{"tenant":"t","task":"suggestions","params":{"id":"b"}}\n'
+    )
+    seen = []
+    q = run_dispatch(
+        task_stream(spark, str(task_dir)),
+        handler=lambda rows, epoch: seen.extend(rows),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        once=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(r["params"]["id"] for r in seen) == ["a", "b"]
+    # resume semantics: second availableNow run sees nothing new
+    seen2 = []
+    q2 = run_dispatch(
+        task_stream(spark, str(task_dir)),
+        handler=lambda rows, epoch: seen2.extend(rows),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        once=True,
+    )
+    q2.awaitTermination(120)
+    assert seen2 == []
