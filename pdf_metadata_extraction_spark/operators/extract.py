@@ -165,11 +165,84 @@ class _BlockExtractor(HTMLParser):
             self._buf.append(data)
 
 
-def parse_html_blocks(data: bytes) -> list[tuple[str, str]]:
+def parse_html_blocks_slow(data: bytes) -> list[tuple[str, str]]:
     parser = _BlockExtractor()
     parser.feed(data.decode("utf-8", errors="replace"))
     parser._flush()
     return parser.blocks
+
+
+# fast path: regex scan instead of the (pure-python, ~5× slower) stdlib
+# HTMLParser. Semantics are identical for well-formed HTML — pinned by a
+# differential test over the whole synthetic corpus; inputs the fast
+# path can't prove safe (unbalanced strip-subtrees, exotic markup) fall
+# back to the stdlib parser.
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_DECL_RE = re.compile(r"<![^>]*>")
+_STRIP_SUBTREE_RE = re.compile(
+    r"<(script|style|nav|header|footer|aside|noscript|template|head|title)\b"
+    r"[^>]*>.*?</\1\s*>",
+    re.DOTALL | re.IGNORECASE,
+)
+_ANY_STRIP_TAG_RE = re.compile(
+    r"</?(?:script|style|nav|header|footer|aside|noscript|template|head|title)\b",
+    re.IGNORECASE,
+)
+_TAG_TOKEN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\s[^>]*)?/?>")
+_NON_FLUSH_TAGS = ("br", "body", "ul", "ol", "table", "tr")
+
+
+def parse_html_blocks_fast(text: str) -> list[tuple[str, str]] | None:
+    """Regex block extractor. Returns None when the input can't be
+    handled safely (caller falls back to the stdlib parser)."""
+    text = _COMMENT_RE.sub("", text)
+    text = _DECL_RE.sub("", text)  # <!doctype ...> and other declarations
+    # peel strip-subtrees (loop handles nesting, e.g. <nav> inside <header>)
+    for _ in range(6):
+        stripped = _STRIP_SUBTREE_RE.sub("", text)
+        if stripped == text:
+            break
+        text = stripped
+    if _ANY_STRIP_TAG_RE.search(text):
+        return None  # unbalanced strip-subtree → stdlib parser decides
+    blocks: list[tuple[str, str]] = []
+    buf: list[str] = []
+    cur = "p"
+
+    def flush() -> None:
+        nonlocal buf
+        if buf:
+            txt = normalize_ws(_htmllib.unescape("".join(buf)))
+            if txt:
+                blocks.append((cur, txt))
+            buf = []
+
+    pos = 0
+    for m in _TAG_TOKEN_RE.finditer(text):
+        chunk = text[pos:m.start()]
+        if chunk:
+            buf.append(chunk)
+        pos = m.end()
+        closing, tag = m.group(1), m.group(2).lower()
+        if tag in _BLOCK_TAGS:
+            flush()
+            if not closing and tag not in _NON_FLUSH_TAGS:
+                cur = tag
+            elif closing:
+                cur = "p"
+    tail = text[pos:]
+    if tail:
+        buf.append(tail)
+    flush()
+    return blocks
+
+
+def parse_html_blocks(data: bytes) -> list[tuple[str, str]]:
+    text = data.decode("utf-8", errors="replace")
+    fast = parse_html_blocks_fast(text)
+    if fast is not None:
+        return fast
+    return parse_html_blocks_slow(data)
 
 
 def html_blocks_to_tokens(blocks: list[tuple[str, str]]) -> list[dict]:

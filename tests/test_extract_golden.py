@@ -79,3 +79,19 @@ def test_fixture_docs_carry_reference_content():
     assert "Original: English " in un_texts
     lorem = [t["text"] for p in docs["lorem_en"] for t in p["tokens"]]
     assert "● FORMULA" in lorem
+
+
+def test_fast_slow_html_paths_agree():
+    """Differential: the regex fast path must equal the stdlib-parser slow
+    path on the whole synthetic corpus (and fall back when unsure)."""
+    from pdf_metadata_extraction_spark.operators.extract import (
+        parse_html_blocks, parse_html_blocks_fast, parse_html_blocks_slow,
+    )
+
+    for i in range(6, 506):
+        h = row_for_doc(i)["html"]
+        assert parse_html_blocks_fast(h.decode()) == parse_html_blocks_slow(h), i
+    # unclosed <head> → fast path declines, slow path recovers at <body>
+    bad = b"<html><head><title>x</title><body><p>hello</p></body></html>"
+    assert parse_html_blocks_fast(bad.decode()) is None
+    assert parse_html_blocks(bad) == [("p", "hello")]
