@@ -140,6 +140,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shingles,
     )
 
+    # ------------------------------------------------ A3 language stats
+    def a3_language_stats(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
+        )
+
+    # ------------------------------------------------ X5 JSON extract
+    def x5_json_extract(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+
     # ------------------------------------------------ F1 tenancy filter
     def f1_tenancy_filter(spark, sf_dir):
         return (
@@ -422,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "f1_tenancy_filter": f1_tenancy_filter,
+        "a3_language_stats": a3_language_stats,
+        "x5_json_extract": x5_json_extract,
         "f5_box_scaling": f5_box_scaling,
         "a1_frequent_words": a1_frequent_words,
         "a2_method_argmax": a2_method_argmax,
@@ -526,6 +545,15 @@ def oracle_sql() -> dict[str, str]:
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
 """
     return {
+        "a3_language_stats": (
+            "SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, "
+            "array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs "
+            "FROM documents GROUP BY source"
+        ),
+        "x5_json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
         "f1_tenancy_filter": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE lang = 'en' AND source = 'src1'"

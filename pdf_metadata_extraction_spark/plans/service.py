@@ -1,0 +1,85 @@
+"""Task dispatch — the reference's queue-processor flow as one driver
+function (SURVEY.md §3.1/§3.2; MetadataExtractorQueueProcessor at
+/root/reference/src/drivers/queues_processor/
+MetadataExtractorQueueProcessor.py:116-209).
+
+``handle_task`` consumes one validated task message and returns the
+ResultsMessage-shaped dict the reference emits
+(src/domain/ResultsMessage.py:8-17):
+
+- ``create_model``  → train, save model, success (error_message "")
+- ``suggestions``   → load model (missing → pinned "Extractor job not
+  found"), predict, append triples to the suggestions table,
+  data_url → the suggestions location
+- anything else     → rejected upstream by streaming.tasks.parse_tasks (F4)
+
+This is deliberately a thin driver-side loop: all data-plane work stays
+in plans/pipeline.py DataFrames. Wire it to streaming.tasks.run_dispatch
+for the queue-fed deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_metadata_extraction_spark.operators.methods import NO_VALID_RESULTS
+from pdf_metadata_extraction_spark.plans import model_store
+from pdf_metadata_extraction_spark.plans.pipeline import (
+    predict_extraction,
+    train_extraction,
+)
+
+
+def handle_task(
+    spark: SparkSession,
+    task: dict,
+    labels: DataFrame,
+    requests: DataFrame,
+    pages: DataFrame | None,
+    model_root: str,
+    suggestions_dir: str,
+    options_by_id: dict[str, list[tuple[str, str]]] | None = None,
+) -> dict:
+    """One task → ResultsMessage dict {tenant, task, params, success,
+    error_message, data_url}."""
+    tenant = task["tenant"]
+    kind = task["task"]
+    params = task.get("params") or {}
+    extraction_id = params.get("id")
+    base = {
+        "tenant": tenant,
+        "task": kind,
+        "params": params,
+        "success": True,
+        "error_message": "",
+        "data_url": None,
+    }
+    try:
+        if kind == "create_model":
+            options = (options_by_id or {}).get(extraction_id) or None
+            model = train_extraction(
+                spark, labels, pages=pages,
+                options=options,
+                multi_value=bool(params.get("multi_value")),
+                run_name=tenant, extraction_name=extraction_id,
+            )
+            model_store.save_model(model_root, model)
+            return base
+        if kind == "suggestions":
+            model = model_store.load_model(model_root, tenant, extraction_id)
+            triples = predict_extraction(spark, model, requests, pages=pages)
+            out = os.path.join(suggestions_dir, tenant, extraction_id)
+            triples.write.mode("overwrite").parquet(out)
+            base["data_url"] = out
+            return base
+        raise ValueError(f"unknown task {kind}")
+    except FileNotFoundError:
+        return {**base, "success": False,
+                "error_message": model_store.MODEL_NOT_FOUND}
+    except ValueError as e:
+        msg = str(e)
+        if msg != NO_VALID_RESULTS:
+            raise
+        return {**base, "success": False, "error_message": msg}
