@@ -50,6 +50,8 @@ def load_model(root: str, run_name: str, extraction_name: str) -> ExtractionMode
     with open(path) as fh:
         data = json.load(fh)
     data["options"] = [tuple(o) for o in data.get("options", [])]
+    if data.get("page_stats") is not None:
+        data["page_stats"] = tuple(data["page_stats"])
     return ExtractionModel(**data)
 
 

@@ -65,14 +65,23 @@ class ExtractionModel:
     method_state: dict = field(default_factory=dict)
     selector_state: dict = field(default_factory=dict)
     vocab: list[str] = field(default_factory=list)
+    # F2: learned (lo, hi) label-page window, applied pre-segmentation at
+    # prediction (None → no pruning)
+    page_stats: tuple[int, int] | None = None
 
 
 # ------------------------------------------------------------ fused stage
-def segments_from_pages(pages_with_boxes: DataFrame) -> DataFrame:
+def segments_from_pages(
+    pages_with_boxes: DataFrame, page_range: tuple[int, int] | None = None
+) -> DataFrame:
     """(url, html, xml_segments_boxes?, label_segments_boxes?) → segments.
 
     One fused Arrow stage: tokenize + segment per document. Label boxes
     are expected already ×0.75-ingested (boxes.scale_down_labels).
+
+    ``page_range``: F2 valid-pages filter — tokens outside the learned
+    (lo, hi) page window are dropped *before* segmentation (the
+    reference prunes pages before parse, SampleProcessorUseCase.py:28,51).
     """
     cols = ["url", "html"]
     has_seg = "xml_segments_boxes" in pages_with_boxes.columns
@@ -93,6 +102,11 @@ def segments_from_pages(pages_with_boxes: DataFrame) -> DataFrame:
             for i in range(len(pdf)):
                 data = htmls[i]
                 toks = tokenize_bytes(bytes(data) if data is not None else None)
+                if page_range is not None:
+                    toks = [
+                        t for t in toks
+                        if page_range[0] <= t["page"] <= page_range[1]
+                    ]
                 raw_sb = sbs[i] if sbs is not None else None
                 raw_lb = lbs[i] if lbs is not None else None
                 sb = [dict(b) for b in raw_sb] if raw_sb is not None else []
@@ -196,6 +210,10 @@ def train_extraction(
     vocab = frequent_words(labels.where(F.col("label_text").isNotNull()), "label_text")
     model.vocab = vocab
     model.selector_state = train_selector(segs, vocab)
+    # F2: learn the label-page window for prediction-time pruning
+    from pdf_metadata_extraction_spark.operators.pages_filter import page_range_stats
+
+    model.page_stats = page_range_stats(labels)
 
     # method pairs: (label segment text, label_text) per labeled doc
     label_segs = (
@@ -250,7 +268,10 @@ def predict_extraction(
         "url", "run_name", "extraction_name", "entity_name", "xml_segments_boxes"
     )
     pages_boxed = pages.select("url", "html").join(F.broadcast(req_cols), "url", "inner")
-    segs = segments_from_pages(pages_boxed.select("url", "html", "xml_segments_boxes"))
+    segs = segments_from_pages(
+        pages_boxed.select("url", "html", "xml_segments_boxes"),
+        page_range=model.page_stats,
+    )
     segs = segs.join(
         F.broadcast(req_cols.select("url", "run_name", "extraction_name", "entity_name")),
         "url",

@@ -71,3 +71,50 @@ def test_entry_smoke(spark):
     rows = edges.collect()
     assert len(rows) >= 0
     assert set(edges.columns) == {"subj", "pred", "obj", "provenance_url", "segment_text"}
+
+
+def test_pipeline_determinism_across_parallelism(spark):
+    """Whole-pipeline analogue of the extract determinism test: edges are
+    identical whether the input has 1 partition or 16."""
+    import __spark_entry__  # noqa: F401  (reuse the entity labels)
+    from pdf_metadata_extraction_spark.operators.linking import link_options
+    from pdf_metadata_extraction_spark.operators.triples import triples_to_edges
+    from pdf_metadata_extraction_spark.plans.pipeline import segments_from_pages
+
+    def edges_at(partitions):
+        pages = generate_pages(spark, 60, partitions=partitions).select("url", "html")
+        segs = segments_from_pages(pages).withColumn(
+            "extraction_name", F.lit("mentions")
+        )
+        options = spark.createDataFrame(
+            [("mentions", "1", "united nations", True), ("mentions", "2", "assembly", True)],
+            "extraction_name string, option_id string, label string, multi_value boolean",
+        )
+        linked = link_options(segs, options).where(F.size("values") > 0)
+        out = triples_to_edges(
+            linked.select(
+                F.lit("d").alias("run_name"), "extraction_name", "url",
+                F.col("url").alias("entity_name"),
+                F.lit(None).cast("string").alias("text"), "values",
+                F.col("text").alias("segment_text"),
+                F.col("page").alias("page_number"),
+                F.col("boxes").alias("segments_boxes"),
+            )
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert edges_at(1) == edges_at(16)
+
+
+def test_f2_page_pruning_in_predict(spark):
+    """A model trained with labels on page 1 prunes page-2 tokens at
+    prediction (F2 wired into the fused stage)."""
+    from pdf_metadata_extraction_spark.plans.pipeline import segments_from_pages
+
+    pages = generate_pages(spark, 6, partitions=2).select("url", "html")
+    un = pages.where(F.col("url").contains("un_note"))
+    all_pages = {r["page"] for r in segments_from_pages(un).collect()}
+    assert all_pages == {1, 2}
+    pruned = {r["page"] for r in
+              segments_from_pages(un, page_range=(1, 1)).collect()}
+    assert pruned == {1}
