@@ -34,8 +34,16 @@ def main() -> None:
     from pdf_metadata_extraction_spark.session import get_spark
     from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf={
+            # synthetic corpora are many small files: cap scan-partition
+            # size so the scan yields ≥ cores tasks (defaults bin-pack
+            # 64 × ~1 MB files into ~2 partitions)
+            "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     q_entries = entrymod.queries()
 
@@ -93,7 +101,9 @@ def main() -> None:
     extras["pages_per_sec"] = round(N_PAGES / timings["kg_pipeline"], 1)
     extras["pages_per_sec_warm"] = round(N_PAGES / timings["kg_pipeline_warm"], 1)
 
-    # ---- representative operator queries at SF_DIR
+    # ---- representative operator queries at SF_DIR (warm measurement:
+    # one untimed warmup pass absorbs python-pool/JIT/GC noise so
+    # round-over-round BENCH comparisons track real regressions)
     def run_query(name: str):
         return lambda: q_entries[name](spark, SF_DIR).count()
 
@@ -103,7 +113,9 @@ def main() -> None:
         "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
         "kg_mention_triples", "dedup_exact",
     ]:
-        timed(name, run_query(name))
+        fn = run_query(name)
+        fn()
+        timed(name, fn)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
