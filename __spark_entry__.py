@@ -86,10 +86,9 @@ def entry(spark: SparkSession) -> DataFrame:
     dictionary entity-link → (subj, pred, obj) edges."""
     import pandas as pd
 
-    from pdf_metadata_extraction_spark.operators.extract import extract_tokens
     from pdf_metadata_extraction_spark.operators.linking import link_options
-    from pdf_metadata_extraction_spark.operators.segment import segment_tokens
     from pdf_metadata_extraction_spark.operators.triples import triples_to_edges
+    from pdf_metadata_extraction_spark.plans.pipeline import segments_from_pages
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
 
@@ -108,7 +107,7 @@ def entry(spark: SparkSession) -> DataFrame:
             )
 
     pages = docs.mapInPandas(to_pages, schema="url string, html binary")
-    segs = segment_tokens(extract_tokens(pages)).withColumn(
+    segs = segments_from_pages(pages).withColumn(
         "extraction_name", F.lit("mentions")
     )
     options = spark.createDataFrame(

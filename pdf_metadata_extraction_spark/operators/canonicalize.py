@@ -100,59 +100,71 @@ def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, perms: int = DEFAUL
 
 def connected_components(
     edges: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 30,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Min-label propagation to fixpoint → (id, component).
+    """Alternating large-star / small-star → (id, component).
 
-    Iterative join+min (no GraphFrames dependency). Deterministic:
-    component id = min member id (string order). Each round persists and
-    localCheckpoints to cut lineage (SURVEY.md §7.3 #3 — at 10¹² edges
-    replace localCheckpoint with reliable checkpoint to object store).
+    The Kiveris et al. (MapReduce CC) algorithm: converges in
+    O(log² n) rounds even on long chains — unlike plain min-label
+    propagation, whose round count is the graph diameter (SURVEY.md
+    §7.3 #3). Deterministic: component id = min member id.
+
+    Each round the edge set is rewritten:
+    - **large-star**: for every node, connect all *strictly larger*
+      neighbors to the minimum of (node ∪ neighbors);
+    - **small-star**: for every node, connect all neighbors ≤ node to
+      that minimum.
+    Fixpoint = edge set stable; components are then the (node → min
+    neighbor) pairs. Every round is two shuffles (groupBy both
+    directions); ``localCheckpoint`` cuts the otherwise-exponential
+    lineage (swap for reliable checkpoint on a real cluster).
     """
-    spark = edges.sparkSession
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select("src").union(sym.select(F.col("dst").alias("src")))
-        .distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("component"))
-        .persist()
-    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods over both directions
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = F.array_min(F.concat(F.array(F.col("u")), F.col("nbrs")))
+        if large:
+            targets = F.filter(F.col("nbrs"), lambda x: x > F.col("u"))
+        else:
+            targets = F.filter(F.col("nbrs"), lambda x: x <= F.col("u"))
+        out = grouped.select(
+            F.explode(F.array_union(targets, F.array(F.col("u")))).alias("u"),
+            m.alias("v"),
+        ).where(F.col("u") != F.col("v"))
+        return out.distinct()
+
+    prev_hash = None
     for _ in range(max_iter):
-        # neighbor-min pass: candidate = min(component of self, components of neighbors)
-        nbr = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels.persist()
-        if changed == 0:
+        e2 = _star(e, large=True)
+        e2 = _star(e2, large=False).localCheckpoint(eager=True)
+        # convergence: stable edge-set fingerprint (order-insensitive)
+        h = e2.select(
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"), F.count("*").alias("n")
+        ).collect()[0]
+        cur_hash = (h["h"], h["n"])
+        e.unpersist()
+        e = e2.persist()
+        if cur_hash == prev_hash:
             break
-    sym.unpersist()
-    return labels
+        prev_hash = cur_hash
+
+    # at fixpoint every node points at its component min
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    comp = sym.groupBy("u").agg(F.min("v").alias("m")).select(
+        F.col("u").alias("id"),
+        F.least("u", "m").alias("component"),
+    )
+    e.unpersist()
+    return comp
 
 
 def canonicalize(

@@ -155,3 +155,13 @@ def test_task_stream_validation(spark, tmp_path):
     )
     out = parse_tasks(raw).collect()
     assert sorted(r["params"]["id"] for r in out) == ["x", "z"]
+
+
+def test_connected_components_long_chain(spark):
+    """Large/small-star converges on a long chain (diameter ≫ rounds) —
+    plain min-propagation would need diameter rounds (SURVEY §7.3 #3)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(comp[i] == 0 for i in range(61))
