@@ -41,6 +41,7 @@ def handle_task(
     model_root: str,
     suggestions_dir: str,
     options_by_id: dict[str, list[tuple[str, str]]] | None = None,
+    xml_data: DataFrame | None = None,
 ) -> dict:
     """One task → ResultsMessage dict {tenant, task, params, success,
     error_message, data_url}."""
@@ -72,6 +73,18 @@ def handle_task(
             triples = predict_extraction(spark, model, requests, pages=pages)
             out = os.path.join(suggestions_dir, tenant, extraction_id)
             triples.write.mode("overwrite").parquet(out)
+            base["data_url"] = out
+            return base
+        if kind == "extract_paragraphs":
+            from pdf_metadata_extraction_spark.plans.paragraphs import (
+                extract_paragraphs,
+            )
+
+            assert pages is not None and xml_data is not None
+            out = os.path.join(suggestions_dir, "paragraphs", extraction_id or tenant)
+            extract_paragraphs(spark, pages, xml_data).write.mode(
+                "overwrite"
+            ).parquet(out)
             base["data_url"] = out
             return base
         raise ValueError(f"unknown task {kind}")

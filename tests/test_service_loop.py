@@ -60,3 +60,40 @@ def test_service_create_model_then_suggestions(spark, tmp_path):
                     labels.where(F.lit(False)), requests, None, model_root, sugg)
     assert r["success"] is False
     assert r["error_message"] == "No valid performance results to select the best model"
+
+
+def test_service_extract_paragraphs(spark, tmp_path):
+    from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
+
+    pages = generate_pages(spark, 6, partitions=2)
+    box_schema = (
+        "array<struct<left:double,top:double,width:double,height:double,"
+        "page_width:double,page_height:double,page_number:int,segment_type:string>>"
+    )
+    seg_boxes = [
+        dict(left=183.0, top=72.0, width=246.0, height=22.0, page_width=612.0,
+             page_height=792.0, page_number=1, segment_type="Page header"),
+        dict(left=72.0, top=151.0, width=463.0, height=96.0, page_width=612.0,
+             page_height=792.0, page_number=1, segment_type="Text"),
+        dict(left=72.0, top=290.0, width=43.0, height=12.0, page_width=612.0,
+             page_height=792.0, page_number=1, segment_type="Title"),
+        dict(left=90.0, top=318.0, width=76.0, height=95.0, page_width=612.0,
+             page_height=792.0, page_number=1, segment_type="List item"),
+    ]
+    xml_data = spark.createDataFrame(
+        [("https://fixtures.example.org/lorem_en", "key_1", "en", True, seg_boxes),
+         ("https://fixtures.example.org/lorem_fr", "key_1", "fr", False, seg_boxes)],
+        f"url string, key string, lang string, is_main boolean, xml_segments_boxes {box_schema}",
+    )
+    r = handle_task(
+        spark,
+        {"tenant": RUN, "task": "extract_paragraphs", "params": {"id": "key_1"}},
+        labels=None, requests=None, pages=pages,
+        model_root=str(tmp_path / "m"), suggestions_dir=str(tmp_path / "s"),
+        xml_data=xml_data,
+    )
+    assert r["success"] is True
+    out = spark.read.parquet(r["data_url"]).orderBy("position").collect()
+    assert [p["position"] for p in out] == [1, 2]
+    texts = {t["language"]: t["text"] for t in out[1]["translations"]}
+    assert texts["en"] == "● FORMULA ● FOOTNOTE ● LIST ● TABLE ● FIGURE ● TITLE ● TEXT"
