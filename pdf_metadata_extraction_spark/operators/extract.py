@@ -246,15 +246,27 @@ def parse_html_blocks(data: bytes) -> list[tuple[str, str]]:
 
 
 def html_blocks_to_tokens(blocks: list[tuple[str, str]]) -> list[dict]:
+    """DOM blocks → pseudo-positioned tokens.
+
+    Geometry encodes the segmentation intent: a paragraph-sized vertical
+    gap between blocks keeps each block its own segment; consecutive
+    ``li`` blocks sit close so the proximity clusterer merges a list
+    into one segment (the reference's pinned 7-LIST_ITEM-lines → one
+    paragraph behavior, test_end_to_end_paragraph_extractor.py:98-104).
+    """
     toks = []
+    top = 72.0
+    prev_tag = None
     for i, (tag, txt) in enumerate(blocks):
+        if i > 0:
+            top += _LINE_H if (prev_tag == "li" and tag == "li") else 2 * _LINE_H
         toks.append(
             {
                 "page": 1,
                 "token_idx": i,
                 "text": txt,
                 "left": 72.0,
-                "top": 72.0 + i * _LINE_H,
+                "top": top,
                 "width": min(6.0 * len(txt), _PAGE_W - 144.0),
                 "height": _LINE_H * 0.6,
                 "font_id": tag,
@@ -262,6 +274,7 @@ def html_blocks_to_tokens(blocks: list[tuple[str, str]]) -> list[dict]:
                 "bold": tag in _TITLE_TAGS,
             }
         )
+        prev_tag = tag
     return toks
 
 

@@ -66,6 +66,12 @@ def run_kg_pipeline(
     )
     edges = lw.checkpoint_stage("edges", edges)
 
+    # canonical edge set: distinct (subj, pred, obj) — provenance rows stay
+    # in the `edges` stage; this is the graph-facing table (SURVEY §2.6)
+    edges_dedup = lw.checkpoint_stage(
+        "edges_dedup", edges.dropDuplicates(["subj", "pred", "obj"])
+    )
+
     # canonicalize object surface forms (obj strings) → nodes table
     surface = edges.select(F.col("obj").alias("id")).distinct().withColumn(
         "text", F.col("id")
@@ -78,4 +84,5 @@ def run_kg_pipeline(
 
     lw.record("pipeline_total", input_rows=-1, output_rows=edges.count(),
               wall_ms=int((time.monotonic() - t0) * 1000))
-    return {"segments": segs, "linked": linked, "edges": edges, "nodes": nodes}
+    return {"segments": segs, "linked": linked, "edges": edges,
+            "edges_dedup": edges_dedup, "nodes": nodes}
