@@ -1,0 +1,67 @@
+"""applyInPandasWithState crawl sessionization — driven end-to-end with
+an availableNow file-source stream (state survives across micro-batches)."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("fingerprint", T.StringType()),
+    ]
+)
+
+
+def test_crawl_sessions_stateful(spark, tmp_path):
+    from pdf_metadata_extraction_spark.streaming.stateful import crawl_sessions
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    rows = [
+        # domain a: two bursts separated by > 30 min → 2 sessions
+        {"domain": "a", "ts": "2021-01-01T00:00:00", "fingerprint": "f1"},
+        {"domain": "a", "ts": "2021-01-01T00:05:00", "fingerprint": "f2"},
+        {"domain": "a", "ts": "2021-01-01T00:06:00", "fingerprint": "f1"},  # dup doc
+        {"domain": "a", "ts": "2021-01-01T02:00:00", "fingerprint": "f3"},
+        # domain b: single burst
+        {"domain": "b", "ts": "2021-01-01T00:00:00", "fingerprint": "g1"},
+    ]
+    (feed_dir / "part1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema(FEED_SCHEMA).json(str(feed_dir))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        crawl_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir).collect()
+    by_key = {(r["domain"], r["session_id"]): r for r in got}
+    s0 = by_key[("a", 0)]
+    assert s0["n_pages"] == 3 and s0["n_distinct_docs"] == 2 and s0["closed"]
+    s1 = by_key[("a", 1)]
+    assert s1["n_pages"] == 1 and not s1["closed"]
+    assert by_key[("b", 0)]["n_pages"] == 1
+
+
+def test_pages_to_crawl_feed_shape(spark):
+    from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
+    from pdf_metadata_extraction_spark.streaming.stateful import pages_to_crawl_feed
+
+    feed = pages_to_crawl_feed(generate_pages(spark, 12, partitions=2))
+    rows = feed.collect()
+    assert len(rows) == 12
+    assert all(r["domain"] and r["fingerprint"] for r in rows)
+    assert feed.schema.simpleString() == (
+        "struct<domain:string,ts:timestamp,fingerprint:string>"
+    )
