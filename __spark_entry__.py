@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------- helpers
 
 _ENTITY_LABELS = ["spark", "united nations", "window", "merge", "customer"]
+# flagship/bench dictionary over the synthetic pages corpus: matching is
+# case-sensitive (reference parity), so both casings appear; option id =
+# label surface so the nodes table canonicalizes real surface forms
+# (the case variants merge under MinHash/LSH + connected components)
+FLAGSHIP_LABELS = [
+    "United Nations", "General Assembly", "Security Council",
+    "European Union", "World Bank", "Unesco",
+    "united nations", "general assembly", "security council",
+]
 _LANGS = ["en", "fr", "es", "de", "pt"]
 _MARKERS = {
     "en": [" the ", " and ", " of ", " is ", " that "],
@@ -111,7 +120,7 @@ def entry(spark: SparkSession) -> DataFrame:
         "extraction_name", F.lit("mentions")
     )
     options = spark.createDataFrame(
-        [("mentions", str(i), lab, True) for i, lab in enumerate(_ENTITY_LABELS)],
+        [("mentions", lab, lab, True) for lab in FLAGSHIP_LABELS],
         "extraction_name string, option_id string, label string, multi_value boolean",
     )
     linked = link_options(segs, options).where(F.size("values") > 0)
@@ -360,6 +369,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
 
+    # ------------------------------------------------ similarity: IVF ANN
+    def ivf_ann_topk(spark, sf_dir):
+        """IVF at full probe == brute force => shares the exact-cosine
+        oracle; production uses nprobe << n_clusters."""
+        emb = _t(spark, sf_dir, "embeddings")
+        out = similarity.ivf_topk(
+            emb, emb.where("vec_id < 5"), k=3, n_clusters=8, nprobe=8
+        )
+        return out.select(
+            "query_id", "match_id", F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     # ------------------------------------------------ similarity: near-dup
     def embedding_near_dup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
@@ -459,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "canonical_components": canonical_components,
         "cosine_topk": cosine_topk,
+        "ivf_ann_topk": ivf_ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
@@ -543,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
   SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
 """
-    return {
+    out = {
         "a3_language_stats": (
             "SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, "
             "array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs "
@@ -756,3 +779,6 @@ FROM documents
         # lsh_ann_topk: intentionally no oracle (approximate by design) —
         # driver records the weaker rows-only check.
     }
+    # IVF at nprobe == n_clusters is exactly brute force → same oracle
+    out["ivf_ann_topk"] = out["cosine_topk"]
+    return out

@@ -76,8 +76,7 @@ def main() -> None:
             "extraction_name", F.lit("mentions")
         )
         options = spark.createDataFrame(
-            [("mentions", str(i), lab, True)
-             for i, lab in enumerate(entrymod._ENTITY_LABELS)],
+            [("mentions", lab, lab, True) for lab in entrymod.FLAGSHIP_LABELS],
             "extraction_name string, option_id string, label string, multi_value boolean",
         )
         linked = link_options(segs, options).where(F.size("values") > 0)
@@ -100,6 +99,23 @@ def main() -> None:
     extras["kg_pages"] = N_PAGES
     extras["pages_per_sec"] = round(N_PAGES / timings["kg_pipeline"], 1)
     extras["pages_per_sec_warm"] = round(N_PAGES / timings["kg_pipeline_warm"], 1)
+
+    # ---- per-stage wall times from the pipeline's own lineage table
+    # (BASELINE.md protocol: regressions must be attributable to a stage)
+    import shutil
+
+    from pdf_metadata_extraction_spark.plans.kg_run import run_kg_pipeline
+
+    work_dir = os.path.join(tempfile.gettempdir(), "bench_kg_run")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    options_df = spark.createDataFrame(
+        [("mentions", lab, lab, True) for lab in entrymod.FLAGSHIP_LABELS],
+        "extraction_name string, option_id string, label string, multi_value boolean",
+    )
+    run_kg_pipeline(spark, pages, options_df, work_dir, run_id="bench")
+    lineage = spark.read.parquet(os.path.join(work_dir, "lineage")).collect()
+    extras["stage_wall_ms"] = {r["stage"]: r["wall_ms"] for r in lineage}
+    extras["stage_rows"] = {r["stage"]: r["output_rows"] for r in lineage}
 
     # ---- representative operator queries at SF_DIR (warm measurement:
     # one untimed warmup pass absorbs python-pool/JIT/GC noise so

@@ -118,6 +118,118 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(vectors: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means on the driver (coarse quantizer for
+    IVF). Init = evenly spaced rows of the input (caller passes a
+    deterministically ordered sample); empty clusters keep their
+    previous centroid."""
+    n = len(vectors)
+    idx = np.linspace(0, n - 1, num=min(k, n), dtype=np.int64)
+    cents = vectors[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = vectors @ cents.T  # cosine-ish assignment on normalized input
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            members = vectors[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
+               nprobe: int = 1) -> DataFrame:
+    """Add cluster assignment(s): one row per (row, probed cluster).
+
+    ``nprobe=1`` for the corpus (each vector lives in one inverted
+    list); queries probe several nearby lists. Vectorized numpy matmul
+    inside one Arrow batch — no per-row python.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf[cols].copy()
+                out["cluster"] = pd.Series([], dtype="int32")
+                yield out
+                continue
+            m = _normalize_rows(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            sims = m @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            frames = []
+            for p in range(order.shape[1]):
+                out = pdf[cols].copy()
+                out["cluster"] = order[:, p].astype("int32")
+                frames.append(out)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_clusters: int = 16, nprobe: int = 2, train_sample: int = 2048,
+) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer → inverted lists → probe the
+    query's ``nprobe`` nearest lists → exact cosine rerank.
+
+    With ``nprobe == n_clusters`` this equals brute force exactly (the
+    correctness anchor tested); smaller nprobe trades recall for a
+    1/n_clusters-scale candidate set. At 10¹² rows the corpus is
+    written partitioned by ``cluster`` so a query probes only its
+    lists' partitions (partition pruning on the inverted index).
+    """
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    )
+    vectors = _normalize_rows(
+        np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    )
+    cents = kmeans_centroids(vectors, n_clusters)
+
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", cents, nprobe=1,
+    )
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", cents, nprobe=nprobe,
+    )
+    scored = c.join(F.broadcast(q), "cluster").where(
+        F.col("match_id") != F.col("query_id")
+    ).select(
+        "query_id", "match_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    ).dropDuplicates(["query_id", "match_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame, min_sim: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -165,3 +165,21 @@ def test_connected_components_long_chain(spark):
     )
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert all(comp[i] == 0 for i in range(61))
+
+
+def test_ivf_topk_equals_bruteforce_at_full_probe(spark):
+    """IVF with nprobe == n_clusters is exactly brute force (correctness
+    anchor); with nprobe=1 results are a valid ranked subset."""
+    import random
+    random.seed(11)
+    rows = [(i, [random.random() - 0.5 for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = df.where("vec_id < 4")
+    brute = {(r["query_id"], r["rank"]): r["match_id"] for r in
+             similarity.cosine_topk(df, queries, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["match_id"] for r in
+            similarity.ivf_topk(df, queries, k=3, n_clusters=4, nprobe=4).collect()}
+    assert brute == full
+    probe1 = similarity.ivf_topk(df, queries, k=3, n_clusters=4, nprobe=1).toPandas()
+    assert (probe1["rank"] <= 3).all()
+    assert set(probe1["query_id"]) <= {0, 1, 2, 3}

@@ -36,9 +36,13 @@ def main() -> None:
 
     pages = spark.read.parquet(pages_dir).select("url", "html")
     n_pages = pages.count()
+    labels = [
+        "United Nations", "General Assembly", "Security Council",
+        "European Union", "World Bank", "Unesco",
+        "united nations", "general assembly", "security council",
+    ]
     options = spark.createDataFrame(
-        [("mentions", str(i), lab, True) for i, lab in enumerate(
-            ["spark", "united nations", "window", "merge", "customer"])],
+        [("mentions", lab, lab, True) for lab in labels],
         "extraction_name string, option_id string, label string, multi_value boolean",
     )
 
