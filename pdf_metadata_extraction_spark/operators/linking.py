@@ -22,8 +22,11 @@ the Arrow stage with the segment scan's partitioning (no shuffle).
 
 from __future__ import annotations
 
+import functools
 import re
 from collections.abc import Iterator
+
+_lru_cache_small = functools.lru_cache(maxsize=256)
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -52,30 +55,41 @@ def _word_pattern(label: str) -> re.Pattern:
     return re.compile(rf"(?<!\w){re.escape(label)}(?!\w)")
 
 
+@_lru_cache_small
+def _alternation(labels: tuple[str, ...]) -> re.Pattern:
+    """ONE precompiled alternation over the whole dictionary — a single
+    scan of the text replaces one regex pass per label (SURVEY §7.3 #6:
+    batched matching, no per-label loops in the hot path). Longer labels
+    first so they win at a shared start position."""
+    ordered = sorted((l for l in labels if l), key=lambda l: (-len(l), l))
+    body = "|".join(re.escape(l) for l in ordered)
+    return re.compile(rf"(?<!\w)(?:{body})(?!\w)")
+
+
 def match_options(text: str, options: list[tuple[str, str]], multi_value: bool) -> list[dict]:
     """Match option (id, label) pairs against one text.
 
     Returns Value dicts {id, label, segment_text} — segment_text is the
     per-value highlighted paragraph. Longer labels take precedence over
     shorter ones at overlapping spans (\"United Nations\" beats \"United\").
-    Deterministic: options scanned by (-len(label), option_id).
+    Deterministic: first (leftmost) occurrence per label; ties between
+    ids sharing a label broken by option_id order.
     """
-    if not text:
+    if not text or not options:
         return []
-    found: list[tuple[int, int, str, str]] = []  # (start, end, id, label)
-    taken: list[tuple[int, int]] = []
-    for oid, label in sorted(options, key=lambda o: (-len(o[1]), o[0])):
-        if not label:
-            continue
-        m = _word_pattern(label).search(text)
-        if not m:
-            continue
-        span = (m.start(), m.end())
-        if any(s < span[1] and span[0] < e for s, e in taken):
-            continue
-        taken.append(span)
-        found.append((m.start(), m.end(), oid, label))
-    found.sort()
+    ids_by_label: dict[str, str] = {}
+    for oid, label in sorted(options, key=lambda o: o[0]):
+        if label and label not in ids_by_label:
+            ids_by_label[label] = oid
+    pattern = _alternation(tuple(ids_by_label))
+    first_span: dict[str, tuple[int, int]] = {}
+    for m in pattern.finditer(text):
+        lab = m.group(0)
+        if lab not in first_span:
+            first_span[lab] = (m.start(), m.end())
+    found = sorted(
+        (s, e, ids_by_label[lab], lab) for lab, (s, e) in first_span.items()
+    )
     values = [
         {"id": oid, "label": label, "segment_text": highlight(text, s, e)}
         for s, e, oid, label in found
