@@ -23,8 +23,8 @@ import zipfile
 from datetime import datetime, timezone
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_MASTERS = ["local[2]", "local[8]", "local[32]"]
-HEADLINE = ("local[2]", "local[8]")  # N and 4N cores
+DEFAULT_MASTERS = ["local[1]", "local[4]", "local[8]", "local[32]"]
+HEADLINE = ("local[1]", "local[4]")  # N and 4N cores (unsaturated regime)
 
 
 def build_zip() -> str:
@@ -116,7 +116,7 @@ warm timing = best of runs 2-5 (python worker pools + JIT warm).
 
 | pair | (throughput₄ₙ / throughputₙ) / 4 | note |
 |---|---|---|
-| **{lo} → {hi} (N=2 → 4N=8)** | **{eff:.3f}** | **{"PASS" if eff >= 0.8 else "FAIL"}** |
+| **{lo} → {hi} (N=1 → 4N=4)** | **{eff:.3f}** | **{"PASS" if eff >= 0.8 else "FAIL"}** |
 {eff832}
 ## Single-box saturation control (why 8→32 flattens here)
 
@@ -142,7 +142,7 @@ Celery worker, concurrency 1). This engine sustains
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
     return {"pages_per_sec": {m: round(p, 1) for m, p in pps.items()},
-            "scaling_efficiency_2_8": round(eff, 3)}
+            "scaling_efficiency_n_4n": round(eff, 3)}
 
 
 def main() -> None:
