@@ -97,3 +97,34 @@ def test_service_extract_paragraphs(spark, tmp_path):
     assert [p["position"] for p in out] == [1, 2]
     texts = {t["language"]: t["text"] for t in out[1]["translations"]}
     assert texts["en"] == "● FORMULA ● FOOTNOTE ● LIST ● TABLE ● FIGURE ● TITLE ● TEXT"
+
+
+def test_tenancy_isolation(spark, tmp_path):
+    """Reference test_app.py:316-403: one tenant's model/data is invisible
+    to another (F1 tenancy filter everywhere)."""
+    labels = spark.createDataFrame(
+        [dict(run_name="tenant_a", extraction_name="x", url=None, language_iso="en",
+              label_text="1", values=None, source_text="Option 1",
+              entity_name="e", page_width=0.0, page_height=0.0,
+              xml_segments_boxes=[], label_segments_boxes=[])],
+        LABELS,
+    )
+    requests = spark.createDataFrame(
+        [dict(run_name="tenant_b", extraction_name="x", url=None, entity_name="e",
+              source_text="Option 2", page_width=0.0, page_height=0.0,
+              xml_segments_boxes=[])],
+        PREDICTION_REQUESTS,
+    )
+    root, sugg = str(tmp_path / "m"), str(tmp_path / "s")
+    r = handle_task(spark, {"tenant": "tenant_a", "task": "create_model",
+                            "params": {"id": "x"}}, labels, requests, None, root, sugg)
+    assert r["success"]
+    # tenant_b has no model — pinned not-found error
+    r = handle_task(spark, {"tenant": "tenant_b", "task": "suggestions",
+                            "params": {"id": "x"}}, labels, requests, None, root, sugg)
+    assert r["success"] is False and r["error_message"] == MODEL_NOT_FOUND
+    # tenant_a's prediction set is empty (requests belong to tenant_b)
+    r = handle_task(spark, {"tenant": "tenant_a", "task": "suggestions",
+                            "params": {"id": "x"}}, labels, requests, None, root, sugg)
+    assert r["success"] is True
+    assert spark.read.parquet(r["data_url"]).count() == 0
