@@ -30,6 +30,10 @@ FLAGSHIP_LABELS = [
     "United Nations", "General Assembly", "Security Council",
     "European Union", "World Bank", "Unesco",
     "united nations", "general assembly", "security council",
+    # corpus-vocabulary labels so the flagship over the synthetic
+    # documents table emits real edges (the documents text is built
+    # from a lowercase engine-word vocabulary)
+    "spark", "window", "customer", "merge",
 ]
 _LANGS = ["en", "fr", "es", "de", "pt"]
 _MARKERS = {
@@ -252,13 +256,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------------------------------------------ W4 sessionization
     def w4_sessionize(spark, sf_dir):
+        # whole-second gap on BOTH sides (unix_timestamp floors; the
+        # oracle floors epoch() too) and an explicit BIGINT result so
+        # the driver value-hash sees identical types
         e = _t(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
         return (
             e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
             .groupBy("user_id")
-            .agg(F.sum("new_s").alias("n_sessions"))
+            .agg(F.sum("new_s").cast("long").alias("n_sessions"))
         )
 
     # ------------------------------------------------ streaming-shaped agg
@@ -616,9 +623,10 @@ SELECT user_id, event_id, value FROM (
             "FROM documents"
         ),
         "w4_sessionize": """
-SELECT user_id, sum(new_s) AS n_sessions FROM (
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
-    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
     THEN 1 ELSE 0 END AS new_s
   FROM events

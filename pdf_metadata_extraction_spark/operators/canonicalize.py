@@ -128,19 +128,22 @@ def connected_components(
     )
 
     def _star(cur: DataFrame, large: bool) -> DataFrame:
-        # neighborhoods over both directions
+        # Rows stay narrow: instead of materializing each node's whole
+        # neighborhood with collect_set (one array of 10⁷⁺ ids for a hub
+        # node of a mega-component ⇒ executor OOM), compute the per-node
+        # min neighbor with a plain aggregate, then JOIN it back onto the
+        # symmetric edge list to emit (neighbor → min) pairs. Hot hub
+        # keys in the join are an AQE skew-join case, not an OOM.
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-        m = F.array_min(F.concat(F.array(F.col("u")), F.col("nbrs")))
-        if large:
-            targets = F.filter(F.col("nbrs"), lambda x: x > F.col("u"))
-        else:
-            targets = F.filter(F.col("nbrs"), lambda x: x <= F.col("u"))
-        out = grouped.select(
-            F.explode(F.array_union(targets, F.array(F.col("u")))).alias("u"),
-            m.alias("v"),
-        ).where(F.col("u") != F.col("v"))
-        return out.distinct()
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("u"), F.col("_mn")).alias("m")
+        )
+        joined = sym.join(mins, "u")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = joined.where(cond).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
 
     prev_hash = None
     for _ in range(max_iter):

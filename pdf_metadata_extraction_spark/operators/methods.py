@@ -203,7 +203,17 @@ def _common_suffix_of(strings: list[str]) -> str:
 
 # ------------------------------------------------------------ A2 argmax
 def select_best_method(pairs: list[tuple[str, str]]) -> tuple[str, dict, float]:
-    """Score every candidate method on the training pairs, argmax accuracy.
+    """Score every candidate method on HELD-OUT pairs, argmax accuracy.
+
+    Reference semantics: each method's performance is measured on samples
+    it was not trained on (/root/reference/src/use_cases/
+    GetPerformanceJobUseCase.py:43-54, distributed_flow.py:81-100) —
+    resubstitution would let a memorizing method (LookupMethod) always
+    score 1.0 and shadow generalizing methods. Training sets are tiny by
+    the reference's design, so we use leave-one-out: fit on pairs \\ {i},
+    predict pair i, accuracy = hits/n. A single pair can't be held out →
+    resubstitution for n == 1 (tie-breaks still favor earlier, simpler
+    methods). The returned state is fit on the FULL set.
 
     Deterministic tie-break: METHOD_ORDER position. Empty/invalid input →
     ValueError with the reference's exact pinned message.
@@ -214,10 +224,20 @@ def select_best_method(pairs: list[tuple[str, str]]) -> tuple[str, dict, float]:
         method = cls()
         if not pairs or not method.fit(pairs):
             continue
-        hits = sum(
-            1 for src, label in pairs
-            if (method.predict(src) or "") == normalize_ws(label)
-        )
+        hits = 0
+        if len(pairs) == 1:
+            src, label = pairs[0]
+            hits = int((method.predict(src) or "") == normalize_ws(label))
+        else:
+            for i, (src, label) in enumerate(pairs):
+                fold = cls()
+                train = pairs[:i] + pairs[i + 1:]
+                if not fold.fit(train):
+                    hits = -1  # method not applicable on some fold
+                    break
+                hits += int((fold.predict(src) or "") == normalize_ws(label))
+        if hits < 0:
+            continue
         acc = hits / len(pairs)
         results.append((acc, -rank, method))
     if not results:

@@ -167,6 +167,20 @@ def test_connected_components_long_chain(spark):
     assert all(comp[i] == 0 for i in range(61))
 
 
+def test_connected_components_mega_star(spark):
+    """One 100k-member star (hub node 0) — the mega-component shape of
+    near-dup graphs (boilerplate pages). The star rounds must keep rows
+    narrow: no node ever materializes its whole neighborhood in one row
+    (the round-1 collect_set formulation OOMs here at 10⁸⁺ scale)."""
+    n = 100_000
+    edges = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+    )
+    comp = connected_components(edges)
+    agg = comp.groupBy("component").count().collect()
+    assert len(agg) == 1 and agg[0]["component"] == 0 and agg[0]["count"] == n
+
+
 def test_ivf_topk_equals_bruteforce_at_full_probe(spark):
     """IVF with nprobe == n_clusters is exactly brute force (correctness
     anchor); with nprobe=1 results are a valid ranked subset."""

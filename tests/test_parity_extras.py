@@ -125,3 +125,30 @@ def test_streaming_available_now_dispatch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert seen2 == []
+
+
+def test_method_selection_is_held_out():
+    """A2 fidelity: the reference scores methods on samples distinct from
+    training (GetPerformanceJobUseCase.py:43-54) — a memorizing method
+    (LookupMethod) must NOT win on resubstitution accuracy. Under
+    leave-one-out, lookup scores 0 on unseen sources while affix
+    generalizes, so affix wins even though lookup memorizes the set."""
+    from pdf_metadata_extraction_spark.operators import methods as M
+
+    pairs = [("Code: A7", "A7"), ("Code: B9", "B9"), ("Code: C1", "C1")]
+    name, state, acc = M.select_best_method(pairs)
+    assert name == "affix"
+    assert state == {"prefix": "Code: ", "suffix": ""}
+    assert acc == 1.0
+
+    # memorizable-only pairs: no method generalizes; tie at 0 resolves to
+    # the earliest (simplest) method, never the memorizer
+    memo = [("alpha", "zz1"), ("beta", "zz2")]
+    name2, _state2, acc2 = M.select_best_method(memo)
+    assert acc2 == 0.0 and name2 != "lookup"
+
+    # single pair: no holdout possible → resubstitution, pinned error kept
+    name3, _s3, acc3 = M.select_best_method([("Option 1", "1")])
+    assert acc3 == 1.0 and name3 == "affix"
+    with pytest.raises(ValueError, match="No valid performance results"):
+        M.select_best_method([])
