@@ -35,6 +35,28 @@ FLAGSHIP_LABELS = [
     # from a lowercase engine-word vocabulary)
     "spark", "window", "customer", "merge",
 ]
+# fuzzy-tier dictionary: case variants, plural, multi-token adjacency,
+# and an accented form — none match the lowercase corpus exactly, all
+# must link through linking.py's fuzzy tier
+_FUZZY_LABELS = ["Spark", "WINDOW", "Customers", "hash scan", "mergé"]
+
+
+def _fuzzy_sql_pattern(label: str) -> str:
+    """RE2 pattern (DuckDB) mirroring linking.py's fuzzy tier exactly:
+    folded tokens, flexible [^0-9a-z]+ separators, s?-plural per token,
+    non-alnum boundaries (RE2 has no lookaround → anchor alternation)."""
+    import re as _re
+
+    from pdf_metadata_extraction_spark.operators.linking import (
+        fold_text,
+        fuzzy_token_body,
+    )
+
+    toks = _re.findall(r"[0-9a-z]+", fold_text(label))
+    body = r"[^0-9a-z]+".join(fuzzy_token_body(t) for t in toks)
+    return f"(^|[^0-9a-z])({body})($|[^0-9a-z])"
+
+
 _LANGS = ["en", "fr", "es", "de", "pt"]
 _MARKERS = {
     "en": [" the ", " and ", " of ", " is ", " that "],
@@ -292,6 +314,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_docs"))
         )
 
+    # ------------------------------------------------ J3 fuzzy dict link
+    def j3_fuzzy_match(spark, sf_dir):
+        """Fuzzy tier through the real operator: case/accent-folded,
+        plural-tolerant, flexible-separator whole-word linking."""
+        from pdf_metadata_extraction_spark.operators.linking import link_options
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.lit("fz").alias("extraction_name")
+        )
+        options = spark.createDataFrame(
+            [("fz", lab, lab, True) for lab in _FUZZY_LABELS],
+            "extraction_name string, option_id string, label string, multi_value boolean",
+        )
+        return (
+            link_options(d, options)
+            .select("doc_id", F.explode("values").alias("v"))
+            .groupBy(F.col("v.label").alias("label"))
+            .agg(F.count("*").alias("n_docs"))
+        )
+
     # ------------------------------------------------ KG mention triples
     def kg_mention_triples(spark, sf_dir):
         d = _docs_norm(_t(spark, sf_dir, "documents"))
@@ -479,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_sessionize": w4_sessionize,
         "hourly_event_agg": hourly_event_agg,
         "j3_dict_match": j3_dict_match,
+        "j3_fuzzy_match": j3_fuzzy_match,
         "kg_mention_triples": kg_mention_triples,
         "j4_zip_join": j4_zip_join,
         "dedup_exact": dedup_exact,
@@ -645,6 +688,13 @@ JOIN (VALUES {labels_values}) AS o(label)
   ON position(concat(' ', o.label, ' ') IN d._norm) > 0
 GROUP BY label
 """,
+        "j3_fuzzy_match": "SELECT label, n_docs FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{lab}' AS label, count(*) AS n_docs FROM documents "
+            f"WHERE regexp_matches(lower(strip_accents(text)), '{_fuzzy_sql_pattern(lab)}')"
+            for lab in _FUZZY_LABELS
+        )
+        + "\n) WHERE n_docs > 0",
         "kg_mention_triples": f"""
 SELECT doc_id AS subj, 'mentions' AS pred, label AS obj
 FROM (SELECT doc_id, concat(' ', lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS _norm

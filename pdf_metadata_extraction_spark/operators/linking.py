@@ -66,14 +66,81 @@ def _alternation(labels: tuple[str, ...]) -> re.Pattern:
     return re.compile(rf"(?<!\w)(?:{body})(?!\w)")
 
 
-def match_options(text: str, options: list[tuple[str, str]], multi_value: bool) -> list[dict]:
+# ------------------------------------------------------------ fuzzy tier
+# The reference's option matcher is "exact + fuzzy variants" (SURVEY §2.3
+# J3; behavior in the trainable-entity-extractor dep, pinned by
+# /root/reference/src/tests/test_end_to_end.py:267-292,370-397). The
+# sandbox has no rapidfuzz, so the fuzzy tier is pure-regex and mirrors
+# exactly into RE2 SQL (see __spark_entry__.fuzzy_sql_pattern):
+# case-fold + accent-fold, flexible [^0-9a-z]+ token separators
+# (punctuation/whitespace inside labels), and singular/plural tolerance
+# per token. One alternation scan per text — no per-label loops.
+
+@functools.lru_cache(maxsize=65536)
+def _fold_char(ch: str) -> str:
+    """Single folded char for one input char (length-preserving map)."""
+    import unicodedata
+
+    base = unicodedata.normalize("NFD", ch)[:1] or ch
+    low = base.lower()[:1]
+    return low or ch
+
+
+def fold_text(text: str) -> str:
+    """Length-preserving case+accent fold: every char maps to exactly one
+    folded char, so fuzzy-match spans index the ORIGINAL text directly
+    (the highlight markup wraps the original surface form)."""
+    return "".join(_fold_char(c) for c in text)
+
+
+def fuzzy_token_body(tok: str) -> str:
+    """Regex body for one folded label token: optional trailing 's' both
+    ways (label 'customers' matches text 'customer' and vice versa)."""
+    core = tok[:-1] if tok.endswith("s") and len(tok) >= 4 else tok
+    return re.escape(core) + "s?"
+
+
+def _fuzzy_body(label: str) -> str | None:
+    toks = re.findall(r"[0-9a-z]+", fold_text(label))
+    if not toks:
+        return None
+    return r"[^0-9a-z]+".join(fuzzy_token_body(t) for t in toks)
+
+
+@_lru_cache_small
+def _fuzzy_alternation(
+    labels: tuple[str, ...],
+) -> tuple[re.Pattern, dict[str, str]] | None:
+    """ONE alternation over folded labels with a named group per label so
+    the match resolves to its source label in the same pass."""
+    ordered = sorted((l for l in labels if l), key=lambda l: (-len(l), l))
+    parts, by_group = [], {}
+    for i, lab in enumerate(ordered):
+        body = _fuzzy_body(lab)
+        if body:
+            parts.append(f"(?P<g{i}>{body})")
+            by_group[f"g{i}"] = lab
+    if not parts:
+        return None
+    pat = re.compile(r"(?<![0-9a-z])(?:" + "|".join(parts) + r")(?![0-9a-z])")
+    return pat, by_group
+
+
+def match_options(
+    text: str,
+    options: list[tuple[str, str]],
+    multi_value: bool,
+    fuzzy: bool = True,
+) -> list[dict]:
     """Match option (id, label) pairs against one text.
 
     Returns Value dicts {id, label, segment_text} — segment_text is the
     per-value highlighted paragraph. Longer labels take precedence over
     shorter ones at overlapping spans (\"United Nations\" beats \"United\").
     Deterministic: first (leftmost) occurrence per label; ties between
-    ids sharing a label broken by option_id order.
+    ids sharing a label broken by option_id order. An exact (tier-1)
+    match always wins over a fuzzy (tier-2) match for the same label;
+    the fuzzy tier only links labels the exact scan missed.
     """
     if not text or not options:
         return []
@@ -87,6 +154,15 @@ def match_options(text: str, options: list[tuple[str, str]], multi_value: bool) 
         lab = m.group(0)
         if lab not in first_span:
             first_span[lab] = (m.start(), m.end())
+    if fuzzy and len(first_span) < len(ids_by_label):
+        fz = _fuzzy_alternation(tuple(ids_by_label))
+        if fz is not None:
+            fz_pat, by_group = fz
+            folded = fold_text(text)
+            for m in fz_pat.finditer(folded):
+                lab = by_group[m.lastgroup]
+                if lab not in first_span:
+                    first_span[lab] = (m.start(), m.end())
     found = sorted(
         (s, e, ids_by_label[lab], lab) for lab, (s, e) in first_span.items()
     )
@@ -96,7 +172,8 @@ def match_options(text: str, options: list[tuple[str, str]], multi_value: bool) 
     ]
     if not multi_value and len(values) > 1:
         # best single option = longest matched label, ties → first position
-        best = max(values, key=lambda v: (len(v["label"]), -text.find(v["label"])))
+        start_by_id = {oid: s for s, _e, oid, _lab in found}
+        best = max(values, key=lambda v: (len(v["label"]), -start_by_id[v["id"]]))
         values = [best]
     return values
 
@@ -105,6 +182,7 @@ def link_options(
     segments: DataFrame,
     options: DataFrame,
     text_col: str = "text",
+    fuzzy: bool = True,
 ) -> DataFrame:
     """segments(+extraction_name) ⋈ broadcast options → + values column.
 
@@ -150,7 +228,7 @@ def link_options(
             vals = []
             for name, text in zip(pdf["extraction_name"].values, pdf[text_col].values):
                 mv, opts = d.get(name, (True, []))
-                vals.append(match_options(text or "", opts, mv))
+                vals.append(match_options(text or "", opts, mv, fuzzy=fuzzy))
             pdf = pdf[cols].copy()
             pdf["values"] = vals
             yield pdf

@@ -152,3 +152,45 @@ def test_method_selection_is_held_out():
     assert acc3 == 1.0 and name3 == "affix"
     with pytest.raises(ValueError, match="No valid performance results"):
         M.select_best_method([])
+
+
+def test_fuzzy_dictionary_matching():
+    """J3 fuzzy tier (reference: exact + fuzzy variants; behavior shape
+    pinned at /root/reference/src/tests/test_end_to_end.py:267-292).
+    Exact matches keep byte-identical markup; the fuzzy tier links case
+    variants, plurals, accents, and punctuation-flexible multi-token
+    labels — highlighting the ORIGINAL surface form."""
+    from pdf_metadata_extraction_spark.operators.linking import match_options
+
+    # exact tier untouched: byte-identical markup
+    v = match_options("United Nations", [("1", "United Nations")], True)
+    assert v[0]["segment_text"] == (
+        '<p class="ix_matching_paragraph"><span class="ix_match">United Nations'
+        "</span></p>"
+    )
+
+    # case fold
+    v = match_options("the spark engine", [("1", "Spark")], True)
+    assert [x["label"] for x in v] == ["Spark"]
+    assert '<span class="ix_match">spark</span>' in v[0]["segment_text"]
+
+    # plural both directions
+    assert match_options("three customers here", [("1", "Customer")], True)
+    assert match_options("one customer here", [("1", "Customers")], True)
+
+    # accent fold, original surface highlighted
+    v = match_options("café society", [("1", "Cafe")], True)
+    assert '<span class="ix_match">café</span>' in v[0]["segment_text"]
+
+    # flexible separator inside multi-token labels
+    assert match_options("a hash-scan plan", [("1", "hash scan")], True)
+
+    # whole-word boundary still enforced in the fuzzy tier
+    assert match_options("sparkle", [("1", "Spark")], True) == []
+
+    # exact match wins over fuzzy for the same label (span = exact span)
+    v = match_options("spark then Spark", [("1", "Spark")], True)
+    assert '<span class="ix_match">Spark</span>' in v[0]["segment_text"]
+
+    # fuzzy off → old behavior
+    assert match_options("the spark engine", [("1", "Spark")], True, fuzzy=False) == []
