@@ -375,6 +375,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").where("doc_id < 100")
         return dedup.simhash(d, "doc_id")
 
+    # ------------------------------------------------ dedup: simhash pairs
+    def simhash_band_pairs(spark, sf_dir):
+        """Banded Hamming near-dup search. Pigeonhole makes the banded
+        candidate step exact at max_hamming=3 (<4 bands ⇒ ≥1 band equal),
+        so the oracle is the full hamming-≤3 pair set."""
+        corpus = _doubled_corpus(
+            _t(spark, sf_dir, "documents").where("doc_id < 250")
+        )
+        return dedup.simhash_band_pairs(corpus, "doc_id", max_hamming=3)
+
     # ------------------------------------------------ dedup: minhash sigs
     def minhash_signatures(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").where("doc_id < 50")
@@ -526,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_zip_join": j4_zip_join,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
+        "simhash_band_pairs": simhash_band_pairs,
         "minhash_signatures": minhash_signatures,
         "minhash_dup_pairs": minhash_dup_pairs,
         "ngram_jaccard": ngram_jaccard,
@@ -544,23 +555,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ================================================================ oracles
-def _simhash_sql(bits: int = 16) -> str:
-    hv = "cast(concat('0x', substr(md5(w), 1, 4)) AS BIGINT)"
-    sums = ", ".join(
-        f"sum(CASE WHEN (({hv}) // {2 ** k}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{k}"
-        for k in range(bits)
-    )
-    sim = " + ".join(f"CASE WHEN s_{k} > 0 THEN {2 ** k} ELSE 0 END" for k in range(bits))
+def _simhash_bands_sql(source_sql: str) -> str:
+    """CTE body computing 64-bit banded simhash (id, band_0..band_3)
+    over ``source_sql`` (must yield doc_id, text) — mirrors
+    operators/dedup.simhash exactly."""
+    sums, band_vals = [], []
+    for b in range(4):
+        hv = f"cast(concat('0x', substr(md5(w), {1 + 4 * b}, 4)) AS BIGINT)"
+        for k in range(16):
+            sums.append(
+                f"sum(CASE WHEN (({hv}) // {2 ** k}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}_{k}"
+            )
+        band_vals.append(
+            "CAST("
+            + " + ".join(f"CASE WHEN s_{b}_{k} > 0 THEN {2 ** k} ELSE 0 END" for k in range(16))
+            + f" AS BIGINT) AS band_{b}"
+        )
     return f"""
-WITH words AS (
-  SELECT DISTINCT doc_id AS id, w FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-    FROM documents WHERE doc_id < 100
+words AS (
+  SELECT DISTINCT id, w FROM (
+    SELECT doc_id AS id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+    FROM ({source_sql})
   ) WHERE w <> ''
 ), bit_sums AS (
-  SELECT id, {sums} FROM words GROUP BY id
-)
-SELECT id, CAST({sim} AS BIGINT) AS simhash FROM bit_sums
+  SELECT id, {', '.join(sums)} FROM words GROUP BY id
+), sigs AS (
+  SELECT id, {', '.join(band_vals)} FROM bit_sums
+)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_bands_sql("SELECT doc_id, text FROM documents WHERE doc_id < 100")}
+SELECT id, printf('%04x%04x%04x%04x', band_0, band_1, band_2, band_3) AS simhash,
+       band_0, band_1, band_2, band_3
+FROM sigs
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    ham = " + ".join(f"bit_count(xor(a.band_{b}, b.band_{b}))" for b in range(4))
+    return f"""
+WITH {_simhash_bands_sql(_DOUBLED_SQL)}
+SELECT a.id AS id_a, b.id AS id_b, CAST({ham} AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE {ham} <= 3
 """
 
 
@@ -716,7 +755,8 @@ SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
        count(*) AS n_dups, min(doc_id) AS canonical_id
 FROM corpus GROUP BY 1 HAVING count(*) > 1
 """,
-        "dedup_simhash": _simhash_sql(16),
+        "dedup_simhash": _simhash_sql(),
+        "simhash_band_pairs": _simhash_pairs_sql(),
         "minhash_signatures": _minhash_sig_sql(
             4, "SELECT doc_id, text FROM documents", "WHERE id < 50"
         ),

@@ -99,6 +99,14 @@ def main() -> None:
     extras["kg_pages"] = N_PAGES
     extras["pages_per_sec"] = round(N_PAGES / timings["kg_pipeline"], 1)
     extras["pages_per_sec_warm"] = round(N_PAGES / timings["kg_pipeline_warm"], 1)
+    # bytes/s alongside pages/s so throughput numbers from different
+    # corpora (this bench vs the scaling harness) reconcile on data
+    # volume, not page count (pages differ in size across corpora)
+    kg_bytes = pages.select(F.sum(F.length("html"))).collect()[0][0] or 0
+    extras["kg_mb"] = round(kg_bytes / 1e6, 1)
+    extras["mb_per_sec_warm"] = round(
+        kg_bytes / 1e6 / timings["kg_pipeline_warm"], 2
+    )
 
     # ---- per-stage wall times from the pipeline's own lineage table
     # (BASELINE.md protocol: regressions must be attributable to a stage)
@@ -132,6 +140,69 @@ def main() -> None:
         fn = run_query(name)
         fn()
         timed(name, fn)
+
+    # ---- ANN recall vs exact at non-trivial probe settings (round-1
+    # verdict: only the brute-force-equivalent setting was checked)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where("vec_id < 25")
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.cosine_topk(emb, qs, k=10).collect()
+    }
+
+    def recall(df) -> float:
+        got = {(r["query_id"], r["match_id"]) for r in df.collect()}
+        return round(len(got & exact) / max(len(exact), 1), 4)
+
+    extras["recall_lsh_multiprobe"] = recall(
+        similarity.lsh_topk(emb, qs, k=10, dim=64, n_planes=6, n_probe_bits=1)
+    )
+    extras["recall_lsh_single_probe"] = recall(
+        similarity.lsh_topk(emb, qs, k=10, dim=64, n_planes=6, n_probe_bits=0)
+    )
+    extras["recall_ivf_nprobe2of8"] = recall(
+        similarity.ivf_topk(emb, qs, k=10, n_clusters=8, nprobe=2)
+    )
+    extras["recall_ivf_nprobe4of8"] = recall(
+        similarity.ivf_topk(emb, qs, k=10, n_clusters=8, nprobe=4)
+    )
+
+    # The sf embeddings are isotropic-random (top-10 neighbor cosine
+    # ≈0.3, no label structure) — the ADVERSARIAL case where any sublinear
+    # index must trade recall. Real corpora have neighbor structure, so
+    # recall is also measured on a deterministic clustered corpus
+    # (25 centers, σ=0.15 noise): this is the regime the ≥0.9 target
+    # applies to, at probe depths that scan a small corpus fraction.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(25, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # σ=0.03/dim → noise norm ≈0.24 vs unit signal → same-center cosine
+    # ≈0.95: the near-duplicate regime ANN indexes exist for
+    pts = centers[np.arange(5000) % 25] + 0.03 * rng.normal(size=(5000, 64))
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(5000), "embedding": [r.astype("float32") for r in pts]}
+        )
+    ).cache()
+    cqs = cdf.where("vec_id < 50")
+    exact_c = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.cosine_topk(cdf, cqs, k=10).collect()
+    }
+
+    def recall_c(df) -> float:
+        got = {(r["query_id"], r["match_id"]) for r in df.collect()}
+        return round(len(got & exact_c) / max(len(exact_c), 1), 4)
+
+    extras["recall_clustered_ivf_nprobe2of16"] = recall_c(
+        similarity.ivf_topk(cdf, cqs, k=10, n_clusters=16, nprobe=2)
+    )
+    extras["recall_clustered_lsh_8planes_2bit"] = recall_c(
+        similarity.lsh_topk(cdf, cqs, k=10, dim=64, n_planes=8, n_probe_bits=2)
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -25,7 +25,7 @@ checkpoint cuts the lineage that would otherwise grow exponentially).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_PERMS = 16
@@ -130,19 +130,20 @@ def connected_components(
     def _star(cur: DataFrame, large: bool) -> DataFrame:
         # Rows stay narrow: instead of materializing each node's whole
         # neighborhood with collect_set (one array of 10⁷⁺ ids for a hub
-        # node of a mega-component ⇒ executor OOM), compute the per-node
-        # min neighbor with a plain aggregate, then JOIN it back onto the
-        # symmetric edge list to emit (neighbor → min) pairs. Hot hub
-        # keys in the join are an AQE skew-join case, not an OOM.
+        # node of a mega-component ⇒ executor OOM), attach the per-node
+        # min neighbor with a WINDOW aggregate over the u partitioning —
+        # ONE shuffle per direction-symmetrized edge set (an aggregate +
+        # join back costs two), and a hub key's rows stream through the
+        # spill-safe window buffer instead of one giant array row.
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
-            "u", F.least(F.col("u"), F.col("_mn")).alias("m")
+        w = Window.partitionBy("u")
+        with_min = sym.withColumn(
+            "m", F.least(F.col("u"), F.min("v").over(w))
         )
-        joined = sym.join(mins, "u")
         cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        out = joined.where(cond).select(
+        out = with_min.where(cond).select(
             F.col("v").alias("u"), F.col("m").alias("v")
-        ).union(mins.select(F.col("u"), F.col("m").alias("v")))
+        ).union(with_min.select("u", F.col("m").alias("v")))
         return out.where(F.col("u") != F.col("v")).distinct()
 
     prev_hash = None

@@ -8,7 +8,9 @@ DuckDB oracle in ``__spark_entry__.oracle_sql``.
 
 - exact_duplicates      hash-groupBy on normalized text (map-side partial agg)
 - minhash (see operators/canonicalize.py — shared implementation)
-- simhash_64→16-bit     near-dup fingerprint, bit-majority over token hashes
+- simhash (64-bit)      near-dup fingerprint, bit-majority over token hashes,
+                        4×16-bit bands for banded Hamming search
+- simhash_band_pairs    near-dup pairs via band buckets + exact Hamming filter
 - ngram_jaccard_pairs   exact Jaccard over char-3-gram sets for candidate pairs
 - embedding near-dup (see operators/similarity.py cosine_pairs)
 """
@@ -18,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands (MinHash-LSH-style banded layout)
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def normalized_text(text_col: str = "text"):
@@ -50,38 +54,111 @@ def _token_words(text_col: str):
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text",
-            bits: int = SIMHASH_BITS) -> DataFrame:
-    """Bit-majority simhash over distinct token hashes (portable md5 core).
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit bit-majority simhash over distinct token hashes, banded.
 
-    token hash = int(md5(word)[:4], 16) (16 bits); per bit the doc sums
-    ±1 across distinct words; simhash bit = 1 iff the sum > 0.
+    Round-1 used a 16-bit fingerprint — birthday collisions alone make
+    that wrong above ~10⁵ docs and the bucket groupBy degenerates. 64
+    bits are produced as 4 independent 16-bit bands (band b's token hash
+    = int(md5(word)[4b:4b+4], 16), portable md5 core): per bit the doc
+    sums ±1 across distinct words; band bit = 1 iff the sum > 0.
+
+    Output: (id, simhash hex16 string, band_0..band_3 long). The hex
+    string is the full fingerprint (a 64-bit value exceeds signed BIGINT,
+    so both engines carry it as hex); the band columns are the LSH keys
+    for banded Hamming search (``simhash_band_pairs``).
+
+    One groupBy with 64 map-side-combinable sums — pure whole-stage
+    codegen, no UDF; the shuffle key is the doc id.
     """
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_token_words(text_col))).alias("w"),
-    ).withColumn("hv", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"))
-    bit_sums = words.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when((F.floor(F.col("hv") / (2 ** k)) % 2) == 1, 1).otherwise(-1)
-            ).alias(f"s_{k}")
-            for k in range(bits)
-        ]
+    ).withColumn("h", F.md5("w"))
+    aggs = []
+    for b in range(SIMHASH_BANDS):
+        hv = F.conv(F.substring("h", 1 + 4 * b, 4), 16, 10).cast("long")
+        for k in range(_BAND_BITS):
+            aggs.append(
+                F.sum(
+                    F.when((F.floor(hv / (2 ** k)) % 2) == 1, 1).otherwise(-1)
+                ).alias(f"s_{b}_{k}")
+            )
+    bit_sums = words.groupBy("id").agg(*aggs)
+    bands = [
+        sum(
+            F.when(F.col(f"s_{b}_{k}") > 0, 2 ** k).otherwise(0)
+            for k in range(_BAND_BITS)
+        ).cast("long").alias(f"band_{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    out = bit_sums.select("id", *bands)
+    return out.select(
+        "id",
+        F.format_string(
+            "%04x" * SIMHASH_BANDS, *[F.col(f"band_{b}") for b in range(SIMHASH_BANDS)]
+        ).alias("simhash"),
+        *[F.col(f"band_{b}") for b in range(SIMHASH_BANDS)],
     )
-    sim = sum(
-        F.when(F.col(f"s_{k}") > 0, 2 ** k).otherwise(0) for k in range(bits)
-    )
-    return bit_sums.select("id", sim.cast("long").alias("simhash"))
 
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical simhash fingerprint (bucket groupBy)."""
+    """Docs sharing an identical 64-bit simhash fingerprint (bucket groupBy)."""
     return (
         simhash(df, id_col, text_col)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list("id")).alias("member_ids"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_band_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by banded Hamming search over the 64-bit simhash.
+
+    Pigeonhole: two fingerprints within Hamming distance 3 agree on at
+    least one of the 4 16-bit bands → candidates = docs sharing a band
+    value (explode 4 band buckets, self-join per (band, value) bucket —
+    NOT all-pairs), then the exact Hamming distance over all 4 bands
+    filters. Scale shape identical to MinHash LSH: the join shuffles on
+    short uniform band keys; per-bucket fan-out is bounded by real
+    near-dup density, with AQE skew-join for pathological buckets.
+    """
+    sigs = simhash(df, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("val"))
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"band_{b}").alias(f"a_{b}") for b in range(SIMHASH_BANDS)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"band_{b}").alias(f"b_{b}") for b in range(SIMHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_{b}").bitwiseXOR(F.col(f"b_{b}")))
+        for b in range(SIMHASH_BANDS)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -124,8 +124,9 @@ def _line_boxes(members: list[dict], page_dims: tuple[float, float]) -> list[dic
     return boxes
 
 
-def _proximity_clusters(tokens: list[dict]) -> list[list[int]]:
-    """Union-find proximity clustering of token indices (same page only)."""
+def _proximity_clusters_py(tokens: list[dict]) -> list[list[int]]:
+    """Reference (pure-Python) pair scan — kept as the semantic spec for
+    the vectorized kernel below; property-tested equal on random inputs."""
     n = len(tokens)
     uf = _UF(n)
     order = sorted(range(n), key=lambda i: (tokens[i]["page"], tokens[i]["top"], tokens[i]["left"]))
@@ -157,6 +158,119 @@ def _proximity_clusters(tokens: list[dict]) -> list[list[int]]:
             )
             if same_line or stacked:
                 uf.union(i, j)
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(uf.find(i), []).append(i)
+    return list(clusters.values())
+
+
+_PAIR_CHUNK = 1 << 22  # peak expanded pairs per chunk (memory cap)
+
+
+def _proximity_clusters(tokens: list[dict]) -> list[list[int]]:
+    """Union-find proximity clustering of token indices (same page only).
+
+    Fully vectorized: the per-token-pair Python scan was the pipeline's
+    hot spot (segments stage 33.7 s of the round-1 bench). Per page run
+    (tokens sorted by page, top, left):
+
+    1. each anchor's scan window upper bound comes from ONE batched
+       searchsorted over the sorted tops — a gap > max(V_GAP_MIN,
+       1.5·h_anchor) violates the scan-break bound regardless of the
+       partner's height, since min(h_i, h_j) ≤ h_anchor;
+    2. all windows expand into flat (I, J) pair arrays (repeat/arange,
+       chunked at ~4M pairs to cap memory);
+    3. the exact first-violation per window truncates it
+       (minimum.reduceat), replicating the reference scan's break;
+    4. the pair predicate evaluates as numpy array ops; only matched
+       pairs reach the union-find.
+
+    Output is byte-identical to ``_proximity_clusters_py`` (golden +
+    property tested)."""
+    import numpy as np
+
+    n = len(tokens)
+    if n <= 1:
+        return [[0]] if n else []
+    page = np.fromiter((int(t["page"]) for t in tokens), dtype=np.int64, count=n)
+    top = np.fromiter((t["top"] for t in tokens), dtype=np.float64, count=n)
+    left = np.fromiter((t["left"] for t in tokens), dtype=np.float64, count=n)
+    width = np.fromiter((t["width"] for t in tokens), dtype=np.float64, count=n)
+    height = np.fromiter((t["height"] for t in tokens), dtype=np.float64, count=n)
+    font = np.fromiter(
+        (t.get("font_size") or 0.0 for t in tokens), dtype=np.float64, count=n
+    )
+
+    order = np.lexsort((left, top, page))
+    ps, ts, ls, ws, hs, fs = (
+        page[order], top[order], left[order], width[order], height[order], font[order]
+    )
+    rights = ls + ws
+    bottoms = ts + hs
+    run_starts = np.concatenate([[0], np.flatnonzero(np.diff(ps) != 0) + 1, [n]])
+
+    uf = _UF(n)
+    order_list = order.tolist()
+    for ri in range(len(run_starts) - 1):
+        s, e = int(run_starts[ri]), int(run_starts[ri + 1])
+        if e - s <= 1:
+            continue
+        tse = ts[s:e]
+        # batched upper bounds for every anchor in the run
+        ub = s + np.searchsorted(
+            tse,
+            bottoms[s:e] + np.maximum(V_GAP_MIN, V_GAP_FACTOR * hs[s:e]),
+            side="right",
+        )
+        idx_all = np.arange(s, e)
+        w_all = np.maximum(ub - idx_all - 1, 0)
+        # chunk anchors so the expanded pair block stays bounded
+        cuts = [0]
+        acc = 0
+        for k, wk in enumerate(w_all):
+            acc += int(wk)
+            if acc >= _PAIR_CHUNK:
+                cuts.append(k + 1)
+                acc = 0
+        if cuts[-1] != len(w_all):
+            cuts.append(len(w_all))
+        for ci in range(len(cuts) - 1):
+            a0, a1 = cuts[ci], cuts[ci + 1]
+            w = w_all[a0:a1]
+            total = int(w.sum())
+            if total == 0:
+                continue
+            idx = idx_all[a0:a1]
+            offs = np.concatenate([[0], np.cumsum(w)])
+            I = np.repeat(idx, w)
+            J = np.arange(total) - np.repeat(offs[:-1], w) + I + 1
+            gaps = ts[J] - bottoms[I]
+            thr = np.maximum(V_GAP_MIN, V_GAP_FACTOR * np.minimum(hs[I], hs[J]))
+            viol = gaps > thr
+            if viol.any():
+                # first violating partner per window → scan break
+                nzw = w > 0
+                vj = np.where(viol, J, n)
+                firstv = np.minimum.reduceat(vj, offs[:-1][nzw])
+                keep = J < np.repeat(firstv, w[nzw])
+                I, J = I[keep], J[keep]
+                gaps, thr = gaps[keep], thr[keep]
+                if I.size == 0:
+                    continue
+            x_overlap = (ls[I] < rights[J]) & (ls[J] < rights[I])
+            y_overlap = (ts[I] < bottoms[J]) & (ts[J] < bottoms[I])
+            same_line = y_overlap & (
+                (np.abs(ls[J] - rights[I]) <= H_GAP_SAMELINE)
+                | (np.abs(ls[I] - (ls[J] + ws[J])) <= H_GAP_SAMELINE)
+                | x_overlap
+            )
+            mx = np.maximum(fs[I], fs[J])
+            font_ok = (fs[I] == 0.0) | (fs[J] == 0.0) | (
+                np.minimum(fs[I], fs[J]) / np.where(mx == 0.0, 1.0, mx) >= 0.8
+            )
+            stacked = x_overlap & ~y_overlap & font_ok & (gaps <= thr)
+            for m in np.flatnonzero(same_line | stacked):
+                uf.union(order_list[I[m]], order_list[J[m]])
     clusters: dict[int, list[int]] = {}
     for i in range(n):
         clusters.setdefault(uf.find(i), []).append(i)

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _WORD_RE = re.compile(r"[a-zA-Z]{2,}")
-N_FEATURES = 12
+N_FEATURES = 34
+_CTX_COLS = [
+    "n_segs", "max_page", "mean_len", "prev_type", "next_type",
+    "prev_len", "next_len",
+]
 
 
 # ------------------------------------------------------------ A1
@@ -54,26 +58,58 @@ def frequent_words(texts: DataFrame, text_col: str = "text", k: int = 20) -> lis
 
 
 # ------------------------------------------------------------ features
+def with_context_features(segments: DataFrame) -> DataFrame:
+    """Add doc-level + neighbor context columns JVM-side (window
+    functions over the url partitioning the segment stage already
+    produced) so the Arrow feature kernel stays strictly row-local —
+    Arrow batch boundaries can split a document, so cross-row features
+    must NOT be computed inside the Python stage (SURVEY §7.3
+    determinism). Mirrors the reference selector's neighbor features
+    (previous/next segment type + length, page-relative position)."""
+    wd = Window.partitionBy("url")
+    wo = Window.partitionBy("url").orderBy("segment_id")
+    return (
+        segments.withColumn("n_segs", F.count("*").over(wd))
+        .withColumn("max_page", F.max("page").over(wd))
+        .withColumn("mean_len", F.avg(F.length(F.coalesce("text", F.lit("")))).over(wd))
+        .withColumn("prev_type", F.lag("segment_type").over(wo))
+        .withColumn("next_type", F.lead("segment_type").over(wo))
+        .withColumn("prev_len", F.lag(F.length(F.coalesce("text", F.lit("")))).over(wo))
+        .withColumn("next_len", F.lead(F.length(F.coalesce("text", F.lit("")))).over(wo))
+    )
+
+
 def segment_features(pdf: pd.DataFrame, vocab: list[str]) -> np.ndarray:
     """Vectorized feature matrix for a batch of segment rows.
 
-    Expects columns: text, page, segment_id, segment_type, boxes.
+    Expects columns: text, page, segment_id, segment_type, boxes; uses
+    the ``with_context_features`` columns when present (zeros when not).
+    Feature families mirror the reference's 97-feature LightGBM scorer
+    (text statistics, one-hot segment types, page-relative geometry,
+    neighbor segments, vocabulary overlap); the linear model is the
+    sandbox stand-in (lightgbm unavailable — documented in the module
+    docstring).
     """
     n = len(pdf)
     X = np.zeros((n, N_FEATURES), dtype=np.float64)
     texts = pdf["text"].fillna("").astype(str)
     lens = texts.str.len().to_numpy(dtype=np.float64)
+    lens1 = np.maximum(lens, 1)
+    words = texts.str.split().str.len().to_numpy(dtype=np.float64)
     X[:, 0] = np.log1p(lens)
-    X[:, 1] = texts.str.count(r"\d").to_numpy() / np.maximum(lens, 1)
-    X[:, 2] = texts.str.count(r"[A-Z]").to_numpy() / np.maximum(lens, 1)
-    X[:, 3] = texts.str.count(r"[^\w\s]").to_numpy() / np.maximum(lens, 1)
+    X[:, 1] = texts.str.count(r"\d").to_numpy() / lens1
+    X[:, 2] = texts.str.count(r"[A-Z]").to_numpy() / lens1
+    X[:, 3] = texts.str.count(r"[^\w\s]").to_numpy() / lens1
     X[:, 4] = (pdf["segment_type"] == "Title").to_numpy(dtype=np.float64)
     X[:, 5] = (pdf["segment_type"] == "Text").to_numpy(dtype=np.float64)
     X[:, 6] = (pdf["page"] == 1).to_numpy(dtype=np.float64)
     X[:, 7] = 1.0 / (1.0 + pdf["segment_id"].to_numpy(dtype=np.float64))
-    # geometry from first box (zeros when absent)
+    # geometry from boxes (zeros when absent)
     tops = np.zeros(n)
     lefts = np.zeros(n)
+    widths = np.zeros(n)
+    heights = np.zeros(n)
+    nboxes = np.zeros(n)
     for i, bx in enumerate(pdf["boxes"].values):
         if bx is not None and len(bx) > 0:
             b0 = bx[0]
@@ -81,13 +117,45 @@ def segment_features(pdf: pd.DataFrame, vocab: list[str]) -> np.ndarray:
             pw = (b0["page_width"] or 612.0) or 612.0
             tops[i] = (b0["top"] or 0.0) / ph
             lefts[i] = (b0["left"] or 0.0) / pw
+            widths[i] = (b0["width"] or 0.0) / pw
+            heights[i] = (b0["height"] or 0.0) / ph
+            nboxes[i] = len(bx)
     X[:, 8] = tops
     X[:, 9] = lefts
     if vocab:
         vocab_set = "|".join(re.escape(w) for w in vocab)
         hits = texts.str.lower().str.count(vocab_set).to_numpy(dtype=np.float64)
-        X[:, 10] = hits / np.maximum(texts.str.split().str.len().to_numpy(dtype=np.float64), 1)
+        X[:, 10] = hits / np.maximum(words, 1)
         X[:, 11] = (hits > 0).astype(np.float64)
+    # -------- extended text statistics
+    X[:, 12] = np.log1p(words)
+    X[:, 13] = lens / np.maximum(words, 1)  # mean word length
+    X[:, 14] = texts.str.match(r"^\d").to_numpy(dtype=np.float64)
+    X[:, 15] = texts.str.match(r"^[A-Z]").to_numpy(dtype=np.float64)
+    X[:, 16] = texts.str.endswith(".").to_numpy(dtype=np.float64)
+    X[:, 17] = texts.str.contains(":", regex=False).to_numpy(dtype=np.float64)
+    X[:, 18] = texts.str.count(r"[A-Za-z]").to_numpy() / lens1
+    X[:, 19] = (pdf["segment_type"] == "List item").to_numpy(dtype=np.float64)
+    # -------- extended geometry
+    X[:, 20] = widths
+    X[:, 21] = heights
+    X[:, 22] = np.clip(lefts + widths, 0, 2)          # right edge
+    X[:, 23] = np.clip(tops + heights, 0, 2)          # bottom edge
+    X[:, 24] = np.log1p(nboxes)
+    X[:, 25] = np.abs(lefts + widths / 2.0 - 0.5)     # distance from center x
+    # -------- doc-relative + neighbor context (with_context_features)
+    if "n_segs" in pdf.columns:
+        nsegs = np.maximum(pdf["n_segs"].to_numpy(dtype=np.float64), 1)
+        sid = pdf["segment_id"].to_numpy(dtype=np.float64)
+        X[:, 26] = sid / nsegs
+        X[:, 27] = (sid == nsegs - 1).astype(np.float64)
+        maxp = np.maximum(pdf["max_page"].to_numpy(dtype=np.float64), 1)
+        X[:, 28] = pdf["page"].to_numpy(dtype=np.float64) / maxp
+        X[:, 29] = lens / np.maximum(pdf["mean_len"].to_numpy(dtype=np.float64), 1)
+        X[:, 30] = (pdf["prev_type"] == "Title").to_numpy(dtype=np.float64)
+        X[:, 31] = (pdf["next_type"] == "Title").to_numpy(dtype=np.float64)
+        X[:, 32] = np.log1p(pdf["prev_len"].fillna(0).to_numpy(dtype=np.float64))
+        X[:, 33] = np.log1p(pdf["next_len"].fillna(0).to_numpy(dtype=np.float64))
     return X
 
 
@@ -122,8 +190,9 @@ def score_matrix(X: np.ndarray, state: dict) -> np.ndarray:
 
 def train_selector(train_segments: DataFrame, vocab: list[str]) -> dict:
     """Fit the segment scorer on (segments, is_label) training rows."""
-    pdf = train_segments.select(
-        "text", "page", "segment_id", "segment_type", "boxes", "is_label"
+    pdf = with_context_features(train_segments).select(
+        "text", "page", "segment_id", "segment_type", "boxes", "is_label",
+        *_CTX_COLS,
     ).toPandas()
     if pdf.empty or pdf["is_label"].sum() == 0:
         return {"w": [0.0] * N_FEATURES, "b": 0.0, "mu": [0.0] * N_FEATURES,
@@ -137,14 +206,21 @@ def train_selector(train_segments: DataFrame, vocab: list[str]) -> dict:
 
 
 def score_segments(segments: DataFrame, state: dict, score_col: str = "score") -> DataFrame:
-    """Broadcast-model scoring — one vectorized mapInPandas pass (J5)."""
+    """Broadcast-model scoring — one vectorized mapInPandas pass (J5).
+
+    Context columns are added JVM-side first (window over the url
+    partitioning the segment stage already produced — AQE coalesces the
+    exchange when the layout matches) and dropped after scoring."""
+    out_cols = [f.name for f in segments.schema.fields]
+    segments = with_context_features(segments)
     spark = segments.sparkSession
     bc = spark.sparkContext.broadcast(state)
-    cols = [f.name for f in segments.schema.fields]
+    cols = out_cols
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
-        list(segments.schema.fields) + [T.StructField(score_col, T.DoubleType())]
+        [f for f in segments.schema.fields if f.name in set(out_cols)]
+        + [T.StructField(score_col, T.DoubleType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

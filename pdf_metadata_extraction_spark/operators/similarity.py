@@ -90,12 +90,17 @@ def signlsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8):
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int = 64, n_planes: int = 6,
+    dim: int = 64, n_planes: int = 6, n_probe_bits: int = 1,
 ) -> DataFrame:
-    """ANN top-k: only candidates in the query's LSH bucket are scored.
+    """ANN top-k: only candidates in the query's probed LSH buckets score.
 
     Recall < 1 by construction; the bucket join replaces the full cross
-    product (2^n_planes buckets ⇒ ~corpus/2^n candidates per query).
+    product (2^n_planes buckets ⇒ ~corpus/2^n candidates per bucket).
+    **Multiprobe**: a single-bucket probe has a recall cliff (a near
+    neighbor differing on one hyperplane sign lands one bit away), so
+    each query also probes every bucket within Hamming distance
+    ``n_probe_bits`` of its own — 1+n_planes probe rows per query at the
+    default, still a tiny broadcast side. Corpus rows stay single-bucket.
     """
     c = signlsh_bucket(
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec")),
@@ -105,6 +110,16 @@ def lsh_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "q_vec", dim, n_planes,
     )
+    if n_probe_bits >= 1:
+        flips = [F.col("bucket")]
+        flips += [F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)]
+        if n_probe_bits >= 2:
+            flips += [
+                F.col("bucket").bitwiseXOR(F.lit((2 ** p) | (2 ** r)))
+                for p in range(n_planes)
+                for r in range(p + 1, n_planes)
+            ]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
     scored = c.join(F.broadcast(q), "bucket").where(
         F.col("match_id") != F.col("query_id")
     ).select(
@@ -201,8 +216,17 @@ def ivf_topk(
     written partitioned by ``cluster`` so a query probes only its
     lists' partitions (partition pruning on the inverted index).
     """
+    # Deterministic pseudo-random quantizer sample WITHOUT a global sort:
+    # orderBy(hash).limit(n) compiles to TakeOrderedAndProject — a
+    # per-partition top-n heap + driver merge, one linear scan, no
+    # range-partitioning exchange (plan-asserted in tests). Hashing the
+    # id decorrelates the sample from the id order so k-means init sees
+    # the corpus distribution, not its head.
     sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_sample)
+        .toPandas()
     )
     vectors = _normalize_rows(
         np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
@@ -230,24 +254,59 @@ def ivf_topk(
     )
 
 
+def signlsh_tables(
+    df: DataFrame, vec_col: str, dim: int,
+    planes_per_table: int = 10, n_tables: int = 6,
+) -> DataFrame:
+    """T independent sign-LSH tables of b planes each → one (table,
+    bucket) row per input row per table.
+
+    Banded layout (like MinHash LSH): a pair is a candidate iff it
+    collides in ≥1 table, P = 1-(1-p^b)^T with p = 1-θ/π. Defaults
+    (b=10, T=6) give recall ≈0.92 at cosine 0.95 while keeping the
+    per-table bucket count at 2^10 — the self-join is ~T·n²/2^b per
+    uniform corpus, «n², and b scales up with corpus size.
+    """
+    planes = _hyperplanes(dim, planes_per_table * n_tables)
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for r in range(planes_per_table):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t * planes_per_table + r]])
+            bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0, 2 ** r).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.select(
+        "*", F.explode(F.array(*tables)).alias("_tb")
+    ).select("*", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")).drop("_tb")
+
+
 def cosine_pairs(
     df: DataFrame, min_sim: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int = 64, n_planes: int = 4,
+    dim: int = 64, planes_per_table: int = 10, n_tables: int = 6,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: bucket self-join then exact cosine."""
-    b = signlsh_bucket(
+    """Embedding near-duplicate pairs among banded-LSH candidates.
+
+    Round-1 used one 4-plane table (16 buckets) — an all-pairs join with
+    a constant shaved off. Now T tables of b planes: the self-join runs
+    per (table, bucket) with 2^b buckets per table, candidates are
+    deduped across tables before the exact-cosine filter.
+    """
+    b = signlsh_tables(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "vec", dim, n_planes,
+        "vec", dim, planes_per_table, n_tables,
     )
-    return (
+    cand = (
         b.alias("a")
-        .join(b.alias("b"), "bucket")
+        .join(b.alias("b"), ["table", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
         )
-        .where(F.col("sim") >= min_sim)
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return cand.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+    ).where(F.col("sim") >= min_sim)

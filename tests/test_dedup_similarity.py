@@ -36,12 +36,28 @@ def test_exact_duplicates(spark, docs):
 
 
 def test_simhash_near_dup(spark, docs):
-    sims = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    rows = {r["id"]: r for r in dedup.simhash(docs, "doc_id").collect()}
+    sims = {i: int(r["simhash"], 16) for i, r in rows.items()}
+    # 64-bit fingerprint carried as hex16; band columns are its 4 slices
+    assert all(len(r["simhash"]) == 16 for r in rows.values())
+    for i, r in rows.items():
+        assert sims[i] == (
+            (r["band_0"] << 48) | (r["band_1"] << 32) | (r["band_2"] << 16) | r["band_3"]
+        )
     assert sims[1] == sims[2]  # normalized identical
     # near-dup differs in few bits; unrelated differs in many
     def hamming(a, b):
         return bin(a ^ b).count("1")
     assert hamming(sims[1], sims[3]) <= hamming(sims[1], sims[4])
+
+
+def test_simhash_band_pairs(spark, docs):
+    """Banded Hamming search finds the identical pair at distance 0 and
+    never emits a pair above the threshold."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_band_pairs(docs, "doc_id", max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(h <= 3 for h in pairs.values())
 
 
 def test_ngram_jaccard_pairs(spark, docs):

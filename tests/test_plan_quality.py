@@ -65,3 +65,41 @@ def test_scalar_ops_stay_in_codegen(spark):
     # '*(1)' is the whole-stage-codegen marker in the physical plan string
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_sample_plan_has_no_global_sort(spark):
+    """The IVF quantizer sample must be a TakeOrderedAndProject
+    (per-partition top-n heap + driver merge), never a full
+    range-partitioned Sort — at 100 TB a global sort to fetch 2048
+    rows is the scale-killer the round-1 verdict flagged."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(200)],
+        "vec_id int, embedding array<float>",
+    )
+    q = emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(32)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cosine_pairs_candidates_far_below_all_pairs(spark):
+    """Banded-LSH near-dup candidates must be « n² on a 10k corpus
+    (round-1 default was 16 buckets ⇒ effectively all-pairs)."""
+    import random
+
+    from pdf_metadata_extraction_spark.operators import similarity
+
+    random.seed(3)
+    n, dim = 10_000, 16
+    rows = [(i, [random.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    b = similarity.signlsh_tables(
+        df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        "vec", dim,
+    )
+    cand = (
+        b.groupBy("table", "bucket").count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert cand < (n * n) / 25, f"{cand} candidate pairs is not « n²"

@@ -104,3 +104,33 @@ def test_match_options_invariants(text, labels, multi_value):
         # stripping markup returns the original text
         stripped = re.sub(r"</?(p|span)[^>]*>", "", v["segment_text"])
         assert stripped == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),                    # page
+            st.floats(0, 600, allow_nan=False),   # left
+            st.floats(0, 780, allow_nan=False),   # top
+            st.floats(1, 200, allow_nan=False),   # width
+            st.floats(5, 20, allow_nan=False),    # height
+            st.sampled_from([0.0, 8.0, 10.0, 14.0]),  # font_size
+        ),
+        max_size=40,
+    )
+)
+def test_vectorized_proximity_clusters_equals_reference(toks):
+    """The numpy kernel must produce byte-identical clusters to the
+    pure-Python pair scan it replaced (same window-break semantics)."""
+    from pdf_metadata_extraction_spark.operators.segment import (
+        _proximity_clusters,
+        _proximity_clusters_py,
+    )
+
+    tokens = [
+        dict(page=p, token_idx=i, text="x", left=l, top=t, width=w, height=h,
+             font_id="f", font_size=fsz, bold=False)
+        for i, (p, l, t, w, h, fsz) in enumerate(toks)
+    ]
+    assert _proximity_clusters(tokens) == _proximity_clusters_py(tokens)

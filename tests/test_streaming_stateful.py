@@ -65,3 +65,51 @@ def test_pages_to_crawl_feed_shape(spark):
     assert feed.schema.simpleString() == (
         "struct<domain:string,ts:timestamp,fingerprint:string>"
     )
+
+
+def test_mega_domain_state_stays_bounded():
+    """A domain with 200k pages / 150k distinct docs must keep EXACTLY
+    the same state size as a tiny one (8 KiB sketch), with the distinct
+    estimate within a few % — the round-1 exact-set state grew without
+    bound. Kernel-level drive with a mock GroupState (no Spark needed)."""
+    import pandas as pd
+
+    from pdf_metadata_extraction_spark.streaming import stateful
+
+    class MockState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = MockState()
+    n, distinct = 200_000, 150_000
+    ts = pd.to_datetime(1_600_000_000 + pd.Series(range(n)), unit="s")
+    fps = [f"fp{i % distinct}" for i in range(n)]
+    pdf = pd.DataFrame({"ts": ts, "fingerprint": fps})
+    out = list(stateful._sessionize(("mega",), iter([pdf]), state))
+    row = out[0].iloc[-1]
+    assert row["n_pages"] == n
+    assert abs(row["n_distinct_docs"] - distinct) / distinct < 0.05
+    # the whole point: state is the fixed-size sketch, not the fp set
+    assert len(state.get[2]) == stateful._SKETCH_BYTES  # 8 KiB
+
+    # feed a second batch 2h later → session closes, sketch resets
+    pdf2 = pd.DataFrame(
+        {"ts": pd.to_datetime([1_600_000_000 + n + 7200], unit="s"),
+         "fingerprint": ["fresh"]}
+    )
+    out2 = list(stateful._sessionize(("mega",), iter([pdf2]), state))
+    rows2 = out2[0]
+    closed = rows2[rows2["closed"]].iloc[0]
+    assert closed["n_pages"] == n
+    open_ = rows2[~rows2["closed"]].iloc[0]
+    assert open_["n_pages"] == 1 and open_["n_distinct_docs"] == 1
+    assert len(state.get[2]) == stateful._SKETCH_BYTES

@@ -87,10 +87,13 @@ def write_report(n_pages: int, results: dict[str, dict]) -> dict:
     lo, hi = HEADLINE
     warm = {m: min(r["runs"][1:]) for m, r in results.items()}
     pps = {m: results[m]["pages"] / warm[m] for m in results}
+    mbps = {
+        m: results[m].get("bytes", 0) / 1e6 / warm[m] for m in results
+    }
     eff = (pps[hi] / pps[lo]) / 4
     rows = "\n".join(
         f"| {m} | {results[m]['pages']:,} | {results[m]['edges']:,} | "
-        f"{results[m]['runs']} | {warm[m]:.2f} | {pps[m]:,.0f} |"
+        f"{results[m]['runs']} | {warm[m]:.2f} | {pps[m]:,.0f} | {mbps[m]:,.1f} |"
         for m in results
     )
     eff832 = ""
@@ -108,9 +111,14 @@ edges count) via `spark-submit --py-files dist/pipeline.zip`, same input
 ({n_pages:,} synthetic pages, mega-domain skew 50%), cold JVM per level,
 warm timing = best of runs 2-5 (python worker pools + JIT warm).
 
-| master | pages | edges | runs (s) | warm s | pages/sec |
-|---|---|---|---|---|---|
+| master | pages | edges | runs (s) | warm s | pages/sec | MB/sec |
+|---|---|---|---|---|---|---|
 {rows}
+
+MB/sec (html bytes processed per second) is the corpus-independent
+number: pages/sec differs across corpora purely by mean page size
+(this synthetic corpus vs bench.py's sf corpus), MB/sec reconciles
+them.
 
 ## Scaling efficiency (target ≥ 0.8 from N to 4N)
 

@@ -36,6 +36,7 @@ def main() -> None:
 
     pages = spark.read.parquet(pages_dir).select("url", "html")
     n_pages = pages.count()
+    n_bytes = pages.select(F.sum(F.length("html"))).collect()[0][0] or 0
     labels = [
         "United Nations", "General Assembly", "Security Council",
         "European Union", "World Bank", "Unesco",
@@ -67,7 +68,8 @@ def main() -> None:
         runs.append(round(time.monotonic() - t0, 3))
 
     print(json.dumps({
-        "master": master, "pages": n_pages, "edges": edges, "runs": runs,
+        "master": master, "pages": n_pages, "bytes": n_bytes,
+        "edges": edges, "runs": runs,
     }))
     spark.stop()
 
