@@ -57,14 +57,13 @@ def _fuzzy_sql_pattern(label: str) -> str:
     return f"(^|[^0-9a-z])({body})($|[^0-9a-z])"
 
 
-_LANGS = ["en", "fr", "es", "de", "pt"]
-_MARKERS = {
-    "en": [" the ", " and ", " of ", " is ", " that "],
-    "fr": [" le ", " la ", " les ", " et ", " est "],
-    "es": [" el ", " los ", " que ", " es ", " una "],
-    "de": [" der ", " die ", " und ", " ist ", " das "],
-    "pt": [" o ", " os ", " que ", " uma ", " com "],
-}
+# language-ID oracle derives from the OPERATOR's marker dict — single
+# source of truth, the two engines cannot drift
+from pdf_metadata_extraction_spark.operators.textstats import (  # noqa: E402
+    _LANG_MARKERS as _MARKERS,
+)
+
+_LANGS = list(_MARKERS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -407,6 +406,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, "doc_id", min_jaccard=0.5, prefix_chars=80
         )
 
+    # ------------------------------------------------ LSH→Jaccard composed
+    def lsh_gated_jaccard(spark, sf_dir):
+        """The composed scale path: MinHash-LSH candidates (banded) →
+        exact n-gram Jaccard verification restricted to candidates —
+        the full self-join never happens."""
+        corpus = _perturbed_corpus(
+            _t(spark, sf_dir, "documents").where("doc_id < 250")
+        )
+        sigs = minhash_signature(shingles(corpus, "doc_id", "text"), perms=4)
+        cand = lsh_candidate_pairs(sigs, perms=4, bands=2)
+        return dedup.ngram_jaccard_for_pairs(
+            corpus, cand, "doc_id", min_jaccard=0.5, prefix_chars=80
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
     # ------------------------------------------------ connected components
     def canonical_components(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -439,6 +452,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "query_id", "match_id", F.round("sim", 4).alias("sim"),
             F.col("rank").cast("long").alias("rank"),
+        )
+
+    # ------------------------------------------------ embedding entity link
+    def emb_entity_link(spark, sf_dir):
+        """Broadcast-candidate-table entity linking: per-mention argmax
+        cosine against the (small) entity catalog — one matmul per Arrow
+        batch, zero shuffle."""
+        emb = _t(spark, sf_dir, "embeddings")
+        out = similarity.link_embeddings(
+            emb.where("vec_id >= 5 AND vec_id < 105"), emb.where("vec_id < 5"),
+            min_sim=-1.0,  # keep every argmax row (the oracle has no floor)
+        )
+        return out.select(
+            "mention_id", "entity_id", F.round("sim", 4).alias("sim")
         )
 
     # ------------------------------------------------ similarity: near-dup
@@ -540,10 +567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": minhash_signatures,
         "minhash_dup_pairs": minhash_dup_pairs,
         "ngram_jaccard": ngram_jaccard,
+        "lsh_gated_jaccard": lsh_gated_jaccard,
         "canonical_components": canonical_components,
         "cosine_topk": cosine_topk,
         "ivf_ann_topk": ivf_ann_topk,
         "embedding_near_dup": embedding_near_dup,
+        "emb_entity_link": emb_entity_link,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "token_count": token_count,
@@ -788,6 +817,36 @@ SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 """,
+        "lsh_gated_jaccard": f"""
+WITH sigs AS ({_minhash_sig_sql(4, _PERTURBED_SQL)}),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sigs a JOIN sigs b
+    ON (concat(a.mh_0,'|',a.mh_1) = concat(b.mh_0,'|',b.mh_1)
+        OR concat(a.mh_2,'|',a.mh_3) = concat(b.mh_2,'|',b.mh_3))
+  WHERE a.id < b.id
+),
+corpus AS ({_PERTURBED_SQL}),
+norm AS (
+  SELECT doc_id AS id,
+         substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 80) AS t
+  FROM corpus
+), grams AS (
+  SELECT id, unnest(list_distinct(
+    [substr(t, i, 3) FOR i IN generate_series(1, greatest(length(t) - 2, 1))]
+  )) AS gram FROM norm
+), sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN grams a ON a.id = c.id_a
+  JOIN grams b ON b.id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
         "canonical_components": """
 WITH RECURSIVE
 edges0 AS (
@@ -834,6 +893,23 @@ sims AS (
   GROUP BY a.vec_id, b.vec_id
 )
 SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
+""",
+        "emb_entity_link": f"""
+WITH e AS ({emb_explode}),
+sims AS (
+  SELECT m.vec_id AS mention_id, c.vec_id AS entity_id,
+         sum(m.val * c.val) /
+         (sqrt(sum(m.val * m.val)) * sqrt(sum(c.val * c.val))) AS sim_raw
+  FROM e m JOIN e c ON m.pos = c.pos
+  WHERE m.vec_id >= 5 AND m.vec_id < 105 AND c.vec_id < 5
+  GROUP BY m.vec_id, c.vec_id
+)
+SELECT mention_id, entity_id, round(sim_raw, 4) AS sim FROM (
+  SELECT mention_id, entity_id, sim_raw,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY sim_raw DESC, entity_id ASC) AS rn
+  FROM sims
+) WHERE rn = 1
 """,
         "lang_id": _lang_sql(),
         "quality_scores": """

@@ -185,6 +185,38 @@ def char_ngrams(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
     )
 
 
+def ngram_jaccard_for_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, min_jaccard: float = 0.8, prefix_chars: int = 200,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to CANDIDATE pairs — the composed
+    scale path (LSH candidates → exact verify). The gram work is linear
+    in the candidate count, never the corpus self-join: candidates join
+    the gram table twice (id_a then id_b+gram), so a 10¹²-doc corpus
+    only materializes grams for docs that appear in some candidate pair.
+    """
+    grams = char_ngrams(df, id_col, text_col, n, prefix_chars)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     n: int = 3, min_jaccard: float = 0.8, prefix_chars: int = 200,

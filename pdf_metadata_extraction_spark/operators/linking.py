@@ -76,7 +76,6 @@ def _alternation(labels: tuple[str, ...]) -> re.Pattern:
 # (punctuation/whitespace inside labels), and singular/plural tolerance
 # per token. One alternation scan per text — no per-label loops.
 
-@functools.lru_cache(maxsize=65536)
 def _fold_char(ch: str) -> str:
     """Single folded char for one input char (length-preserving map)."""
     import unicodedata
@@ -86,11 +85,25 @@ def _fold_char(ch: str) -> str:
     return low or ch
 
 
+class _FoldTable(dict):
+    """str.translate table computing + caching the fold per codepoint —
+    the fold then runs at C speed (the per-char Python call was the
+    flagship pipeline's hot path once the fuzzy tier landed)."""
+
+    def __missing__(self, cp: int) -> str:
+        v = _fold_char(chr(cp))
+        self[cp] = v
+        return v
+
+
+_FOLD_TABLE = _FoldTable()
+
+
 def fold_text(text: str) -> str:
     """Length-preserving case+accent fold: every char maps to exactly one
     folded char, so fuzzy-match spans index the ORIGINAL text directly
     (the highlight markup wraps the original surface form)."""
-    return "".join(_fold_char(c) for c in text)
+    return text.translate(_FOLD_TABLE)
 
 
 def fuzzy_token_body(tok: str) -> str:

@@ -120,6 +120,68 @@ class AffixMethod(Method):
         return {"prefix": self.prefix, "suffix": self.suffix}
 
 
+class RegexShapeMethod(Method):
+    """Induce a character-class shape regex from the labels (the
+    reference's method suite carries regex methods alongside the affix
+    family). All labels must share the same class-run sequence
+    (e.g. 'A7', 'B9' → ``[A-Z]\\d``; '2021', '19' → ``\\d{2,4}``);
+    prediction = first shape match in the text. Generalizes where affix
+    fails (varying context around a fixed-shape value)."""
+
+    name = "regex_shape"
+
+    def __init__(self) -> None:
+        self.pattern = ""
+
+    @staticmethod
+    def _runs(label: str) -> list[tuple[str, int]]:
+        runs: list[tuple[str, int]] = []
+        for ch in label:
+            if ch.isdigit():
+                cls = r"\d"
+            elif "A" <= ch <= "Z":
+                cls = "[A-Z]"
+            elif "a" <= ch <= "z":
+                cls = "[a-z]"
+            else:
+                cls = re.escape(ch)
+            if runs and runs[-1][0] == cls:
+                runs[-1] = (cls, runs[-1][1] + 1)
+            else:
+                runs.append((cls, 1))
+        return runs
+
+    def fit(self, pairs: list[tuple[str, str]]) -> bool:
+        sigs = []
+        for src, label in pairs:
+            label_n = normalize_ws(label)
+            if not label_n or label_n not in normalize_ws(src):
+                return False
+            sigs.append(self._runs(label_n))
+        if len({tuple(c for c, _ in s) for s in sigs}) != 1:
+            return False
+        parts = []
+        for i, (cls, _n) in enumerate(sigs[0]):
+            lo = min(s[i][1] for s in sigs)
+            hi = max(s[i][1] for s in sigs)
+            if cls not in (r"\d", "[A-Z]", "[a-z]"):
+                parts.append(cls * lo)  # literal runs: exact repeat
+                continue
+            quant = f"{{{lo}}}" if lo == hi else f"{{{lo},{hi}}}"
+            parts.append(cls + quant)
+        self.pattern = "".join(parts)
+        return bool(self.pattern)
+
+    def predict(self, text: str) -> str | None:
+        if not self.pattern:
+            return None
+        m = re.search(self.pattern, normalize_ws(text or ""))
+        return m.group(0) if m else None
+
+    def state(self) -> dict:
+        return {"pattern": self.pattern}
+
+
 class FirstNumberMethod(Method):
     name = "first_number"
 
@@ -180,6 +242,7 @@ METHOD_ORDER: list[type[Method]] = [
     IdentityMethod,
     AffixMethod,
     DateIsoMethod,
+    RegexShapeMethod,
     FirstNumberMethod,
     LastTokenMethod,
     LookupMethod,

@@ -254,6 +254,70 @@ def ivf_topk(
     )
 
 
+def link_embeddings(
+    mentions: DataFrame, entities: DataFrame, min_sim: float = 0.0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding entity linking with a broadcast candidate table
+    (SURVEY §7.1 step 6): each mention links to its argmax-cosine entity.
+
+    The entity catalog is small by contract (10²-10⁶ rows) → it ships to
+    every executor as a dense numpy matrix; each Arrow batch of mentions
+    scores against it with ONE matmul and emits the per-row argmax —
+    zero shuffle, zero join, linear in the mention count. Deterministic
+    tie-break: highest sim, then lowest entity id.
+
+    Output: (mention_id, entity_id, sim) with sim ≥ min_sim.
+    """
+    ent = entities.select(id_col, vec_col).toPandas().sort_values(id_col)
+    ent_ids = ent[id_col].to_numpy()
+    ent_m = _normalize_rows(
+        np.array([np.asarray(v, dtype=np.float64) for v in ent[vec_col]])
+    )
+    spark = mentions.sparkSession
+    bc = spark.sparkContext.broadcast((ent_ids, ent_m))
+    from pyspark.sql import types as T
+
+    id_type = mentions.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("mention_id", id_type),
+            T.StructField("entity_id", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        ids, m_ent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"mention_id": [], "entity_id": [], "sim": []}
+                ).astype({"sim": "float64"})
+                continue
+            m = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (m / norms) @ m_ent.T
+            # argmax with (sim desc, entity_id asc): ids are sorted asc,
+            # so numpy argmax (first max) IS the tie-break
+            best = sims.argmax(axis=1)
+            out = pd.DataFrame(
+                {
+                    "mention_id": pdf[id_col].to_numpy(),
+                    "entity_id": ids[best],
+                    "sim": sims[np.arange(len(m)), best],
+                }
+            )
+            yield out[out["sim"] >= min_sim]
+
+    return mentions.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
 def signlsh_tables(
     df: DataFrame, vec_col: str, dim: int,
     planes_per_table: int = 10, n_tables: int = 6,

@@ -13,13 +13,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny per-language stopword marker sets (n-gram heuristic; deterministic)
+# per-language stopword marker sets (n-gram heuristic; deterministic).
+# ASCII-only so lowercasing/replace semantics are identical across
+# engines; __spark_entry__ derives its DuckDB oracle from THIS dict, so
+# the two can never drift.
 _LANG_MARKERS: dict[str, list[str]] = {
-    "en": [" the ", " and ", " of ", " is ", " that "],
-    "fr": [" le ", " la ", " les ", " et ", " est "],
-    "es": [" el ", " los ", " que ", " es ", " una "],
-    "de": [" der ", " die ", " und ", " ist ", " das "],
-    "pt": [" o ", " os ", " que ", " uma ", " com "],
+    "en": [" the ", " and ", " of ", " is ", " that ",
+           " with ", " for ", " this ", " are ", " have "],
+    "fr": [" le ", " la ", " les ", " et ", " est ",
+           " des ", " dans ", " pour ", " qui ", " pas "],
+    "es": [" el ", " los ", " que ", " es ", " una ",
+           " las ", " por ", " con ", " para ", " del "],
+    "de": [" der ", " die ", " und ", " ist ", " das ",
+           " nicht ", " mit ", " ein ", " auf ", " von "],
+    "pt": [" o ", " os ", " que ", " uma ", " com ",
+           " para ", " dos ", " em ", " se ", " mais "],
+    "it": [" il ", " di ", " che ", " per ", " sono ",
+           " del ", " non ", " alla ", " anche ", " come "],
+    "nl": [" de ", " het ", " een ", " van ", " en ",
+           " dat ", " op ", " te ", " voor ", " zijn "],
+    "sv": [" och ", " att ", " det ", " som ", " av ",
+           " med ", " den ", " inte ", " har ", " om "],
+    "id": [" yang ", " dan ", " di ", " ini ", " itu ",
+           " dengan ", " untuk ", " pada ", " adalah ", " dari "],
+    "tr": [" bir ", " ve ", " bu ", " ile ", " olarak ",
+           " gibi ", " daha ", " sonra ", " kadar ", " ama "],
 }
 
 

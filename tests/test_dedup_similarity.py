@@ -213,3 +213,24 @@ def test_ivf_topk_equals_bruteforce_at_full_probe(spark):
     probe1 = similarity.ivf_topk(df, queries, k=3, n_clusters=4, nprobe=1).toPandas()
     assert (probe1["rank"] <= 3).all()
     assert set(probe1["query_id"]) <= {0, 1, 2, 3}
+
+
+def test_link_embeddings_argmax(spark):
+    """Broadcast entity-catalog linking: per-mention argmax cosine,
+    deterministic lowest-entity-id tie-break, min_sim floor applied."""
+    ents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    mentions = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r["mention_id"]: r for r in
+           similarity.link_embeddings(mentions, ents, min_sim=0.0).collect()}
+    assert out[10]["entity_id"] == 0
+    assert out[11]["entity_id"] == 1  # ties with entity 2 → lowest id wins
+    assert out[12]["entity_id"] == 1 and out[12]["sim"] == 0.0  # orthogonal
+    floored = {r["mention_id"] for r in
+               similarity.link_embeddings(mentions, ents, min_sim=0.5).collect()}
+    assert floored == {10, 11}  # sim floor drops the orthogonal mention

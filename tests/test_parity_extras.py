@@ -229,3 +229,21 @@ def test_write_table_iceberg_branch_routing(spark, monkeypatch):
 
     io.write_table(df, "edges", "/tmp/unused", mode="overwrite")
     assert calls["table"] == "kg.edges" and calls["mode"] == "createOrReplace"
+
+
+def test_regex_shape_method():
+    """Shape induction: fixed-shape values in varying context, where the
+    affix method has no common prefix/suffix to latch onto."""
+    from pdf_metadata_extraction_spark.operators import methods as M
+
+    pairs = [("AB12 is the ref", "AB12"), ("code=XY99.", "XY99"),
+             ("(CD7)", "CD7")]
+    name, state, acc = M.select_best_method(pairs)
+    assert name == "regex_shape"
+    assert state["pattern"] == r"[A-Z]{2}\d{1,2}"
+    assert acc == pytest.approx(2 / 3)  # LOO: the 1-digit shape is unseen
+    m = M.RegexShapeMethod.from_state(state)
+    assert m.predict("code EF34 trailing") == "EF34"
+    # mismatched shapes across labels → method not applicable
+    r = M.RegexShapeMethod()
+    assert r.fit([("a 12", "12"), ("b xy", "xy")]) is False

@@ -110,6 +110,11 @@ Job: full KG pipeline (pages → fused extract+segment → entity link →
 edges count) via `spark-submit --py-files dist/pipeline.zip`, same input
 ({n_pages:,} synthetic pages, mega-domain skew 50%), cold JVM per level,
 warm timing = best of runs 2-5 (python worker pools + JIT warm).
+Round-2 workload note: the entity-linking stage now includes the fuzzy
+dictionary tier (case/accent fold + plural + flexible separators), so
+edge counts and per-page cost are higher than round-1 at identical
+inputs — the round-over-round comparison is MB/sec on THIS table, not
+against round-1 rows.
 
 | master | pages | edges | runs (s) | warm s | pages/sec | MB/sec |
 |---|---|---|---|---|---|---|
