@@ -62,9 +62,21 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS
+    signatures: DataFrame,
+    perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band-bucket self-join → candidate (id_a < id_b) pairs, deduped."""
+    """Band-bucket self-join → candidate (id_a < id_b) pairs, deduped.
+
+    ``max_bucket_size``: drop buckets above the cap before the self-join.
+    On a web corpus the giant buckets are boilerplate shells (cookie
+    banners, parked domains) whose members are already collapsed by
+    EXACT dedup upstream — the n²-per-bucket blowup they cause here buys
+    nothing. This is the standard guard in C4/OpenWebText-style
+    pipelines; capped buckets are a deliberate recall cut, so log/count
+    them (the window count below is one extra shuffle on the same key
+    the join shuffles on — AQE coalesces it)."""
     rows_per_band = perms // bands
     band_cols = []
     for b in range(bands):
@@ -73,6 +85,13 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -333,6 +333,8 @@ def segment_doc(
         is_label = any(
             _token_center_in_box(t, lb) for t in members for lb in label_boxes
         )
+        inked = [t for t in members if (t["text"] or "").strip()]
+        sizes = [t.get("font_size") or 0.0 for t in inked]
         segments.append(
             {
                 "segment_id": sid,
@@ -341,6 +343,11 @@ def segment_doc(
                 "segment_type": seg_type or _heuristic_type(members, median_font),
                 "boxes": _line_boxes(members, page_dims),
                 "is_label": is_label,
+                "font_size": (sum(sizes) / len(sizes)) if sizes else 0.0,
+                "bold_ratio": (
+                    sum(1.0 for t in inked if t.get("bold")) / len(inked)
+                    if inked else 0.0
+                ),
             }
         )
         sid += 1
@@ -418,9 +425,13 @@ def _segs_to_pdf(url: str, segs: list[dict]) -> pd.DataFrame:
             "segment_type": s["segment_type"],
             "boxes": s["boxes"],
             "is_label": s["is_label"],
+            "font_size": s["font_size"],
+            "bold_ratio": s["bold_ratio"],
         }
         for s in segs
     ]
     return pd.DataFrame(
-        rows, columns=["url", "segment_id", "page", "text", "segment_type", "boxes", "is_label"]
+        rows,
+        columns=["url", "segment_id", "page", "text", "segment_type", "boxes",
+                 "is_label", "font_size", "bold_ratio"],
     )

@@ -33,10 +33,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _WORD_RE = re.compile(r"[a-zA-Z]{2,}")
-N_FEATURES = 34
+N_FEATURES = 38
 _CTX_COLS = [
     "n_segs", "max_page", "mean_len", "prev_type", "next_type",
-    "prev_len", "next_len",
+    "prev_len", "next_len", "doc_font",
 ]
 
 
@@ -76,6 +76,11 @@ def with_context_features(segments: DataFrame) -> DataFrame:
         .withColumn("next_type", F.lead("segment_type").over(wo))
         .withColumn("prev_len", F.lag(F.length(F.coalesce("text", F.lit("")))).over(wo))
         .withColumn("next_len", F.lead(F.length(F.coalesce("text", F.lit("")))).over(wo))
+        .withColumn(
+            "doc_font",
+            F.avg(F.coalesce("font_size", F.lit(0.0))).over(wd)
+            if "font_size" in segments.columns else F.lit(0.0),
+        )
     )
 
 
@@ -156,6 +161,15 @@ def segment_features(pdf: pd.DataFrame, vocab: list[str]) -> np.ndarray:
         X[:, 31] = (pdf["next_type"] == "Title").to_numpy(dtype=np.float64)
         X[:, 32] = np.log1p(pdf["prev_len"].fillna(0).to_numpy(dtype=np.float64))
         X[:, 33] = np.log1p(pdf["next_len"].fillna(0).to_numpy(dtype=np.float64))
+    # -------- font statistics (reference scorer is largely font-driven)
+    if "font_size" in pdf.columns:
+        fsz = pdf["font_size"].fillna(0).to_numpy(dtype=np.float64)
+        X[:, 34] = fsz
+        X[:, 35] = pdf["bold_ratio"].fillna(0).to_numpy(dtype=np.float64)
+        if "doc_font" in pdf.columns:
+            dfz = np.maximum(pdf["doc_font"].fillna(0).to_numpy(dtype=np.float64), 1e-9)
+            X[:, 36] = fsz / dfz
+            X[:, 37] = (fsz > dfz * 1.2).astype(np.float64)
     return X
 
 
@@ -190,9 +204,10 @@ def score_matrix(X: np.ndarray, state: dict) -> np.ndarray:
 
 def train_selector(train_segments: DataFrame, vocab: list[str]) -> dict:
     """Fit the segment scorer on (segments, is_label) training rows."""
+    font_cols = [c for c in ("font_size", "bold_ratio") if c in train_segments.columns]
     pdf = with_context_features(train_segments).select(
         "text", "page", "segment_id", "segment_type", "boxes", "is_label",
-        *_CTX_COLS,
+        *font_cols, *_CTX_COLS,
     ).toPandas()
     if pdf.empty or pdf["is_label"].sum() == 0:
         return {"w": [0.0] * N_FEATURES, "b": 0.0, "mu": [0.0] * N_FEATURES,

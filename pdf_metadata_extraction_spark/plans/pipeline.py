@@ -120,7 +120,7 @@ def segments_from_pages(
             yield pd.DataFrame(
                 rows,
                 columns=["url", "segment_id", "page", "text", "segment_type",
-                         "boxes", "is_label"],
+                         "boxes", "is_label", "font_size", "bold_ratio"],
             )
 
     return df.mapInPandas(run, schema=SEGMENTS)

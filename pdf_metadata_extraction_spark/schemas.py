@@ -90,6 +90,10 @@ SEGMENTS = T.StructType(
         T.StructField("segment_type", T.StringType(), True),
         T.StructField("boxes", T.ArrayType(SEGMENT_BOX), True),
         T.StructField("is_label", T.BooleanType(), True),
+        # font statistics over member tokens — the reference's segment
+        # scorer is largely font-driven (LightGBM feature set)
+        T.StructField("font_size", T.DoubleType(), True),
+        T.StructField("bold_ratio", T.DoubleType(), True),
     ]
 )
 

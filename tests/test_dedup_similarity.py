@@ -234,3 +234,18 @@ def test_link_embeddings_argmax(spark):
     floored = {r["mention_id"] for r in
                similarity.link_embeddings(mentions, ents, min_sim=0.5).collect()}
     assert floored == {10, 11}  # sim floor drops the orthogonal mention
+
+
+def test_lsh_candidate_pairs_bucket_cap(spark):
+    """max_bucket_size drops boilerplate mega-buckets before the
+    quadratic self-join: 100 identical shells would contribute 4,950
+    pairs; with the cap only the small legitimate bucket survives."""
+    rows = [(i, "identical boilerplate shell page") for i in range(100)]
+    rows += [(1000, "a unique real document body"), (1001, "a unique real document body")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = minhash_signature(shingles(df, "doc_id", "text"), perms=4)
+    capped = lsh_candidate_pairs(sigs, perms=4, bands=1, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert pairs == {(1000, 1001)}
+    full = lsh_candidate_pairs(sigs, perms=4, bands=1).count()
+    assert full == 4950 + 1

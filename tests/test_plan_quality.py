@@ -132,3 +132,34 @@ def test_ivf_inverted_lists_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "cluster" in plan.split("PartitionFilters")[1][:200]
     assert probe.count() > 0
+
+
+def test_banded_joins_are_key_joins_not_cartesian(spark):
+    """Every *banded* candidate generator must compile to a key-equi
+    join on (band, bucket) — a CartesianProduct / BroadcastNestedLoop
+    here means the LSH layout silently degenerated to all-pairs."""
+    from pdf_metadata_extraction_spark.operators import dedup, similarity
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        lsh_candidate_pairs, minhash_signature, shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with shared words") for i in range(30)],
+        "doc_id int, text string",
+    )
+    for q in (
+        dedup.simhash_band_pairs(docs, "doc_id"),
+        lsh_candidate_pairs(
+            minhash_signature(shingles(docs, "doc_id", "text"), perms=4), perms=4
+        ),
+        similarity.cosine_pairs(
+            spark.createDataFrame(
+                [(i, [float(i % 5), 1.0, 0.5, 0.1]) for i in range(20)],
+                "vec_id int, embedding array<float>",
+            ),
+            dim=4, planes_per_table=4, n_tables=2,
+        ),
+    ):
+        plan = _plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
