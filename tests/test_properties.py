@@ -134,3 +134,47 @@ def test_vectorized_proximity_clusters_equals_reference(toks):
         for i, (p, l, t, w, h, fsz) in enumerate(toks)
     ]
     assert _proximity_clusters(tokens) == _proximity_clusters_py(tokens)
+
+
+def test_proximity_cluster_chunking_path(monkeypatch):
+    """Force the 4M-pair memory cap down to 7 so the anchor-chunk loop
+    runs many times on one dense page — output must stay identical to
+    the unchunked reference scan."""
+    from pdf_metadata_extraction_spark.operators import segment as seg
+
+    tokens = [
+        dict(page=1, token_idx=i, text="w", left=(i % 10) * 30.0,
+             top=(i // 10) * 11.0, width=28.0, height=10.0,
+             font_id="f", font_size=10.0, bold=False)
+        for i in range(120)
+    ]
+    expected = seg._proximity_clusters_py(tokens)
+    monkeypatch.setattr(seg, "_PAIR_CHUNK", 7)
+    assert seg._proximity_clusters(tokens) == expected
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.text(alphabet="aBc 1-és", max_size=30),
+    st.lists(
+        st.sampled_from(["Ab", "ab c", "C-1", "és", "Abs", "b1"]),
+        max_size=3, unique=True,
+    ),
+)
+def test_fuzzy_matcher_equals_duckdb_regex(text, labels):
+    """The j3_fuzzy_match oracle contract: linking.py's fuzzy tier and
+    the RE2 SQL pattern built by __spark_entry__._fuzzy_sql_pattern must
+    agree on WHETHER each label matches a text (doc-count semantics)."""
+    import duckdb
+
+    from __spark_entry__ import _fuzzy_sql_pattern
+    from pdf_metadata_extraction_spark.operators.linking import match_options
+
+    got = {v["label"] for v in match_options(text, [(l, l) for l in labels], True)}
+    con = duckdb.connect()
+    for lab in labels:
+        sql_hit = con.execute(
+            "SELECT regexp_matches(lower(strip_accents(?)), ?)",
+            [text, _fuzzy_sql_pattern(lab)],
+        ).fetchone()[0]
+        assert sql_hit == (lab in got), (text, lab)

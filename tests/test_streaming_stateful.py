@@ -113,3 +113,71 @@ def test_mega_domain_state_stays_bounded():
     open_ = rows2[~rows2["closed"]].iloc[0]
     assert open_["n_pages"] == 1 and open_["n_distinct_docs"] == 1
     assert len(state.get[2]) == stateful._SKETCH_BYTES
+
+
+def test_windowed_event_counts_watermark_stream(spark, tmp_path):
+    """Event-time tumbling window + watermark, driven as a real stream
+    (two files = two micro-batches, second batch carries a late event).
+    Append mode emits only finalized windows; batch equivalence pinned
+    against the same aggregation run as a plain DataFrame."""
+    import json as _json
+
+    from pdf_metadata_extraction_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    feed = tmp_path / "evfeed"
+    feed.mkdir()
+    rows1 = [
+        {"ts": "2021-01-01T00:10:00", "event_type": "a", "value": 1.0},
+        {"ts": "2021-01-01T00:50:00", "event_type": "a", "value": 3.0},
+        {"ts": "2021-01-01T01:10:00", "event_type": "b", "value": 5.0},
+    ]
+    # batch 2: advances event time to 03:10 (watermark → 02:40, hour-0
+    # and hour-1 windows finalize) + one late-but-inside-watermark event
+    rows2 = [
+        {"ts": "2021-01-01T03:10:00", "event_type": "a", "value": 7.0},
+        {"ts": "2021-01-01T01:20:00", "event_type": "b", "value": 9.0},
+    ]
+    (feed / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+
+    schema = "ts timestamp, event_type string, value double"
+    out_dir = str(tmp_path / "winout")
+    ckpt = str(tmp_path / "winckpt")
+
+    def run_once():
+        q = (
+            windowed_event_counts(spark.readStream.schema(schema).json(str(feed)))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # batch 1: nothing finalized yet (watermark still low)
+    (feed / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run_once()  # batch 2: hours 0 and 1 finalize and emit
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["avg_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("2021-01-01 00:00:00", "a")] == (2, 2.0)
+    # the late 01:20 'b' event landed inside the watermark → counted
+    assert got[("2021-01-01 01:00:00", "b")] == (2, 7.0)
+    # hour-3 window is NOT emitted (not yet finalized) in append mode
+    assert not any(k[0].startswith("2021-01-01 03") for k in got)
+
+    # batch equivalence on the finalized windows: same operator over the
+    # static files agrees where windows are complete
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["avg_value"])
+        for r in windowed_event_counts(
+            spark.read.schema(schema).json(str(feed))
+        ).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v
