@@ -369,6 +369,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_hash", "n_dups", "canonical_id"
         )
 
+    # ------------------------------------------------ dedup: member map
+    def dedup_membership(spark, sf_dir):
+        """Scale-shape dedup output: one narrow row per duplicate member
+        (window min over the hash partitioning — no arrays)."""
+        corpus = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+            _t(spark, sf_dir, "documents").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), F.upper("text").alias("text")
+            )
+        )
+        return dedup.duplicate_membership(corpus, "doc_id")
+
     # ------------------------------------------------ dedup: simhash
     def dedup_simhash(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").where("doc_id < 100")
@@ -431,6 +442,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return connected_components(edges).select("id", "component")
+
+    # ------------------------------------------------ full canonicalization
+    def full_canonicalize(spark, sf_dir):
+        """The composed flagship dedup path end-to-end: shingles →
+        8-perm MinHash → 4-band LSH candidates → est-Jaccard ≥ 0.5
+        verify → connected components → (doc_id, canonical_id)."""
+        from pdf_metadata_extraction_spark.operators.canonicalize import (
+            canonicalize,
+        )
+
+        corpus = _doubled_corpus(
+            _t(spark, sf_dir, "documents").where("doc_id < 150")
+        )
+        return canonicalize(corpus, "doc_id", "text", perms=8, bands=4)
 
     # ------------------------------------------------ similarity: exact topk
     def cosine_topk(spark, sf_dir):
@@ -562,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_triples": kg_mention_triples,
         "j4_zip_join": j4_zip_join,
         "dedup_exact": dedup_exact,
+        "dedup_membership": dedup_membership,
         "dedup_simhash": dedup_simhash,
         "simhash_band_pairs": simhash_band_pairs,
         "minhash_signatures": minhash_signatures,
@@ -569,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "lsh_gated_jaccard": lsh_gated_jaccard,
         "canonical_components": canonical_components,
+        "full_canonicalize": full_canonicalize,
         "cosine_topk": cosine_topk,
         "ivf_ann_topk": ivf_ann_topk,
         "embedding_near_dup": embedding_near_dup,
@@ -784,6 +811,22 @@ SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
        count(*) AS n_dups, min(doc_id) AS canonical_id
 FROM corpus GROUP BY 1 HAVING count(*) > 1
 """,
+        "dedup_membership": """
+WITH corpus AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents),
+hashed AS (
+  SELECT doc_id AS id,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash
+  FROM corpus
+), win AS (
+  SELECT id, text_hash,
+         min(id) OVER (PARTITION BY text_hash) AS canonical_id,
+         count(*) OVER (PARTITION BY text_hash) AS n_dups
+  FROM hashed
+)
+SELECT id, text_hash, canonical_id, (id = canonical_id) AS is_canonical
+FROM win WHERE n_dups > 1
+""",
         "dedup_simhash": _simhash_sql(),
         "simhash_band_pairs": _simhash_pairs_sql(),
         "minhash_signatures": _minhash_sig_sql(
@@ -865,6 +908,35 @@ reach(id, r) AS (
 )
 SELECT id, min(r) AS component FROM reach GROUP BY id
 """,
+        "full_canonicalize": (lambda corpus_sql: f"""
+WITH RECURSIVE sigs AS ({_minhash_sig_sql(8, corpus_sql)}),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         ((a.mh_0=b.mh_0)::INT + (a.mh_1=b.mh_1)::INT + (a.mh_2=b.mh_2)::INT +
+          (a.mh_3=b.mh_3)::INT + (a.mh_4=b.mh_4)::INT + (a.mh_5=b.mh_5)::INT +
+          (a.mh_6=b.mh_6)::INT + (a.mh_7=b.mh_7)::INT) / 8.0 AS est_j
+  FROM sigs a JOIN sigs b ON a.id < b.id AND (
+       (a.mh_0=b.mh_0 AND a.mh_1=b.mh_1) OR (a.mh_2=b.mh_2 AND a.mh_3=b.mh_3)
+    OR (a.mh_4=b.mh_4 AND a.mh_5=b.mh_5) OR (a.mh_6=b.mh_6 AND a.mh_7=b.mh_7))
+),
+verified AS (SELECT id_a, id_b FROM cand WHERE est_j >= 0.5),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS canonical_id
+FROM ({corpus_sql}) c LEFT JOIN comp ON comp.id = c.doc_id
+""")(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 150 "
+            "UNION ALL SELECT doc_id + 100000 AS doc_id, upper(text) AS text "
+            "FROM documents WHERE doc_id < 150"
+        ),
         "cosine_topk": f"""
 WITH e AS ({emb_explode}),
 sims AS (

@@ -29,22 +29,49 @@ def normalized_text(text_col: str = "text"):
     return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    with_members: bool = False,
+) -> DataFrame:
     """Exact dedup: md5 of normalized text → groups with >1 member.
 
-    Returns (text_hash, n_dups, canonical_id=min id, member_ids sorted).
+    Returns (text_hash, n_dups, canonical_id=min id [, member_ids]).
     Shuffle on the 32-char hash — uniform keys, no skew; partial
-    count/min happen map-side.
+    count/min happen map-side. ``with_members`` materializes the member
+    array — test-scale only: a boilerplate page with 10⁹ copies becomes
+    one giant array row (the hub-OOM shape). At scale use
+    ``duplicate_membership`` for the narrow (id → canonical) mapping.
     """
+    aggs = [F.count("*").alias("n_dups"), F.min("id").alias("canonical_id")]
+    if with_members:
+        aggs.append(F.array_sort(F.collect_list("id")).alias("member_ids"))
     return (
         df.select(F.col(id_col).alias("id"), F.md5(normalized_text(text_col)).alias("text_hash"))
         .groupBy("text_hash")
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.min("id").alias("canonical_id"),
-            F.array_sort(F.collect_list("id")).alias("member_ids"),
-        )
+        .agg(*aggs)
         .where(F.col("n_dups") > 1)
+    )
+
+
+def duplicate_membership(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Scale-shape dedup map: one NARROW row per duplicate member —
+    (id, text_hash, canonical_id, is_canonical). Window min over the
+    hash partitioning (spill-safe streaming agg, no arrays)."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalized_text(text_col)).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("n_dups", F.count("*").over(w))
+        .where(F.col("n_dups") > 1)
+        .select(
+            "id", "text_hash", "canonical_id",
+            (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+        )
     )
 
 
@@ -102,12 +129,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical 64-bit simhash fingerprint (bucket groupBy)."""
+def simhash_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    with_members: bool = False,
+) -> DataFrame:
+    """Docs sharing an identical 64-bit simhash fingerprint (bucket
+    groupBy). ``with_members`` is test-scale only (giant-array hazard —
+    see exact_duplicates); the scale path pairs via
+    ``simhash_band_pairs``."""
+    aggs = [F.count("*").alias("n_docs")]
+    if with_members:
+        aggs.append(F.array_sort(F.collect_list("id")).alias("member_ids"))
     return (
         simhash(df, id_col, text_col)
         .groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list("id")).alias("member_ids"))
+        .agg(*aggs)
         .where(F.col("n_docs") > 1)
     )
 

@@ -29,10 +29,16 @@ def docs(spark):
 
 def test_exact_duplicates(spark, docs):
     out = {r["canonical_id"]: r for r in
-           dedup.exact_duplicates(docs, "doc_id").collect()}
+           dedup.exact_duplicates(docs, "doc_id", with_members=True).collect()}
     assert set(out) == {1, 4}
     assert out[1]["member_ids"] == [1, 2]
     assert out[4]["n_dups"] == 2
+    # scale shape: narrow per-member mapping, no arrays
+    mem = {r["id"]: r for r in
+           dedup.duplicate_membership(docs, "doc_id").collect()}
+    assert set(mem) == {1, 2, 4, 5}
+    assert mem[2]["canonical_id"] == 1 and not mem[2]["is_canonical"]
+    assert mem[1]["is_canonical"]
 
 
 def test_simhash_near_dup(spark, docs):
