@@ -146,7 +146,7 @@ def connected_components(
         .persist()
     )
 
-    def _star(cur: DataFrame, large: bool) -> DataFrame:
+    def _star(cur: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         # Rows stay narrow: instead of materializing each node's whole
         # neighborhood with collect_set (one array of 10⁷⁺ ids for a hub
         # node of a mega-component ⇒ executor OOM), attach the per-node
@@ -163,11 +163,16 @@ def connected_components(
         out = with_min.where(cond).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         ).union(with_min.select("u", F.col("m").alias("v")))
-        return out.where(F.col("u") != F.col("v")).distinct()
+        out = out.where(F.col("u") != F.col("v"))
+        # the intermediate dedup between the two star halves is optional:
+        # duplicate edges don't change any window min, and skipping the
+        # (u, v) exchange saves one full shuffle per round — only the
+        # round-final distinct is load-bearing (edge-set fingerprint)
+        return out.distinct() if dedup else out
 
     prev_hash = None
     for _ in range(max_iter):
-        e2 = _star(e, large=True)
+        e2 = _star(e, large=True, dedup=False)
         e2 = _star(e2, large=False).localCheckpoint(eager=True)
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
