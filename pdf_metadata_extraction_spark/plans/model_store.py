@@ -55,6 +55,17 @@ def load_model(root: str, run_name: str, extraction_name: str) -> ExtractionMode
     return ExtractionModel(**data)
 
 
+def delete_extractor(root: str, run_name: str, extraction_name: str) -> bool:
+    """DELETE /{run_name}/{extraction_name}: remove the extraction's
+    model + cache folder entirely (reference behavior pinned at
+    /root/reference/src/tests/test_app.py:866-885 — returns true and the
+    path no longer exists; idempotent on a missing extractor)."""
+    d = _model_dir(root, run_name, extraction_name)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    return True
+
+
 def cleanup_stale_models(root: str, ttl_seconds: int = MODEL_TTL_SECONDS,
                          now: float | None = None) -> list[str]:
     """D3: remove model dirs older than the TTL. Returns removed paths."""

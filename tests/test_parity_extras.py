@@ -247,3 +247,22 @@ def test_regex_shape_method():
     # mismatched shapes across labels → method not applicable
     r = M.RegexShapeMethod()
     assert r.fit([("a 12", "12"), ("b xy", "xy")]) is False
+
+
+def test_delete_extractor(tmp_path):
+    """Reference test_app.py:866-885: DELETE /{run}/{extraction} removes
+    the extraction folder; returns true; idempotent."""
+    from pdf_metadata_extraction_spark.plans.model_store import (
+        MODEL_NOT_FOUND, delete_extractor, load_model, save_model,
+    )
+    from pdf_metadata_extraction_spark.plans.pipeline import ExtractionModel
+
+    root = str(tmp_path / "models")
+    save_model(root, ExtractionModel(run_name="r", extraction_name="e",
+                                     kind="text_to_text"))
+    assert os.path.isdir(os.path.join(root, "r", "e"))
+    assert delete_extractor(root, "r", "e") is True
+    assert not os.path.exists(os.path.join(root, "r", "e"))
+    with pytest.raises(FileNotFoundError, match=MODEL_NOT_FOUND):
+        load_model(root, "r", "e")
+    assert delete_extractor(root, "r", "e") is True  # idempotent
