@@ -90,7 +90,9 @@ def test_mega_domain_state_stays_bounded():
             self.exists = True
 
     state = MockState()
-    n, distinct = 200_000, 150_000
+    # 1M events; distinct kept inside the sketch's documented accuracy
+    # envelope (~m/2 = 32k) — beyond that the module says "swap for HLL"
+    n, distinct = 1_000_000, 30_000
     ts = pd.to_datetime(1_600_000_000 + pd.Series(range(n)), unit="s")
     fps = [f"fp{i % distinct}" for i in range(n)]
     pdf = pd.DataFrame({"ts": ts, "fingerprint": fps})
