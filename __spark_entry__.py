@@ -48,11 +48,11 @@ def _fuzzy_sql_pattern(label: str) -> str:
     import re as _re
 
     from pdf_metadata_extraction_spark.operators.linking import (
-        fold_text,
+        fold_strip,
         fuzzy_token_body,
     )
 
-    toks = _re.findall(r"[0-9a-z]+", fold_text(label))
+    toks = _re.findall(r"[0-9a-z]+", fold_strip(label)[0])
     body = r"[^0-9a-z]+".join(fuzzy_token_body(t) for t in toks)
     return f"(^|[^0-9a-z])({body})($|[^0-9a-z])"
 

@@ -236,7 +236,10 @@ def ngram_jaccard_for_pairs(
     ga = grams.select(F.col("id").alias("id_a"), "gram")
     gb = grams.select(F.col("id").alias("id_b"), "gram")
     inter = (
-        pairs.select("id_a", "id_b")
+        # dedup the candidate pairs defensively: a duplicated (id_a,id_b)
+        # row would multiply the gram-join rows and inflate `inter`
+        # (jaccard > 1). Cheap relative to the gram joins.
+        pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
         .join(ga, "id_a")
         .join(gb, ["id_b", "gram"])
         .groupBy("id_a", "id_b")

@@ -76,11 +76,23 @@ def _alternation(labels: tuple[str, ...]) -> re.Pattern:
 # (punctuation/whitespace inside labels), and singular/plural tolerance
 # per token. One alternation scan per text — no per-label loops.
 
+_MARK_SENTINEL = "\x01"
+
+
 def _fold_char(ch: str) -> str:
-    """Single folded char for one input char (length-preserving map)."""
+    """Single folded char for one input char (length-preserving map).
+
+    Combining marks (decomposed-Unicode accents, e.g. U+0301 in
+    'e\\u0301s') fold to a sentinel so ``fold_strip`` can remove them
+    with an index map — mirroring DuckDB ``strip_accents``, which
+    deletes them outright (the j3_fuzzy_match oracle contract)."""
     import unicodedata
 
+    if unicodedata.combining(ch):
+        return _MARK_SENTINEL
     base = unicodedata.normalize("NFD", ch)[:1] or ch
+    if unicodedata.combining(base):
+        return _MARK_SENTINEL
     low = base.lower()[:1]
     return low or ch
 
@@ -101,9 +113,25 @@ _FOLD_TABLE = _FoldTable()
 
 def fold_text(text: str) -> str:
     """Length-preserving case+accent fold: every char maps to exactly one
-    folded char, so fuzzy-match spans index the ORIGINAL text directly
-    (the highlight markup wraps the original surface form)."""
+    folded char (combining marks → sentinel), so fuzzy-match spans index
+    the ORIGINAL text directly (the highlight markup wraps the original
+    surface form)."""
     return text.translate(_FOLD_TABLE)
+
+
+def fold_strip(text: str) -> tuple[str, list[int] | None]:
+    """Fold + REMOVE combining-mark sentinels, exactly like DuckDB's
+    ``lower(strip_accents(x))`` removes decomposed accents.
+
+    Returns (stripped_folded, index_map) where index_map[i] is the
+    original-text index of stripped char i (None when nothing was
+    stripped — the overwhelmingly common fast path stays one C-speed
+    ``str.translate`` with no per-char Python)."""
+    folded = fold_text(text)
+    if _MARK_SENTINEL not in folded:
+        return folded, None
+    keep = [i for i, ch in enumerate(folded) if ch != _MARK_SENTINEL]
+    return "".join(folded[i] for i in keep), keep
 
 
 def fuzzy_token_body(tok: str) -> str:
@@ -114,7 +142,7 @@ def fuzzy_token_body(tok: str) -> str:
 
 
 def _fuzzy_body(label: str) -> str | None:
-    toks = re.findall(r"[0-9a-z]+", fold_text(label))
+    toks = re.findall(r"[0-9a-z]+", fold_strip(label)[0])
     if not toks:
         return None
     return r"[^0-9a-z]+".join(fuzzy_token_body(t) for t in toks)
@@ -171,11 +199,19 @@ def match_options(
         fz = _fuzzy_alternation(tuple(ids_by_label))
         if fz is not None:
             fz_pat, by_group = fz
-            folded = fold_text(text)
+            folded, idx_map = fold_strip(text)
             for m in fz_pat.finditer(folded):
                 lab = by_group[m.lastgroup]
                 if lab not in first_span:
-                    first_span[lab] = (m.start(), m.end())
+                    s, e = m.start(), m.end()
+                    if idx_map is not None:
+                        # map stripped-coordinates back to the original
+                        # text so the highlight wraps the surface form;
+                        # the end extends to the next kept char so
+                        # trailing combining marks stay with their base
+                        s = idx_map[s]
+                        e = idx_map[e] if e < len(idx_map) else len(text)
+                    first_span[lab] = (s, e)
     found = sorted(
         (s, e, ids_by_label[lab], lab) for lab, (s, e) in first_span.items()
     )

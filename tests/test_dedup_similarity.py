@@ -255,3 +255,16 @@ def test_lsh_candidate_pairs_bucket_cap(spark):
     assert pairs == {(1000, 1001)}
     full = lsh_candidate_pairs(sigs, perms=4, bands=1).count()
     assert full == 4950 + 1
+
+
+def test_ngram_jaccard_for_pairs_dedups_candidate_input(spark, docs):
+    """Regression (round-2 ADVICE): duplicated (id_a,id_b) candidate rows
+    must not inflate the intersection count (jaccard stayed <= 1 only
+    because lsh_candidate_pairs happened to end in distinct())."""
+    clean = spark.createDataFrame([(1, 3)], "id_a int, id_b int")
+    doubled = clean.unionByName(clean)
+    a = dedup.ngram_jaccard_for_pairs(docs, clean, "doc_id", min_jaccard=0.0)
+    b = dedup.ngram_jaccard_for_pairs(docs, doubled, "doc_id", min_jaccard=0.0)
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb) == 1
+    assert ra[0]["jaccard"] == rb[0]["jaccard"] <= 1.0

@@ -153,11 +153,16 @@ def test_proximity_cluster_chunking_path(monkeypatch):
     assert seg._proximity_clusters(tokens) == expected
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=160, deadline=None)
 @given(
-    st.text(alphabet="aBc 1-és", max_size=30),
+    # U+0301 COMBINING ACUTE as a standalone alphabet char: hypothesis
+    # builds random DECOMPOSED sequences (e.g. "e\u0301s"), which must
+    # match exactly like the oracle's strip_accents (mark deleted)
+    st.text(alphabet="aBc 1-\u00e9\u0301", max_size=30),
     st.lists(
-        st.sampled_from(["Ab", "ab c", "C-1", "és", "Abs", "b1"]),
+        st.sampled_from(
+            ["Ab", "ab c", "C-1", "\u00e9s", "Abs", "b1", "e\u0301s"]
+        ),
         max_size=3, unique=True,
     ),
 )
@@ -178,3 +183,22 @@ def test_fuzzy_matcher_equals_duckdb_regex(text, labels):
             [text, _fuzzy_sql_pattern(lab)],
         ).fetchone()[0]
         assert sql_hit == (lab in got), (text, lab)
+
+
+def test_fuzzy_matches_decomposed_unicode_like_strip_accents():
+    """Regression (round-2 ADVICE): decomposed input 'e\\u0301s' must link
+    label '\\u00e9s' exactly as the DuckDB oracle (strip_accents deletes
+    the mark), and the highlight must wrap the ORIGINAL surface form."""
+    from pdf_metadata_extraction_spark.operators.linking import (
+        MATCH_CLOSE,
+        MATCH_OPEN,
+        match_options,
+    )
+
+    text = "les e\u0301s sont la\u0300"  # decomposed e+acute, a+grave
+    vals = match_options(text, [("o1", "\u00e9s"), ("o2", "l\u00e0")], True)
+    assert {v["label"] for v in vals} == {"\u00e9s", "l\u00e0"}
+    for v in vals:
+        inner = v["segment_text"].split(MATCH_OPEN)[1].split(MATCH_CLOSE)[0]
+        # original decomposed spans, combining marks intact
+        assert inner in ("e\u0301s", "la\u0300")
