@@ -114,6 +114,29 @@ _PERTURBED_SQL = (
 )
 
 
+def _clustered_corpus(emb: DataFrame) -> DataFrame:
+    """Deterministic CLUSTERED embedding corpus for the ANN recall gate:
+    member vec = centroid(vec_id % 8) + 0.25·own vec. The sf embeddings
+    are isotropic random (neighbor cosine ≈ 0.3 — no geometry for an
+    index to exploit), so recall is pinned on this corpus, whose
+    neighbor structure matches real embedding spaces (intra-cluster
+    cosine ≈ 0.94). Mirrors ``_CLUSTERED_CORPUS_SQL`` element-for-element
+    (same IEEE op order) so LSH buckets agree bit-exactly."""
+    cents = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    members = emb.where("vec_id >= 8 AND vec_id < 208").select(
+        "vec_id", F.pmod("vec_id", F.lit(8)).alias("cid"), "embedding"
+    )
+    return members.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        F.zip_with(
+            "cvec", "embedding",
+            lambda c, x: c.cast("double") + F.lit(0.25) * x.cast("double"),
+        ).alias("embedding"),
+    )
+
+
 # ================================================================ flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: documents → synthetic pages(html) → extract → segment →
@@ -536,10 +559,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    # ------------------------------------------------ no-oracle extras
+    # ------------------------------------------------ similarity: sign-LSH ANN
     def lsh_ann_topk(spark, sf_dir):
+        """Sign-LSH ANN at shipped defaults. The oracle is an EXACT
+        mirror (deterministic md5 hyperplanes inlined as SQL literals,
+        same fold order → bit-identical buckets), so this approximate
+        operator is value-hash-checked like every exact one."""
         emb = _t(spark, sf_dir, "embeddings")
-        return similarity.lsh_topk(emb, emb.where("vec_id < 5"), k=3, dim=64, n_planes=6)
+        out = similarity.lsh_topk(
+            emb, emb.where("vec_id < 5"), k=3, dim=64,
+            n_planes=_LSH_PLANES, n_probe_bits=_LSH_PROBE_BITS,
+        )
+        return out.select(
+            "query_id", "match_id", F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    # ------------------------------------------------ similarity: recall gate
+    def lsh_recall_gate(spark, sf_dir):
+        """Recall@3 of lsh_topk (shipped defaults) vs exact cosine_topk
+        on the clustered corpus; recall_ok pins ≥ 0.9 (measured 0.983)."""
+        corpus = _clustered_corpus(_t(spark, sf_dir, "embeddings"))
+        qs = corpus.where("vec_id < 28")
+        exact = similarity.cosine_topk(corpus, qs, k=_LSH_K).select(
+            "query_id", "match_id"
+        )
+        approx = similarity.lsh_topk(
+            corpus, qs, k=_LSH_K, dim=64,
+            n_planes=_LSH_PLANES, n_probe_bits=_LSH_PROBE_BITS,
+        ).select("query_id", "match_id", F.lit(1).alias("hit"))
+        joined = exact.join(approx, ["query_id", "match_id"], "left")
+        return joined.agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        ).select(
+            "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+            (F.col("n_hits") / F.col("n_exact") >= 0.9).alias("recall_ok"),
+        )
 
     def pages_roundtrip(spark, sf_dir):
         """Byte-identity flagship invariant under the oracle harness:
@@ -606,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "q1_pricing_summary": q1_pricing_summary,
         "lsh_ann_topk": lsh_ann_topk,
+        "lsh_recall_gate": lsh_recall_gate,
         "pages_roundtrip": pages_roundtrip,
     }
 
@@ -702,6 +760,158 @@ norm AS (
   )) AS shingle FROM norm
 )
 SELECT id, {mins} FROM sh GROUP BY id
+"""
+
+
+# ---- sign-LSH mirror (lsh_ann_topk / lsh_recall_gate oracles) ----------
+# The oracle re-derives the operator's deterministic hyperplanes
+# (similarity._hyperplanes — md5 counters, single source of truth) and
+# inlines them as SQL literals. Bucket bits compare the SAME
+# left-associated dot-product fold Spark's F.aggregate computes, term by
+# term, so the two engines agree bit-exactly on bucket membership
+# (verified: 0 mismatches on both the sf and the clustered corpus).
+
+_LSH_DIM, _LSH_PLANES, _LSH_PROBE_BITS, _LSH_K = 64, 6, 2, 3
+
+
+def _lsh_masks(n_planes: int = _LSH_PLANES,
+               n_probe_bits: int = _LSH_PROBE_BITS) -> list[int]:
+    """Multiprobe XOR masks — mirrors similarity.lsh_topk's flip list."""
+    masks = [0]
+    if n_probe_bits >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if n_probe_bits >= 2:
+        masks += [
+            (1 << p) | (1 << r)
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
+    return masks
+
+
+def _lsh_buckets_ctes(vec_term: str, source_sql: str) -> str:
+    """CTE body ``dots AS (...), buckets AS (...)`` computing the sign-LSH
+    bucket per vec_id over ``source_sql`` (must yield vec_id and the
+    vector referenced by ``vec_term.format(i=...)``, 1-based)."""
+    from pdf_metadata_extraction_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_LSH_DIM, _LSH_PLANES)
+    dot_cols = []
+    for p in range(_LSH_PLANES):
+        terms = " + ".join(
+            f"{vec_term.format(i=i + 1)} * {float(planes[p][i])!r}"
+            for i in range(_LSH_DIM)
+        )
+        dot_cols.append(f"({terms}) AS d{p}")
+    bucket = " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES)
+    )
+    return (
+        f"dots AS (SELECT vec_id, {', '.join(dot_cols)} FROM ({source_sql})),\n"
+        f"buckets AS (SELECT vec_id, {bucket} AS bucket FROM dots)"
+    )
+
+
+def _lsh_topk_sql() -> str:
+    """Exact mirror of similarity.lsh_topk on the sf embeddings table:
+    deterministic buckets → multiprobe → cosine rerank → top-3."""
+    masks = ", ".join(f"({m})" for m in _lsh_masks())
+    return f"""
+WITH {_lsh_buckets_ctes("CAST(embedding[{i}] AS DOUBLE)",
+                        "SELECT vec_id, embedding FROM embeddings")},
+probes AS (
+  SELECT vec_id AS query_id, xor(bucket, m.mask) AS pbucket
+  FROM buckets, (VALUES {masks}) AS m(mask)
+  WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS match_id
+  FROM probes p JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+),
+e AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+),
+sims AS (
+  SELECT cand.query_id, cand.match_id,
+         sum(q.val * c.val) /
+         (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))) AS sim_raw
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.match_id AND c.pos = q.pos
+  GROUP BY cand.query_id, cand.match_id
+)
+SELECT query_id, match_id, round(round(sim_raw, 6), 4) AS sim, rank FROM (
+  SELECT query_id, match_id, sim_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {_LSH_K}
+"""
+
+
+_CLUSTERED_CORPUS_SQL = """
+SELECT m.vec_id AS vec_id,
+       [CAST(c.embedding[i] AS DOUBLE) + 0.25 * CAST(m.embedding[i] AS DOUBLE)
+        FOR i IN generate_series(1, 64)] AS vec
+FROM embeddings m JOIN embeddings c ON c.vec_id = m.vec_id % 8
+WHERE m.vec_id >= 8 AND m.vec_id < 208
+"""
+
+
+def _lsh_recall_sql() -> str:
+    """Recall@3 of the LSH mirror vs exact brute force on the clustered
+    corpus (the realistic-embedding geometry where an ANN index must
+    deliver) — pins the shipped defaults above 0.9."""
+    masks = ", ".join(f"({m})" for m in _lsh_masks())
+    return f"""
+WITH corpus AS ({_CLUSTERED_CORPUS_SQL}),
+{_lsh_buckets_ctes("vec[{i}]", "SELECT vec_id, vec FROM corpus")},
+probes AS (
+  SELECT vec_id AS query_id, xor(bucket, m.mask) AS pbucket
+  FROM buckets, (VALUES {masks}) AS m(mask)
+  WHERE vec_id < 28
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS match_id
+  FROM probes p JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+),
+ce AS (
+  SELECT vec_id, i AS pos, vec[i] AS val
+  FROM corpus, unnest(generate_series(1, 64)) AS t(i)
+),
+all_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         sum(q.val * c.val) /
+         (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))) AS sim_raw
+  FROM ce q JOIN ce c ON q.pos = c.pos AND q.vec_id < 28 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+exact_topk AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_raw DESC, match_id ASC) AS rnk
+    FROM all_sims) WHERE rnk <= {_LSH_K}
+),
+lsh_topk AS (
+  SELECT query_id, match_id FROM (
+    SELECT s.query_id, s.match_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.sim_raw DESC, s.match_id ASC) AS rnk
+    FROM all_sims s JOIN cand
+      ON cand.query_id = s.query_id AND cand.match_id = s.match_id
+  ) WHERE rnk <= {_LSH_K}
+)
+SELECT n_exact, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+       CAST(n_hits AS DOUBLE) / n_exact >= 0.9 AS recall_ok
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN l.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM exact_topk e LEFT JOIN lsh_topk l
+    ON l.query_id = e.query_id AND l.match_id = e.match_id
+)
 """
 
 
@@ -1022,9 +1232,11 @@ FROM documents
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "pages_roundtrip": "SELECT doc_id, text FROM documents",
-        # lsh_ann_topk: intentionally no oracle (approximate by design) —
-        # driver records the weaker rows-only check.
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
     out["ivf_ann_topk"] = out["cosine_topk"]
+    # sign-LSH is deterministic (md5 hyperplanes) → the oracle mirrors it
+    # exactly; the recall gate additionally pins recall@3 ≥ 0.9 vs exact
+    out["lsh_ann_topk"] = _lsh_topk_sql()
+    out["lsh_recall_gate"] = _lsh_recall_sql()
     return out

@@ -133,7 +133,8 @@ def main() -> None:
 
     for name in [
         "minhash_dup_pairs", "ngram_jaccard", "canonical_components",
-        "cosine_topk", "lsh_ann_topk", "lang_id", "quality_scores",
+        "cosine_topk", "lsh_ann_topk", "lsh_recall_gate", "lang_id",
+        "quality_scores",
         "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
         "kg_mention_triples", "dedup_exact",
     ]:
@@ -154,7 +155,10 @@ def main() -> None:
         got = {(r["query_id"], r["match_id"]) for r in df.collect()}
         return round(len(got & exact) / max(len(exact), 1), 4)
 
-    extras["recall_lsh_multiprobe"] = recall(
+    extras["recall_lsh_defaults"] = recall(
+        similarity.lsh_topk(emb, qs, k=10, dim=64)  # shipped defaults
+    )
+    extras["recall_lsh_1bit_probe"] = recall(
         similarity.lsh_topk(emb, qs, k=10, dim=64, n_planes=6, n_probe_bits=1)
     )
     extras["recall_lsh_single_probe"] = recall(
@@ -202,6 +206,9 @@ def main() -> None:
     )
     extras["recall_clustered_lsh_8planes_2bit"] = recall_c(
         similarity.lsh_topk(cdf, cqs, k=10, dim=64, n_planes=8, n_probe_bits=2)
+    )
+    extras["recall_clustered_lsh_defaults"] = recall_c(
+        similarity.lsh_topk(cdf, cqs, k=10, dim=64)  # shipped defaults
     )
 
     # banded-table near-dup pairs: recall of cosine_pairs (default T×b

@@ -90,7 +90,7 @@ def signlsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8):
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int = 64, n_planes: int = 6, n_probe_bits: int = 1,
+    dim: int = 64, n_planes: int = 6, n_probe_bits: int = 2,
 ) -> DataFrame:
     """ANN top-k: only candidates in the query's probed LSH buckets score.
 
@@ -99,8 +99,27 @@ def lsh_topk(
     **Multiprobe**: a single-bucket probe has a recall cliff (a near
     neighbor differing on one hyperplane sign lands one bit away), so
     each query also probes every bucket within Hamming distance
-    ``n_probe_bits`` of its own — 1+n_planes probe rows per query at the
-    default, still a tiny broadcast side. Corpus rows stay single-bucket.
+    ``n_probe_bits`` of its own — 1 + n_planes + C(n_planes,2) probe
+    rows per query at the default, still a tiny broadcast side. Corpus
+    rows stay single-bucket.
+
+    **Recall/params** (measured, k=10, see bench.py extras; the driver
+    oracle `lsh_recall_gate` pins recall@3 ≥ 0.9 on the clustered
+    corpus). Sign-LSH recall depends on neighbor geometry: on a corpus
+    WITH cluster structure (realistic embeddings — neighbors at cosine
+    ≳0.9) the shipped defaults recall ≳0.95; on an ISOTROPIC random
+    corpus (neighbors at cosine ≈0.3 — the adversarial case, e.g. the
+    sf testdata `embeddings` table) any sub-linear index must trade
+    recall, so raise ``n_probe_bits`` (or probe exhaustively) there:
+
+    =============================  ========================  =========
+    corpus                         params                    recall@10
+    =============================  ========================  =========
+    clustered (8 centers, σ≈0.25)  n_planes=8, bits=2        ~0.97
+    clustered                      n_planes=6, bits=2 (DEF)  ~0.95
+    isotropic random               n_planes=6, bits=2        ~0.45
+    isotropic random               n_planes=6, bits=1        ~0.21
+    =============================  ========================  =========
     """
     c = signlsh_bucket(
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec")),

@@ -268,3 +268,17 @@ def test_ngram_jaccard_for_pairs_dedups_candidate_input(spark, docs):
     ra, rb = a.collect(), b.collect()
     assert len(ra) == len(rb) == 1
     assert ra[0]["jaccard"] == rb[0]["jaccard"] <= 1.0
+
+
+def test_lsh_recall_gate_defaults(spark):
+    """The shipped lsh_topk defaults must clear recall@3 >= 0.9 on the
+    clustered corpus (round-2 verdict: the old default n_probe_bits=1
+    recalled 0.208 on hard data with no gate anywhere)."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["lsh_recall_gate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_exact"] == 60
+    assert row["recall_ok"], row
+    assert row["recall"] >= 0.9
