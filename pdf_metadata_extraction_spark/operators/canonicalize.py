@@ -117,10 +117,64 @@ def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, perms: int = DEFAUL
     return joined.select("id_a", "id_b", (agree / F.lit(perms)).alias("est_jaccard"))
 
 
+HUB_DEGREE_THRESHOLD = 1_000_000  # max rows one window task should see
+_HUB_SALT = 64
+
+
+def _with_neighbor_min(
+    sym: DataFrame,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salt: int = _HUB_SALT,
+) -> DataFrame:
+    """Attach ``m = least(u, min(v) over u's rows)`` to every sym row,
+    hub-safe (round-2 verdict #2: a 10⁹-degree hub key funnels the whole
+    first round through one window task before large-star shrinks it).
+
+    ``hub_threshold=None`` → the plain single-shuffle window path. Else
+    degrees + per-key mins come first from a SALTED two-phase agg
+    (groupBy(u, salt) partials are map-side-combinable and spread a hub
+    key over ``n_salt`` reducers — never a straggler; reuses skew.py's
+    two-phase pattern on a derived salt). Keys above the threshold are
+    tiny in number by construction (each holds >threshold rows), so
+    their mins ship driver-side and their rows take the min from a
+    literal map — map-side, zero shuffle; everything else keeps the
+    window path, whose partitions are now ≤ threshold by construction.
+    """
+    w = Window.partitionBy("u")
+    window_path = lambda df: df.withColumn(  # noqa: E731
+        "m", F.least(F.col("u"), F.min("v").over(w))
+    )
+    if hub_threshold is None:
+        return window_path(sym)
+    hubs = (
+        sym.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(n_salt)))
+        .groupBy("u", "_salt")
+        .agg(F.min("v").alias("_mv"), F.count("*").alias("_cnt"))
+        .groupBy("u")
+        .agg(F.min("_mv").alias("_mn"), F.sum("_cnt").alias("_deg"))
+        .where(F.col("_deg") > hub_threshold)
+        .select("u", "_mn")
+        .collect()
+    )
+    if not hubs:
+        return window_path(sym)
+    hub_min = F.create_map(
+        *[F.lit(x) for r in hubs for x in (r["u"], r["_mn"])]
+    )
+    hub_ids = [r["u"] for r in hubs]
+    hub_rows = sym.where(F.col("u").isin(hub_ids)).withColumn(
+        "m", F.least(F.col("u"), hub_min[F.col("u")])
+    )
+    rest = window_path(sym.where(~F.col("u").isin(hub_ids)))
+    return rest.unionByName(hub_rows)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    lineage=None,
 ) -> DataFrame:
     """Alternating large-star / small-star → (id, component).
 
@@ -139,6 +193,8 @@ def connected_components(
     directions); ``localCheckpoint`` cuts the otherwise-exponential
     lineage (swap for reliable checkpoint on a real cluster).
     """
+    import time
+
     e = (
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -146,19 +202,17 @@ def connected_components(
         .persist()
     )
 
-    def _star(cur: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
+    def _star(cur: DataFrame, large: bool, ht: int | None,
+              dedup: bool = True) -> DataFrame:
         # Rows stay narrow: instead of materializing each node's whole
         # neighborhood with collect_set (one array of 10⁷⁺ ids for a hub
         # node of a mega-component ⇒ executor OOM), attach the per-node
-        # min neighbor with a WINDOW aggregate over the u partitioning —
-        # ONE shuffle per direction-symmetrized edge set (an aggregate +
-        # join back costs two), and a hub key's rows stream through the
-        # spill-safe window buffer instead of one giant array row.
+        # min neighbor via _with_neighbor_min — a window aggregate over
+        # the u partitioning (ONE shuffle; spill-safe streaming buffer),
+        # with keys above ``ht`` routed through the salted two-phase min
+        # + literal-map branch so no single task sees a hub's full row set.
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        w = Window.partitionBy("u")
-        with_min = sym.withColumn(
-            "m", F.least(F.col("u"), F.min("v").over(w))
-        )
+        with_min = _with_neighbor_min(sym, ht)
         cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
         out = with_min.where(cond).select(
             F.col("v").alias("u"), F.col("m").alias("v")
@@ -172,16 +226,38 @@ def connected_components(
         return out.distinct() if dedup else out
 
     prev_hash = None
+    cur_n = e.count()
+    rounds = 0
     for _ in range(max_iter):
-        e2 = _star(e, large=True)
-        e2 = _star(e2, large=False).localCheckpoint(eager=True)
+        t0 = time.monotonic()
+        rounds += 1
+        # hub detection only when a key COULD exceed the threshold: a
+        # key's degree is bounded by |sym| ≤ 4·|edges| across the two
+        # star calls — below that the detection agg is skipped entirely,
+        # so small runs pay zero overhead
+        ht = (
+            hub_threshold
+            if hub_threshold is not None and 4 * cur_n > hub_threshold
+            else None
+        )
+        e2 = _star(e, large=True, ht=ht)
+        e2 = _star(e2, large=False, ht=ht).localCheckpoint(eager=True)
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"), F.count("*").alias("n")
         ).collect()[0]
         cur_hash = (h["h"], h["n"])
+        if lineage is not None:
+            # per-round cost telemetry (round-2 verdict #7): CC is the
+            # most expensive bench query and its cost is round-dominated
+            # — a 100× regression must be attributable to a round
+            lineage.record(
+                f"cc_round_{rounds}", input_rows=cur_n, output_rows=h["n"],
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
         e.unpersist()
         e = e2.persist()
+        cur_n = h["n"]
         if cur_hash == prev_hash:
             break
         prev_hash = cur_hash
@@ -203,6 +279,7 @@ def canonicalize(
     perms: int = DEFAULT_PERMS,
     bands: int = DEFAULT_BANDS,
     min_jaccard: float = 0.5,
+    lineage=None,
 ) -> DataFrame:
     """Full canonicalization: (id, text) → (id, canonical_id)."""
     sigs = minhash_signature(shingles(df, id_col, text_col), perms).persist()
@@ -210,7 +287,9 @@ def canonicalize(
     verified = minhash_jaccard(sigs, pairs, perms).where(
         F.col("est_jaccard") >= min_jaccard
     )
-    comps = connected_components(verified.select("id_a", "id_b"))
+    comps = connected_components(
+        verified.select("id_a", "id_b"), lineage=lineage
+    )
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(comps, "id", "left")

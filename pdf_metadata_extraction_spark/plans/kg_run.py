@@ -76,7 +76,7 @@ def run_kg_pipeline(
     surface = edges.select(F.col("obj").alias("id")).distinct().withColumn(
         "text", F.col("id")
     )
-    nodes = canonicalize(surface, "id", "text").select(
+    nodes = canonicalize(surface, "id", "text", lineage=lw).select(
         F.col("id").alias("node_id"),
         F.col("canonical_id"),
     )

@@ -38,6 +38,11 @@ def test_kg_run_checkpoints_and_resume(spark, tmp_path):
     stages = {r["stage"] for r in lineage.collect()}
     assert {"segments", "linked", "edges", "nodes", "pipeline_total"} <= stages
     assert lineage.where(F.col("wall_ms") < 0).count() == 0
+    # connected-components round telemetry (cost attribution per round):
+    # every cc_round row carries real in/out edge counts
+    cc_rows = [r for r in lineage.collect() if r["stage"].startswith("cc_round_")]
+    assert cc_rows, stages
+    assert all(r["input_rows"] >= 0 and r["output_rows"] >= 0 for r in cc_rows)
 
 
 def test_mega_domain_skew_and_salting(spark):
