@@ -14,7 +14,9 @@ binary scorer over segment features, argmax per doc):
   (classic groupBy/count/limit — partial agg map-side).
 - features: geometry + text statistics + frequent-word overlap, built
   **vectorized** (numpy) inside the Arrow stage.
-- model: pure-numpy logistic regression fit on the driver (training
+- model: pure-numpy Newton-boosted depth-2 trees fit on the driver
+  (``fit_gbdt`` — same capacity class as the reference's LightGBM
+  binary scorer, including pairwise feature interactions; training
   sets are tiny per extraction by the reference's design), state
   broadcast to executors (J5), scored in one ``mapInPandas`` pass.
 - W1 selection: ``row_number() over (partition by url order by score
@@ -175,7 +177,10 @@ def segment_features(pdf: pd.DataFrame, vocab: list[str]) -> np.ndarray:
 
 # ------------------------------------------------------------ model
 def fit_logistic(X: np.ndarray, y: np.ndarray, epochs: int = 300, lr: float = 0.5) -> dict:
-    """Deterministic batch-gradient logistic regression (driver-side)."""
+    """Deterministic batch-gradient logistic regression (driver-side).
+
+    Retained as the legacy/linear scorer (score_matrix still loads
+    persisted linear states); training now uses ``fit_gbdt``."""
     mu, sd = X.mean(axis=0), X.std(axis=0)
     sd[sd == 0] = 1.0
     Xs = (X - mu) / sd
@@ -191,11 +196,135 @@ def fit_logistic(X: np.ndarray, y: np.ndarray, epochs: int = 300, lr: float = 0.
         g = (p - y) * sw
         w -= lr * (Xs.T @ g) / len(y)
         b -= lr * g.mean()
-    return {"w": w.tolist(), "b": float(b), "mu": mu.tolist(), "sd": sd.tolist()}
+    return {"w": w.tolist(), "b": float(b), "mu": mu.tolist(), "sd": sd.tolist(),
+            "n_features": int(X.shape[1])}
+
+
+def _sample_weights(y: np.ndarray) -> np.ndarray:
+    pos = max(y.sum(), 1.0)
+    neg = max(len(y) - y.sum(), 1.0)
+    wpos, wneg = len(y) / (2 * pos), len(y) / (2 * neg)
+    return np.where(y > 0.5, wpos, wneg)
+
+
+def _best_split(X: np.ndarray, g: np.ndarray, h: np.ndarray, idx: np.ndarray,
+                lam: float, min_child: int) -> tuple | None:
+    """Exact greedy (feature, threshold) maximizing the Newton gain
+    G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ). Deterministic: features
+    scanned in order, thresholds ascending, strict improvement only."""
+    G, H = g[idx].sum(), h[idx].sum()
+    base = G * G / (H + lam)
+    best = None
+    best_gain = 1e-12
+    for j in range(X.shape[1]):
+        col = X[idx, j]
+        order = np.argsort(col, kind="mergesort")
+        vals = col[order]
+        gs = np.cumsum(g[idx][order])
+        hs = np.cumsum(h[idx][order])
+        # split after position i (left = [:i+1]) only between distinct values
+        cut = np.nonzero(vals[:-1] < vals[1:])[0]
+        cut = cut[(cut + 1 >= min_child) & (len(idx) - cut - 1 >= min_child)]
+        if len(cut) == 0:
+            continue
+        GL, HL = gs[cut], hs[cut]
+        GR, HR = G - GL, H - HL
+        gain = GL * GL / (HL + lam) + GR * GR / (HR + lam) - base
+        i = int(np.argmax(gain))  # first max → lowest threshold wins ties
+        if gain[i] > best_gain:
+            best_gain = float(gain[i])
+            thr = float((vals[cut[i]] + vals[cut[i] + 1]) / 2.0)
+            best = (j, thr)
+    return best
+
+
+def _build_tree(X, g, h, idx, depth, lam, lr, min_child) -> dict:
+    if depth > 0:
+        split = _best_split(X, g, h, idx, lam, min_child)
+        if split is not None:
+            j, thr = split
+            left = idx[X[idx, j] <= thr]
+            right = idx[X[idx, j] > thr]
+            return {
+                "f": j, "t": thr,
+                "l": _build_tree(X, g, h, left, depth - 1, lam, lr, min_child),
+                "r": _build_tree(X, g, h, right, depth - 1, lam, lr, min_child),
+            }
+    G, H = g[idx].sum(), h[idx].sum()
+    return {"v": float(-lr * G / (H + lam))}
+
+
+def _eval_tree(X: np.ndarray, node: dict) -> np.ndarray:
+    if "v" in node:
+        return np.full(len(X), node["v"])
+    mask = X[:, node["f"]] <= node["t"]
+    out = np.empty(len(X))
+    out[mask] = _eval_tree(X[mask], node["l"])
+    out[~mask] = _eval_tree(X[~mask], node["r"])
+    return out
+
+
+def fit_gbdt(X: np.ndarray, y: np.ndarray, n_rounds: int = 40, lr: float = 0.3,
+             max_depth: int = 2, lam: float = 1.0, min_child: int = 1) -> dict:
+    """Deterministic Newton-boosted depth-2 trees (driver-side numpy).
+
+    Matches the capacity class of the reference's LightGBM segment
+    scorer (objective=binary, 97 features — shipped artifact at
+    /root/reference/src/tests/resources/tenant_test/extraction_id/
+    segment_predictor_model/model.model): depth-2 trees represent the
+    pairwise feature interactions (font_size × page-position, …) a
+    linear model provably cannot (a boosted-STUMP or logistic scorer is
+    additive per feature). Training sets are tiny per extraction by the
+    reference's design, so exact greedy splits on the driver are cheap.
+    Deterministic end-to-end: no RNG, stable sorts, first-max
+    tie-breaks. Early-stops when the boosted log-loss stops improving.
+    """
+    sw = _sample_weights(y)
+    p0 = float(np.clip((y * sw).sum() / sw.sum(), 1e-6, 1 - 1e-6))
+    base = float(np.log(p0 / (1 - p0)))
+    f = np.full(len(y), base)
+    trees: list[dict] = []
+    prev_loss = np.inf
+    for _ in range(n_rounds):
+        p = 1.0 / (1.0 + np.exp(-f))
+        g = (p - y) * sw
+        h = np.maximum(p * (1.0 - p) * sw, 1e-12)
+        tree = _build_tree(X, g, h, np.arange(len(y)), max_depth, lam, lr,
+                           min_child)
+        contrib = _eval_tree(X, tree)
+        if not np.any(contrib):
+            break
+        f = f + contrib
+        p = np.clip(1.0 / (1.0 + np.exp(-f)), 1e-12, 1 - 1e-12)
+        loss = float(-(sw * (y * np.log(p) + (1 - y) * np.log(1 - p))).mean())
+        trees.append(tree)
+        if prev_loss - loss < 1e-7:
+            break
+        prev_loss = loss
+    return {"kind": "gbdt", "base": base, "trees": trees,
+            "n_features": int(X.shape[1])}
 
 
 def score_matrix(X: np.ndarray, state: dict) -> np.ndarray:
+    nf = state.get("n_features")
+    if nf is not None and nf != X.shape[1]:
+        # persisted-model versioning (round-2 ADVICE): a model trained
+        # on an older feature set must fail loudly, not shape-mismatch
+        raise ValueError(
+            f"stale selector model: trained with {nf} features, "
+            f"scoring builds {X.shape[1]} — retrain the extraction"
+        )
+    if state.get("kind") == "gbdt":
+        f = np.full(len(X), state["base"])
+        for tree in state["trees"]:
+            f += _eval_tree(X, tree)
+        return 1.0 / (1.0 + np.exp(-f))
     w = np.asarray(state["w"])
+    if len(w) != X.shape[1]:
+        raise ValueError(
+            f"stale selector model: trained with {len(w)} features, "
+            f"scoring builds {X.shape[1]} — retrain the extraction"
+        )
     mu = np.asarray(state["mu"])
     sd = np.asarray(state["sd"])
     Xs = (X - mu) / sd
@@ -211,10 +340,11 @@ def train_selector(train_segments: DataFrame, vocab: list[str]) -> dict:
     ).toPandas()
     if pdf.empty or pdf["is_label"].sum() == 0:
         return {"w": [0.0] * N_FEATURES, "b": 0.0, "mu": [0.0] * N_FEATURES,
-                "sd": [1.0] * N_FEATURES, "vocab": vocab, "degenerate": True}
+                "sd": [1.0] * N_FEATURES, "n_features": N_FEATURES,
+                "vocab": vocab, "degenerate": True}
     X = segment_features(pdf, vocab)
     y = pdf["is_label"].to_numpy(dtype=np.float64)
-    state = fit_logistic(X, y)
+    state = fit_gbdt(X, y)
     state["vocab"] = vocab
     state["degenerate"] = False
     return state
