@@ -266,3 +266,52 @@ def test_delete_extractor(tmp_path):
     with pytest.raises(FileNotFoundError, match=MODEL_NOT_FOUND):
         load_model(root, "r", "e")
     assert delete_extractor(root, "r", "e") is True  # idempotent
+
+
+def test_link_options_gate_equals_per_row_spec(spark):
+    """The vectorized tier gate in link_options must be invisible: output
+    identical to applying match_options per row (mixed dictionaries,
+    fuzzy-only hits, decomposed unicode, and no-match rows in one run)."""
+    from pdf_metadata_extraction_spark.operators.linking import (
+        link_options,
+        match_options,
+    )
+
+    rows = [
+        ("a", "the united nations met", 1),
+        ("a", "nothing relevant here", 2),
+        ("a", "Customer reports; les és aussi", 3),  # fuzzy + decomposed
+        ("b", "spark and window functions", 4),
+        ("b", "", 5),
+        ("b", None, 6),
+    ]
+    segs = spark.createDataFrame(
+        rows, "extraction_name string, text string, seg int"
+    )
+    opts_rows = [
+        ("a", "o1", "united nations", True),
+        ("a", "o2", "Customers", True),
+        ("a", "o3", "és", True),
+        ("b", "o4", "spark", False),
+        ("b", "o5", "window", False),
+    ]
+    options = spark.createDataFrame(
+        opts_rows,
+        "extraction_name string, option_id string, label string, multi_value boolean",
+    )
+    got = {
+        r["seg"]: [tuple(v) for v in r["values"]]
+        for r in link_options(segs, options).collect()
+    }
+    dicts = {
+        "a": (True, [(o[1], o[2]) for o in opts_rows if o[0] == "a"]),
+        "b": (False, [(o[1], o[2]) for o in opts_rows if o[0] == "b"]),
+    }
+    for name, text, seg in rows:
+        mv, opts = dicts[name]
+        expected = [
+            (v["id"], v["label"], v["segment_text"])
+            for v in match_options(text or "", opts, mv)
+        ]
+        assert got[seg] == expected, (seg, got[seg], expected)
+    assert got[1] and got[3] and got[4] and not got[2] and not got[5]
