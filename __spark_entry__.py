@@ -537,6 +537,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf_dir):
         return textstats.detect_language(_t(spark, sf_dir, "documents"), "doc_id")
 
+    def lang_id_ngram(spark, sf_dir):
+        """Char-trigram language ID (integer-weight model trained on the
+        embedded snippets — handles short texts the marker heuristic
+        can't; oracle derives from the same weight table)."""
+        return textstats.detect_language_ngram(
+            _t(spark, sf_dir, "documents"), "doc_id"
+        )
+
     def quality_scores(spark, sf_dir):
         return textstats.quality_score(_t(spark, sf_dir, "documents"), "doc_id")
 
@@ -658,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "emb_entity_link": emb_entity_link,
         "lang_id": lang_id,
+        "lang_id_ngram": lang_id_ngram,
         "quality_scores": quality_scores,
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
@@ -742,6 +751,51 @@ SELECT id,
   CASE WHEN {best} > 0 THEN (CASE {when_sql} END) ELSE 'und' END AS detected_lang,
   round(CASE WHEN ({total}) > 0 THEN {best} / ({total}) ELSE 0.0 END, 6) AS lang_confidence
 FROM scored
+"""
+
+
+def _lang_ngram_sql() -> str:
+    """Mirror of textstats.detect_language_ngram: same weight table
+    (single source of truth — trigram_weight_rows), same normalization,
+    same integer sums, same (score desc, snippet-order) argmax."""
+    from pdf_metadata_extraction_spark.operators.textstats import (
+        LANG_NGRAM_PREFIX,
+        trigram_weight_rows,
+    )
+
+    values = ", ".join(
+        "('{}', '{}', {}, {})".format(tri.replace("'", "''"), lang, w, rank)
+        for tri, lang, w, rank in trigram_weight_rows()
+    )
+    return f"""
+WITH w(tri, lang, wt, lang_rank) AS (VALUES {values}),
+norm AS (
+  SELECT doc_id AS id,
+         concat(' ', substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                            1, {LANG_NGRAM_PREFIX}), ' ') AS t
+  FROM documents
+),
+tris AS (
+  SELECT id, unnest(
+    [substr(t, i, 3) FOR i IN generate_series(1, greatest(length(t) - 2, 1))]
+  ) AS tri FROM norm
+),
+scored AS (
+  SELECT id, lang, lang_rank, CAST(sum(wt) AS BIGINT) AS s
+  FROM tris JOIN w USING (tri) GROUP BY id, lang, lang_rank
+),
+best AS (
+  SELECT id, lang, s, sum(s) OVER (PARTITION BY id) AS total,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY s DESC, lang_rank ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id AS id,
+       coalesce(b.lang, 'und') AS detected_lang,
+       round(CASE WHEN b.total > 0 THEN CAST(b.s AS DOUBLE) / b.total
+                  ELSE 0.0 END, 6) AS lang_confidence
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.id = d.doc_id
 """
 
 
@@ -1194,6 +1248,7 @@ SELECT mention_id, entity_id, round(sim_raw, 4) AS sim FROM (
 ) WHERE rn = 1
 """,
         "lang_id": _lang_sql(),
+        "lang_id_ngram": _lang_ngram_sql(),
         "quality_scores": """
 SELECT doc_id AS id, length(text) AS n_chars,
   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,

@@ -41,6 +41,224 @@ _LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# ------------------------------------------------------------ n-gram ID
+# Char-trigram language model (round-2 verdict #5: the 10-marker
+# heuristic misses short texts that contain no full marker word). The
+# model trains at import time on the embedded per-language snippets
+# below (ASCII-folded so lower()/substr semantics are identical across
+# engines) and keeps, per language, the top trigrams by a scaled-INTEGER
+# log-likelihood-ratio weight — integer sums are order-free and
+# bit-identical in Spark and DuckDB, so the oracle can mirror the
+# scoring exactly. __spark_entry__ derives its SQL from
+# ``trigram_weight_rows()`` — single source of truth, no drift.
+_LANG_SNIPPETS: dict[str, str] = {
+    "en": "the quick brown fox jumps over the lazy dog and this is what "
+          "we know about the people who have been there for many years "
+          "because they would not say which of them should come first "
+          "when you look at the world today it is easy to see that there "
+          "are many things we do not understand and that every one of us "
+          "has a different way of thinking about what happened before "
+          "good morning how are you doing today my friend i hope that "
+          "everything is going well with your family and your work "
+          "she said that the children were playing outside in the garden "
+          "while their parents were talking about the news of the day",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et "
+          "ceci est une phrase pour montrer les mots que nous avons dans "
+          "cette langue avec des choses qui ne sont pas toujours vraies "
+          "quand on regarde le monde d'aujourd'hui il est facile de voir "
+          "qu'il y a beaucoup de choses que nous ne comprenons pas et que "
+          "chacun de nous a une facon differente de penser a ce qui est "
+          "bonjour comment allez-vous aujourd'hui mon ami j'espere que "
+          "tout va bien avec votre famille et votre travail cette semaine "
+          "elle a dit que les enfants jouaient dehors dans le jardin "
+          "pendant que leurs parents parlaient des nouvelles du jour",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y esta "
+          "es una frase para mostrar las palabras que tenemos en este "
+          "idioma con las cosas que no siempre son verdaderas para todos "
+          "cuando miramos el mundo de hoy es facil ver que hay muchas "
+          "cosas que no entendemos y que cada uno de nosotros tiene una "
+          "manera diferente de pensar sobre lo que paso antes de ahora "
+          "buenos dias como estas hoy mi amigo espero que todo vaya bien "
+          "con tu familia y tu trabajo durante esta semana tan larga "
+          "ella dijo que los ninos estaban jugando afuera en el jardin "
+          "mientras sus padres hablaban de las noticias del dia",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und "
+          "dies ist ein satz der zeigt welche woerter wir in dieser "
+          "sprache haben mit dingen die nicht immer wahr sind fuer alle "
+          "wenn man die welt von heute betrachtet ist es leicht zu sehen "
+          "dass es viele dinge gibt die wir nicht verstehen und dass "
+          "jeder von uns eine andere art hat ueber das nachzudenken was "
+          "guten morgen wie geht es dir heute mein freund ich hoffe dass "
+          "alles gut laeuft mit deiner familie und deiner arbeit diese "
+          "sie sagte dass die kinder draussen im garten spielten "
+          "waehrend ihre eltern ueber die nachrichten des tages sprachen",
+    "pt": "a rapida raposa marrom pula sobre o cachorro preguicoso e "
+          "esta e uma frase para mostrar as palavras que temos nesta "
+          "lingua com as coisas que nem sempre sao verdadeiras para nos "
+          "quando olhamos para o mundo de hoje e facil ver que ha muitas "
+          "coisas que nao entendemos e que cada um de nos tem uma maneira "
+          "diferente de pensar sobre o que aconteceu antes de agora "
+          "bom dia como voce esta hoje meu amigo espero que tudo esteja "
+          "indo bem com a sua familia e o seu trabalho nesta semana "
+          "ela disse que as criancas estavam brincando la fora no jardim "
+          "enquanto os pais conversavam sobre as noticias do dia",
+    "it": "la veloce volpe marrone salta sopra il cane pigro e questa "
+          "e una frase per mostrare le parole che abbiamo in questa "
+          "lingua con le cose che non sono sempre vere per tutti noi "
+          "quando guardiamo il mondo di oggi e facile vedere che ci sono "
+          "molte cose che non capiamo e che ognuno di noi ha un modo "
+          "diverso di pensare a quello che e successo prima di adesso "
+          "buongiorno come stai oggi amico mio spero che tutto vada bene "
+          "con la tua famiglia e il tuo lavoro durante questa settimana "
+          "lei ha detto che i bambini stavano giocando fuori in giardino "
+          "mentre i loro genitori parlavano delle notizie del giorno",
+    "nl": "de snelle bruine vos springt over de luie hond en dit is een "
+          "zin die laat zien welke woorden wij in deze taal hebben met "
+          "dingen die niet altijd waar zijn voor iedereen hier vandaag "
+          "als je naar de wereld van vandaag kijkt is het gemakkelijk om "
+          "te zien dat er veel dingen zijn die we niet begrijpen en dat "
+          "ieder van ons een andere manier heeft om na te denken over "
+          "goedemorgen hoe gaat het vandaag met je mijn vriend ik hoop "
+          "dat alles goed gaat met je familie en je werk deze week "
+          "ze zei dat de kinderen buiten in de tuin aan het spelen waren "
+          "terwijl hun ouders over het nieuws van de dag praatten",
+    "sv": "den snabba bruna raeven hoppar oever den lata hunden och det "
+          "haer aer en mening som visar vilka ord vi har i detta spraak "
+          "med saker som inte alltid aer sanna foer alla maenniskor "
+          "naer man tittar paa vaerlden idag aer det laett att se att "
+          "det finns maanga saker som vi inte foerstaar och att var och "
+          "en av oss har ett annat saett att taenka paa vad som haende "
+          "god morgon hur maar du idag min vaen jag hoppas att allt gaar "
+          "bra med din familj och ditt arbete under den haer veckan "
+          "hon sa att barnen lekte ute i traedgaarden medan deras "
+          "foeraeldrar pratade om dagens nyheter tillsammans",
+    "id": "rubah coklat yang cepat melompati anjing yang malas dan ini "
+          "adalah kalimat untuk menunjukkan kata kata yang kita miliki "
+          "dalam bahasa ini dengan hal hal yang tidak selalu benar "
+          "ketika kita melihat dunia hari ini mudah untuk melihat bahwa "
+          "ada banyak hal yang tidak kita pahami dan bahwa setiap orang "
+          "dari kita memiliki cara berpikir yang berbeda tentang apa yang "
+          "selamat pagi apa kabar hari ini temanku saya harap semuanya "
+          "berjalan baik dengan keluarga dan pekerjaan anda minggu ini "
+          "dia mengatakan bahwa anak anak sedang bermain di luar di kebun "
+          "sementara orang tua mereka berbicara tentang berita hari ini",
+    "tr": "hizli kahverengi tilki tembel kopegin uzerinden atlar ve bu "
+          "dilde sahip oldugumuz kelimeleri gosteren bir cumledir ve "
+          "bazi seyler her zaman dogru degildir herkes icin burada "
+          "bugunun dunyasina baktigimizda anlamadigimiz bircok seyin "
+          "oldugunu gormek kolaydir ve her birimizin daha once olanlar "
+          "hakkinda farkli bir dusunme bicimi vardir bunu unutmayalim "
+          "gunaydin bugun nasilsin arkadasim umarim ailenle ve isinle "
+          "ilgili her sey yolunda gidiyordur bu hafta boyunca boyle "
+          "cocuklarin disarida bahcede oynadigini soyledi bu sirada "
+          "anne ve babalari gunun haberleri hakkinda konusuyordu",
+}
+
+LANG_NGRAM_PREFIX = 256  # detection scans at most this many chars
+_NGRAM_TOP_K = 128       # trigrams kept per language
+
+
+def _snippet_trigrams(text: str) -> list[str]:
+    t = " " + " ".join(text.split()) + " "
+    return [t[i:i + 3] for i in range(len(t) - 2)]
+
+
+def trigram_weight_rows() -> list[tuple[str, str, int, int]]:
+    """(tri, lang, weight, lang_rank) rows for the broadcast weight table.
+
+    weight = round(1000 · log P(tri|lang)/P̄(tri)) with add-1 smoothing,
+    positive weights only (evidence FOR a language), top-K per language.
+    Integers → exact, order-free sums in both engines.
+    """
+    import math
+
+    counts = {lang: {} for lang in _LANG_SNIPPETS}
+    for lang, snippet in _LANG_SNIPPETS.items():
+        for tri in _snippet_trigrams(snippet):
+            counts[lang][tri] = counts[lang].get(tri, 0) + 1
+    vocab = sorted({t for c in counts.values() for t in c})
+    totals = {lang: sum(c.values()) for lang, c in counts.items()}
+    n_langs = len(_LANG_SNIPPETS)
+    rows: list[tuple[str, str, int, int]] = []
+    for rank, lang in enumerate(_LANG_SNIPPETS):
+        weighted = []
+        for tri in vocab:
+            p = (counts[lang].get(tri, 0) + 1) / (totals[lang] + len(vocab))
+            p_avg = sum(
+                (counts[o].get(tri, 0) + 1) / (totals[o] + len(vocab))
+                for o in _LANG_SNIPPETS
+            ) / n_langs
+            w = round(1000 * math.log(p / p_avg))
+            if w > 0:
+                weighted.append((-w, tri))
+        weighted.sort()
+        for neg_w, tri in weighted[:_NGRAM_TOP_K]:
+            rows.append((tri, lang, -neg_w, rank))
+    return rows
+
+
+def detect_language_ngram(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    prefix_chars: int = LANG_NGRAM_PREFIX,
+) -> DataFrame:
+    """Trigram language ID → (id, detected_lang, lang_confidence).
+
+    Explode the normalized text prefix into ALL char trigrams
+    (multiplicity kept — evidence accumulates), broadcast-join the
+    integer weight table, sum per (id, lang), argmax with the snippet
+    order as tie-break. The trigram explode is bounded by
+    ``prefix_chars`` (≤254 rows/doc), the join side is broadcast, and
+    the (id, lang) groupBy is a uniform-key shuffle with map-side
+    partial sums — the 100 TB shape.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        trigram_weight_rows(), "tri string, lang string, wt long, lang_rank int"
+    )
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.concat(
+            F.lit(" "),
+            F.substring(
+                F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")),
+                1, prefix_chars,
+            ),
+            F.lit(" "),
+        ).alias("_t"),
+    )
+    tris = norm.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(_t) - 2, 1)),"
+                " i -> substr(_t, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    scored = (
+        tris.join(F.broadcast(wdf), "tri")
+        .groupBy("id", "lang", "lang_rank")
+        .agg(F.sum("wt").cast("long").alias("s"))
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("s"), (-F.col("lang_rank")).alias("nr"), F.col("lang")
+            )
+        ).alias("b"),
+        F.sum("s").cast("long").alias("total"),
+    )
+    return df.select(F.col(id_col).alias("id")).join(best, "id", "left").select(
+        "id",
+        F.coalesce(F.col("b.lang"), F.lit("und")).alias("detected_lang"),
+        F.round(
+            F.when(F.col("total") > 0, F.col("b.s") / F.col("total"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("lang_confidence"),
+    )
+
+
 def _count_occurrences(text: Column, marker: str) -> Column:
     """Occurrences of marker via length arithmetic (portable SQL idiom)."""
     return (
