@@ -66,6 +66,37 @@ def delete_extractor(root: str, run_name: str, extraction_name: str) -> bool:
     return True
 
 
+CANCEL_FILE = "cancel.flag"
+CANCELLED_MESSAGE = "Extractor cancelled"
+
+
+def cancel_training(root: str, run_name: str, extraction_name: str) -> bool:
+    """POST /cancel_training parity (/root/reference/src/drivers/rest/
+    app.py:199-221): persist the cancel flag (the reference sets a redis
+    key '{run}:{name}:canceled' = 'true'); the worker observes it
+    between training stages. Returns True like the endpoint."""
+    d = _model_dir(root, run_name, extraction_name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, CANCEL_FILE), "w") as fh:
+        fh.write("true")
+    return True
+
+
+def is_extractor_cancelled(root: str, run_name: str, extraction_name: str) -> bool:
+    """GET /is_extractor_cancelled parity (app.py:189-196): consume-on-
+    read — a True result clears the flag, exactly like the endpoint
+    deletes the redis key when it reads 'true'."""
+    p = os.path.join(_model_dir(root, run_name, extraction_name), CANCEL_FILE)
+    try:
+        with open(p) as fh:
+            flagged = fh.read().strip() == "true"
+    except FileNotFoundError:
+        return False
+    if flagged:
+        os.remove(p)
+    return flagged
+
+
 def cleanup_stale_models(root: str, ttl_seconds: int = MODEL_TTL_SECONDS,
                          now: float | None = None) -> list[str]:
     """D3: remove model dirs older than the TTL. Returns removed paths."""

@@ -136,6 +136,19 @@ def _ingest_labels(labels: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ training
+class TrainingCancelled(Exception):
+    """Raised between training stages when the extraction's cancel flag
+    is set (reference parity: POST /cancel_training +
+    GET /is_extractor_cancelled, /root/reference/src/drivers/rest/
+    app.py:189-221; the distributed executor polls the flag between
+    sub-jobs and abandons the job)."""
+
+
+def _check_cancel(cancel_check) -> None:
+    if cancel_check is not None and cancel_check():
+        raise TrainingCancelled()
+
+
 def train_extraction(
     spark: SparkSession,
     labels: DataFrame,
@@ -144,12 +157,19 @@ def train_extraction(
     multi_value: bool = False,
     run_name: str = "default",
     extraction_name: str = "default",
+    cancel_check=None,
 ) -> ExtractionModel:
     """§3.1 create_model: samples → per-method performance → argmax → fit.
 
     Raises ValueError(NO_VALID_RESULTS) on an empty training set — the
-    reference's exact pinned error (test_end_to_end.py:72).
+    reference's exact pinned error (test_end_to_end.py:72). When
+    ``cancel_check`` (a zero-arg callable) returns True at a stage
+    boundary, raises TrainingCancelled — the long stages (segmenting,
+    selector fit, method selection) are each preceded by a check, like
+    the reference worker polling /is_extractor_cancelled between
+    sub-jobs.
     """
+    _check_cancel(cancel_check)
     labels = labels.where(
         (F.col("run_name") == run_name) & (F.col("extraction_name") == extraction_name)
     )
@@ -177,6 +197,7 @@ def train_extraction(
             (r["source_text"], r["label_text"])
             for r in labels.select("source_text", "label_text").collect()
         ]
+        _check_cancel(cancel_check)
         name, state, _acc = M.select_best_method(pairs)
         model.method_name, model.method_state = name, state
         return model
@@ -209,6 +230,7 @@ def train_extraction(
     )
     vocab = frequent_words(labels.where(F.col("label_text").isNotNull()), "label_text")
     model.vocab = vocab
+    _check_cancel(cancel_check)
     model.selector_state = train_selector(segs, vocab)
     # F2: learn the label-page window for prediction-time pruning
     from pdf_metadata_extraction_spark.operators.pages_filter import page_range_stats
@@ -224,6 +246,7 @@ def train_extraction(
         .collect()
     )
     pairs = [(r["text"], r["label_text"]) for r in label_segs]
+    _check_cancel(cancel_check)
     name, state, _acc = M.select_best_method(pairs)
     model.method_name, model.method_state = name, state
     labels.unpersist()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf_metadata_extraction_spark.operators.methods import NO_VALID_RESULTS
 from pdf_metadata_extraction_spark.plans import model_store
 from pdf_metadata_extraction_spark.plans.pipeline import (
+    TrainingCancelled,
     predict_extraction,
     train_extraction,
 )
@@ -60,12 +61,22 @@ def handle_task(
     try:
         if kind == "create_model":
             options = (options_by_id or {}).get(extraction_id) or None
+            # cancellation parity: the flag set via cancel_training is
+            # polled between training stages (consume-on-read, like the
+            # reference worker polling /is_extractor_cancelled); one
+            # more check before save so a late cancel writes no model
+            cancel_check = lambda: model_store.is_extractor_cancelled(  # noqa: E731
+                model_root, tenant, extraction_id
+            )
             model = train_extraction(
                 spark, labels, pages=pages,
                 options=options,
                 multi_value=bool(params.get("multi_value")),
                 run_name=tenant, extraction_name=extraction_id,
+                cancel_check=cancel_check,
             )
+            if cancel_check():
+                raise TrainingCancelled()
             model_store.save_model(model_root, model)
             return base
         if kind == "suggestions":
@@ -88,6 +99,9 @@ def handle_task(
             base["data_url"] = out
             return base
         raise ValueError(f"unknown task {kind}")
+    except TrainingCancelled:
+        return {**base, "success": False,
+                "error_message": model_store.CANCELLED_MESSAGE}
     except FileNotFoundError:
         return {**base, "success": False,
                 "error_message": model_store.MODEL_NOT_FOUND}

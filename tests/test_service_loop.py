@@ -128,3 +128,64 @@ def test_tenancy_isolation(spark, tmp_path):
                             "params": {"id": "x"}}, labels, requests, None, root, sugg)
     assert r["success"] is True
     assert spark.read.parquet(r["data_url"]).count() == 0
+
+
+def test_cancel_training_parity(spark, tmp_path):
+    """Cancellation parity (reference POST /cancel_training +
+    GET /is_extractor_cancelled, consume-on-read): a cancelled train
+    writes NO model, returns a cancelled ResultsMessage, and the flag is
+    consumed by the read."""
+    import pytest
+
+    from pdf_metadata_extraction_spark.plans import model_store
+    from pdf_metadata_extraction_spark.plans.pipeline import (
+        TrainingCancelled,
+        train_extraction,
+    )
+
+    labels = spark.createDataFrame(
+        [
+            dict(run_name=RUN, extraction_name="cx", url=None, language_iso="en",
+                 label_text="1", values=None, source_text="Option 1",
+                 entity_name="e1", page_width=0.0, page_height=0.0,
+                 xml_segments_boxes=[], label_segments_boxes=[]),
+        ],
+        LABELS,
+    )
+    requests = spark.createDataFrame([], PREDICTION_REQUESTS)
+    model_root = str(tmp_path / "models")
+    sugg = str(tmp_path / "suggestions")
+
+    # flag semantics: set -> True once -> consumed
+    assert model_store.cancel_training(model_root, RUN, "cx") is True
+    assert model_store.is_extractor_cancelled(model_root, RUN, "cx") is True
+    assert model_store.is_extractor_cancelled(model_root, RUN, "cx") is False
+
+    # cancelled create_model: failure message, no model on disk
+    model_store.cancel_training(model_root, RUN, "cx")
+    r = handle_task(spark, {"tenant": RUN, "task": "create_model",
+                            "params": {"id": "cx"}},
+                    labels, requests, None, model_root, sugg)
+    assert r["success"] is False
+    assert r["error_message"] == model_store.CANCELLED_MESSAGE
+    with pytest.raises(FileNotFoundError, match=MODEL_NOT_FOUND):
+        model_store.load_model(model_root, RUN, "cx")
+
+    # flag was consumed by the aborted run -> retraining now succeeds
+    r = handle_task(spark, {"tenant": RUN, "task": "create_model",
+                            "params": {"id": "cx"}},
+                    labels, requests, None, model_root, sugg)
+    assert r["success"] is True
+    assert model_store.load_model(model_root, RUN, "cx").kind == "text_to_text"
+
+    # mid-train cancel: flag raised between stage boundaries is honored
+    calls = {"n": 0}
+
+    def late_cancel():
+        calls["n"] += 1
+        return calls["n"] >= 2  # False at start, True at the next boundary
+
+    with pytest.raises(TrainingCancelled):
+        train_extraction(spark, labels, run_name=RUN, extraction_name="cx",
+                         cancel_check=late_cancel)
+    assert calls["n"] >= 2
