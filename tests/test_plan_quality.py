@@ -163,3 +163,20 @@ def test_banded_joins_are_key_joins_not_cartesian(spark):
         plan = _plan(q)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lang_id_ngram_join_is_broadcast_with_partial_agg(spark):
+    """The trigram weight table must ship broadcast (never shuffle the
+    exploded trigrams onto it) and the (id, lang) sum must partial-agg
+    map-side."""
+    from pdf_metadata_extraction_spark.operators.textstats import (
+        detect_language_ngram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "le renard brun rapide")],
+        "doc_id long, text string",
+    )
+    plan = _plan(detect_language_ngram(df, "doc_id"))
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
