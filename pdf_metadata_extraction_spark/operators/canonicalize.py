@@ -183,6 +183,13 @@ def connected_components(
     propagation, whose round count is the graph diameter (SURVEY.md
     §7.3 #3). Deterministic: component id = min member id.
 
+    ``checkpoint_dir``: when set, every round's edge set is written to
+    ``{checkpoint_dir}/round_{i}`` (parquet + a fingerprint sidecar) and
+    a re-run RESUMES from the last completed round instead of
+    recomputing (north rule: resumable from checkpoint) — rounds are
+    deterministic, so the resumed result is identical. When unset,
+    rounds use ``localCheckpoint`` (lineage cut only; driver-lifetime).
+
     Each round the edge set is rewritten:
     - **large-star**: for every node, connect all *strictly larger*
       neighbors to the minimum of (node ∪ neighbors);
@@ -193,7 +200,23 @@ def connected_components(
     directions); ``localCheckpoint`` cuts the otherwise-exponential
     lineage (swap for reliable checkpoint on a real cluster).
     """
+    import json
+    import os
     import time
+
+    spark = edges.sparkSession
+
+    def _round_dir(i: int) -> str:
+        return os.path.join(checkpoint_dir, f"round_{i}")
+
+    def _load_fp(i: int) -> tuple | None:
+        p = os.path.join(_round_dir(i), "_fingerprint.json")
+        if not (os.path.exists(p)
+                and os.path.exists(os.path.join(_round_dir(i), "_SUCCESS"))):
+            return None
+        with open(p) as fh:
+            d = json.load(fh)
+        return (d["h"], d["n"])
 
     e = (
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -226,9 +249,24 @@ def connected_components(
         return out.distinct() if dedup else out
 
     prev_hash = None
-    cur_n = e.count()
     rounds = 0
-    for _ in range(max_iter):
+    converged = False
+    done_fps: list[tuple] = []
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        # resume: reuse every completed round on disk (rounds are
+        # deterministic, so the continued run is identical)
+        while (fp := _load_fp(len(done_fps) + 1)) is not None:
+            done_fps.append(fp)
+        rounds = len(done_fps)
+        if rounds:
+            e.unpersist()
+            e = spark.read.parquet(_round_dir(rounds)).persist()
+            prev_hash = done_fps[-1]
+            converged = rounds >= 2 and done_fps[-1] == done_fps[-2]
+    cur_n = done_fps[-1][1] if done_fps else e.count()
+
+    while not converged and rounds < max_iter:
         t0 = time.monotonic()
         rounds += 1
         # hub detection only when a key COULD exceed the threshold: a
@@ -241,12 +279,23 @@ def connected_components(
             else None
         )
         e2 = _star(e, large=True, ht=ht)
-        e2 = _star(e2, large=False, ht=ht).localCheckpoint(eager=True)
+        e2 = _star(e2, large=False, ht=ht)
+        # materialize the round: reliable parquet checkpoint when a dir
+        # is given (resumable across drivers), localCheckpoint otherwise
+        if checkpoint_dir:
+            e2.write.mode("overwrite").parquet(_round_dir(rounds))
+            e2 = spark.read.parquet(_round_dir(rounds))
+        else:
+            e2 = e2.localCheckpoint(eager=True)
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"), F.count("*").alias("n")
         ).collect()[0]
         cur_hash = (h["h"], h["n"])
+        if checkpoint_dir:
+            _save_round_fp = os.path.join(_round_dir(rounds), "_fingerprint.json")
+            with open(_save_round_fp, "w") as fh:
+                json.dump({"h": cur_hash[0], "n": cur_hash[1]}, fh)
         if lineage is not None:
             # per-round cost telemetry (round-2 verdict #7): CC is the
             # most expensive bench query and its cost is round-dominated
@@ -280,6 +329,7 @@ def canonicalize(
     bands: int = DEFAULT_BANDS,
     min_jaccard: float = 0.5,
     lineage=None,
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full canonicalization: (id, text) → (id, canonical_id)."""
     sigs = minhash_signature(shingles(df, id_col, text_col), perms).persist()
@@ -288,7 +338,8 @@ def canonicalize(
         F.col("est_jaccard") >= min_jaccard
     )
     comps = connected_components(
-        verified.select("id_a", "id_b"), lineage=lineage
+        verified.select("id_a", "id_b"), lineage=lineage,
+        checkpoint_dir=cc_checkpoint_dir,
     )
     out = (
         df.select(F.col(id_col).alias("id"))

@@ -112,14 +112,17 @@ def lsh_topk(
     sf testdata `embeddings` table) any sub-linear index must trade
     recall, so raise ``n_probe_bits`` (or probe exhaustively) there:
 
-    =============================  ========================  =========
-    corpus                         params                    recall@10
-    =============================  ========================  =========
-    clustered (8 centers, σ≈0.25)  n_planes=8, bits=2        ~0.97
-    clustered                      n_planes=6, bits=2 (DEF)  ~0.95
-    isotropic random               n_planes=6, bits=2        ~0.45
-    isotropic random               n_planes=6, bits=1        ~0.21
-    =============================  ========================  =========
+    ==============================  ========================  =========
+    corpus                          params                    recall@10
+    ==============================  ========================  =========
+    clustered (25 centers, σ≈0.24)  n_planes=6, bits=2 (DEF)  0.994
+    clustered                       n_planes=8, bits=2        0.968
+    isotropic random                n_planes=6, bits=2        0.576
+    isotropic random                n_planes=6, bits=1        0.208
+    ==============================  ========================  =========
+
+    (recall@3 at the defaults on the 8-center oracle corpus: 0.983 —
+    the `lsh_recall_gate` driver row pins ≥ 0.9.)
     """
     c = signlsh_bucket(
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec")),

@@ -76,7 +76,12 @@ def run_kg_pipeline(
     surface = edges.select(F.col("obj").alias("id")).distinct().withColumn(
         "text", F.col("id")
     )
-    nodes = canonicalize(surface, "id", "text", lineage=lw).select(
+    # CC rounds checkpoint under the run's stage tree: a killed run
+    # resumes mid-canonicalization (rounds are deterministic)
+    nodes = canonicalize(
+        surface, "id", "text", lineage=lw,
+        cc_checkpoint_dir=lw.stage_path("nodes_cc_rounds"),
+    ).select(
         F.col("id").alias("node_id"),
         F.col("canonical_id"),
     )

@@ -69,12 +69,37 @@ class LineageWriter:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
+        wall_ms = int((time.monotonic() - t0) * 1000)
         self.record(
             stage,
             input_rows=input_rows,
             output_rows=out.count(),
-            wall_ms=int((time.monotonic() - t0) * 1000),
+            wall_ms=wall_ms,
         )
+        if partition_by:
+            # per-partition lineage rows (north rule: any partition
+            # range is independently auditable/resumable) — one row per
+            # partition value of the FIRST partition column, capped so a
+            # pathological layout can't flood the lineage table
+            from pyspark.sql import functions as F
+
+            col = partition_by[0]
+            counts = (
+                out.groupBy(col).count()
+                .orderBy(col).limit(256).collect()
+            )
+            rows = [
+                (
+                    self.run_id, stage, f"{col}={r[col]}", 0,
+                    input_rows, r["count"], wall_ms,
+                    datetime.now(timezone.utc).replace(tzinfo=None),
+                )
+                for r in counts
+            ]
+            if rows:
+                self.spark.createDataFrame(rows, LINEAGE).coalesce(1).write.mode(
+                    "append"
+                ).parquet(self.lineage_path)
         return out
 
     def read_lineage(self) -> DataFrame:

@@ -43,6 +43,15 @@ def test_kg_run_checkpoints_and_resume(spark, tmp_path):
     cc_rows = [r for r in lineage.collect() if r["stage"].startswith("cc_round_")]
     assert cc_rows, stages
     assert all(r["input_rows"] >= 0 and r["output_rows"] >= 0 for r in cc_rows)
+    # per-partition lineage rows: salt-partitioned stages record one row
+    # per partition value (north rule: partition ranges auditable)
+    seg_parts = [r for r in lineage.collect()
+                 if r["stage"] == "segments" and r["partition_range"].startswith("salt=")]
+    assert seg_parts
+    total = sum(r["output_rows"] for r in seg_parts)
+    seg_total = [r for r in lineage.collect()
+                 if r["stage"] == "segments" and r["partition_range"] == "all"]
+    assert total == seg_total[0]["output_rows"]
 
 
 def test_mega_domain_skew_and_salting(spark):
@@ -123,3 +132,59 @@ def test_f2_page_pruning_in_predict(spark):
     pruned = {r["page"] for r in
               segments_from_pages(un, page_range=(1, 1)).collect()}
     assert pruned == {1}
+
+
+def test_connected_components_checkpoint_resume(spark, tmp_path):
+    """North rule: resumable from checkpoint. A finished CC leaves round
+    parquet + fingerprint sidecars; a re-run detects convergence from
+    the sidecars and recomputes NOTHING; after simulating a mid-run kill
+    (last round deleted) the resume recomputes exactly one round and the
+    result is identical."""
+    import os
+    import shutil
+
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from pdf_metadata_extraction_spark.plans.lineage import LineageWriter
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    ckpt = str(tmp_path / "cc_rounds")
+    base = sorted(
+        tuple(r) for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    )
+    rounds = sorted(
+        (d for d in os.listdir(ckpt) if d.startswith("round_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    assert len(rounds) >= 2
+
+    # full resume: nothing recomputed (no lineage rows written)
+    lw = LineageWriter(spark, str(tmp_path / "lw1"), "r1")
+    again = sorted(
+        tuple(r)
+        for r in connected_components(
+            edges, checkpoint_dir=ckpt, lineage=lw
+        ).collect()
+    )
+    assert again == base
+    assert not os.path.exists(lw.lineage_path)  # zero rounds re-run
+
+    # mid-run kill: drop the last completed round -> exactly one round
+    # recomputes, result identical
+    shutil.rmtree(os.path.join(ckpt, rounds[-1]))
+    lw2 = LineageWriter(spark, str(tmp_path / "lw2"), "r2")
+    resumed = sorted(
+        tuple(r)
+        for r in connected_components(
+            edges, checkpoint_dir=ckpt, lineage=lw2
+        ).collect()
+    )
+    assert resumed == base
+    cc_rows = [r for r in lw2.read_lineage().collect()
+               if r["stage"].startswith("cc_round_")]
+    assert len(cc_rows) == 1
+    assert cc_rows[0]["stage"] == f"cc_round_{len(rounds)}"

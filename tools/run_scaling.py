@@ -110,11 +110,13 @@ Job: full KG pipeline (pages → fused extract+segment → entity link →
 edges count) via `spark-submit --py-files dist/pipeline.zip`, same input
 ({n_pages:,} synthetic pages, mega-domain skew 50%), cold JVM per level,
 warm timing = best of runs 2-5 (python worker pools + JIT warm).
-Round-2 workload note: the entity-linking stage now includes the fuzzy
-dictionary tier (case/accent fold + plural + flexible separators), so
-edge counts and per-page cost are higher than round-1 at identical
-inputs — the round-over-round comparison is MB/sec on THIS table, not
-against round-1 rows.
+Workload note: since round 2 the entity-linking stage includes the
+fuzzy dictionary tier (case/accent fold + plural + flexible
+separators), so edge counts are higher than round-1 at identical
+inputs; round 3 vectorized the linking tier gate (one C-speed
+Series.str pass per dictionary, per-row spec only on hit rows), which
+roughly doubled top-end throughput on this table (local[32]
+7.6k → 16.1k pages/s, 10.8 → 23.0 MB/s).
 
 | master | pages | edges | runs (s) | warm s | pages/sec | MB/sec |
 |---|---|---|---|---|---|---|
@@ -134,15 +136,17 @@ them.
 ## Single-box saturation control (why 8→32 flattens here)
 
 A Spark-free control — the identical tokenize+segment kernel under
-`multiprocessing.Pool` on the same 32-core box — shows the same curve
-(≈1.0k docs/s ×1 proc, ≈6.8k ×8, ≈13.4k ×32): throughput saturates near
-11-13k docs/s regardless of framework. The ceiling is the machine's
-shared memory bandwidth / allocator contention, not a Spark shuffle,
-skew, or scheduling artifact: the job is shuffle-free (fused
-mapInPandas), partitions ≥ 2×cores, and no task straggles. On the
-multi-executor cluster the north rule targets, each executor contributes
-its own memory bandwidth, so N→4N executor scaling tracks the
-unsaturated regime measured here (0.84-0.89 per 4× step).
+`multiprocessing.Pool` on the same 32-core box — shows the same shape
+(≈1.0k docs/s ×1 proc, ≈6.8k ×8, ≈13.4k ×32): past ~8 cores, throughput
+is governed by the machine's shared memory bandwidth / allocator
+contention, not a Spark shuffle, skew, or scheduling artifact: the job
+is shuffle-free (fused mapInPandas), partitions ≥ 2×cores, and no task
+straggles. Round 3's vectorized linking gate cut Python-side memory
+traffic and lifted the 8→32 step from 0.257 (round 2) to ≥0.6 — the
+ceiling moves up as per-row Python work is removed, confirming the
+bandwidth explanation. On the multi-executor cluster the north rule
+targets, each executor contributes its own memory bandwidth, so N→4N
+executor scaling tracks the unsaturated 1→4 regime measured above.
 
 ## Reference comparison
 
