@@ -554,6 +554,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf_dir):
         return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id")
 
+    def winnow_fp(spark, sf_dir):
+        """Rolling-hash winnowing fingerprints (partial-copy detection)."""
+        return textstats.winnow_fingerprints(
+            _t(spark, sf_dir, "documents").where("doc_id < 200"), "doc_id"
+        )
+
+    # ------------------------------------------------ skew: salted agg
+    def skew_salted_count(spark, sf_dir):
+        """The salted two-phase aggregation through the REAL operator —
+        must equal a plain GROUP BY count (the oracle); the hot key's
+        rows spread over n_salt reducers in phase 1."""
+        from pdf_metadata_extraction_spark.operators.skew import (
+            salted_groupby_count,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        return salted_groupby_count(
+            d, "source", salt_src="doc_id"
+        ).select("source", F.col("n").cast("long").alias("n"))
+
     # ------------------------------------------------ generic agg engine
     def q1_pricing_summary(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -670,7 +690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
+        "winnow_fp": winnow_fp,
         "q1_pricing_summary": q1_pricing_summary,
+        "skew_salted_count": skew_salted_count,
         "lsh_ann_topk": lsh_ann_topk,
         "lsh_recall_gate": lsh_recall_gate,
         "pages_roundtrip": pages_roundtrip,
@@ -1280,6 +1302,24 @@ SELECT doc_id AS id,
   CAST(concat('0x', substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp_int
 FROM documents
 """,
+        # winnowing mirror: same k-gram md5-prefix hash, same per-window
+        # min, same distinct (k=8, w=4, prefix 512)
+        "winnow_fp": """
+WITH norm AS (
+  SELECT doc_id AS id,
+         substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 512) AS t
+  FROM documents WHERE doc_id < 200
+), hs AS (
+  SELECT id,
+         [CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT)
+          FOR i IN generate_series(1, greatest(length(t) - 7, 1))] AS hashes
+  FROM norm
+)
+SELECT id, unnest(list_distinct(
+  [list_min(hashes[i:i+3]) FOR i IN generate_series(1, greatest(len(hashes) - 3, 1))]
+)) AS fp
+FROM hs
+""",
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base_price, "
@@ -1287,6 +1327,11 @@ FROM documents
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "pages_roundtrip": "SELECT doc_id, text FROM documents",
+        # the salted two-phase count must be indistinguishable from a
+        # plain GROUP BY — the salt is an execution detail
+        "skew_salted_count": (
+            "SELECT source, count(*) AS n FROM documents GROUP BY source"
+        ),
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
     out["ivf_ann_topk"] = out["cosine_topk"]

@@ -31,11 +31,11 @@ def domain_of(url_col: str | Column = "url") -> Column:
 
 
 def with_salt(df: DataFrame, key: str | Column, n_salt: int = DEFAULT_SALT,
-              salt_col: str = "salt") -> DataFrame:
-    """Deterministic salt derived from the row's url (not random — resume
-    must reproduce the same layout)."""
+              salt_col: str = "salt", salt_src: str = "url") -> DataFrame:
+    """Deterministic salt derived from a per-row column (``salt_src``,
+    default url — not random: resume must reproduce the same layout)."""
     return df.withColumn(
-        salt_col, F.pmod(F.crc32(F.col("url")), F.lit(n_salt)).cast("int")
+        salt_col, F.pmod(F.crc32(F.col(salt_src).cast("string")), F.lit(n_salt)).cast("int")
     )
 
 
@@ -47,11 +47,12 @@ def salted_repartition(df: DataFrame, key: str, n_salt: int = DEFAULT_SALT,
     return salted.repartition(F.col(key), F.col("salt"))
 
 
-def salted_groupby_count(df: DataFrame, key: str, n_salt: int = DEFAULT_SALT) -> DataFrame:
+def salted_groupby_count(df: DataFrame, key: str, n_salt: int = DEFAULT_SALT,
+                         salt_src: str = "url") -> DataFrame:
     """Two-phase skew-safe count per key: partial per (key, salt) — the
     hot key's rows spread over n_salt reducers — then a tiny final agg."""
     partial = (
-        with_salt(df, key, n_salt)
+        with_salt(df, key, n_salt, salt_src=salt_src)
         .groupBy(F.col(key), F.col("salt"))
         .agg(F.count("*").alias("partial_n"))
     )

@@ -345,6 +345,50 @@ def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 8, w: int = 4, prefix_chars: int = 512,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD 2003): k-gram
+    rolling hashes over the normalized text, one minimum per window of
+    ``w`` consecutive hashes, distinct → (id, fp) rows.
+
+    Guarantee: any two documents sharing a substring of length ≥
+    w + k − 1 share at least one fingerprint — the partial-copy
+    detection primitive exact/minhash dedup lacks (those compare whole
+    documents). Pure whole-stage-codegen expressions on the portable
+    md5 core (same int-prefix idiom as ``fingerprint``), so the DuckDB
+    oracle mirrors it exactly; ``prefix_chars`` bounds per-row work.
+    The output is a narrow (id, fp) table: self-join on fp = candidate
+    partial-copy pairs, shuffle on uniform 60-bit keys.
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(
+            F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")),
+            1, prefix_chars,
+        ).alias("_t"),
+    )
+    hashes = norm.select(
+        "id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+            f" i -> cast(conv(substr(md5(substr(_t, i, {k})), 1, 15), 16, 10)"
+            f" as bigint))"
+        ).alias("hs"),
+    )
+    return hashes.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(size(hs) - {w - 1}, 1)),"
+                f" i -> array_min(slice(hs, i, {w}))))"
+            )
+        ).alias("fp"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text plus a
     64-bit prefix as a join-friendly integer."""

@@ -401,3 +401,27 @@ def test_multimodal_real_bmp_ppm_decode(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         mm.extract_media_features(junk).collect()
+
+
+def test_winnow_fingerprints_detect_partial_copy(spark):
+    """Winnowing guarantee (Schleimer et al.): docs sharing a substring
+    of length >= w+k-1 (= 11 at the defaults) share >= 1 fingerprint;
+    the fp table is the partial-copy primitive whole-doc hashing lacks."""
+    shared = "the united nations general assembly met in new york"
+    rows = [
+        (1, "intro paragraph alpha. " + shared + " closing words beta."),
+        (2, "totally different opening. " + shared),
+        (3, "no overlap with anything else here at all, none whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = textstats.winnow_fingerprints(df, "doc_id")
+    by_doc = {
+        i: {r["fp"] for r in fps.where(F.col("id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]          # shared substring detected
+    assert not (by_doc[1] & by_doc[3])    # disjoint docs share nothing
+    assert not (by_doc[2] & by_doc[3])
+    # whole-doc fingerprints CANNOT see the partial copy (distinct texts)
+    whole = {r["fp_md5"] for r in textstats.fingerprint(df, "doc_id").collect()}
+    assert len(whole) == 3
