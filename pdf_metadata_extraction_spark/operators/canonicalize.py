@@ -146,7 +146,7 @@ def _with_neighbor_min(
     )
     if hub_threshold is None:
         return window_path(sym)
-    hubs = (
+    hub_df = (
         sym.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(n_salt)))
         .groupBy("u", "_salt")
         .agg(F.min("v").alias("_mv"), F.count("*").alias("_cnt"))
@@ -154,10 +154,21 @@ def _with_neighbor_min(
         .agg(F.min("_mv").alias("_mn"), F.sum("_cnt").alias("_deg"))
         .where(F.col("_deg") > hub_threshold)
         .select("u", "_mn")
-        .collect()
     )
+    # hub keys are few by construction (each holds > threshold rows), but
+    # guard the driver: collect at most 4096; beyond that, attach the
+    # mins via a broadcast join instead of driver-side literals
+    hubs = hub_df.limit(4097).collect()
     if not hubs:
         return window_path(sym)
+    if len(hubs) > 4096:
+        hub_rows = sym.join(F.broadcast(hub_df), "u").select(
+            "u", "v", F.least(F.col("u"), F.col("_mn")).alias("m")
+        )
+        rest = window_path(
+            sym.join(F.broadcast(hub_df.select("u")), "u", "left_anti")
+        )
+        return rest.unionByName(hub_rows)
     hub_min = F.create_map(
         *[F.lit(x) for r in hubs for x in (r["u"], r["_mn"])]
     )

@@ -183,3 +183,48 @@ def test_windowed_event_counts_watermark_stream(spark, tmp_path):
     }
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first page per text hash
+    across micro-batches with BOUNDED state (watermark horizon)."""
+    from pdf_metadata_extraction_spark.streaming.dedup import dedup_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batch1 = [
+        {"url": "u1", "ts": "2021-01-01T00:00:00", "text": "Hello  World"},
+        {"url": "u2", "ts": "2021-01-01T00:01:00", "text": "hello world"},  # ws/case dup
+        {"url": "u3", "ts": "2021-01-01T00:02:00", "text": "something else"},
+    ]
+    batch2 = [
+        {"url": "u4", "ts": "2021-01-01T00:10:00", "text": "HELLO   world"},  # dup, later batch
+        {"url": "u5", "ts": "2021-01-01T00:11:00", "text": "a brand new page"},
+    ]
+    (feed_dir / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in batch1))
+    (feed_dir / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed_dir))
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
+    # one survivor per hash: u1 (first 'hello world'), u3, u5
+    assert got == ["u1", "u3", "u5"]
