@@ -888,10 +888,30 @@ def _lsh_buckets_ctes(vec_term: str, source_sql: str) -> str:
     )
 
 
+def _cosine_expr(a_tmpl: str, b_tmpl: str) -> str:
+    """Left-associated explicit cosine — the same IEEE op sequence as
+    similarity.cosine's F.aggregate folds, so sim_raw is BIT-EXACT
+    across engines (a GROUP-BY sum has unspecified order; a <1-ulp
+    difference could flip a rank or a round boundary)."""
+    dot = " + ".join(
+        f"{a_tmpl.format(i=i)} * {b_tmpl.format(i=i)}" for i in range(1, _LSH_DIM + 1)
+    )
+    aa = " + ".join(
+        f"{a_tmpl.format(i=i)} * {a_tmpl.format(i=i)}" for i in range(1, _LSH_DIM + 1)
+    )
+    bb = " + ".join(
+        f"{b_tmpl.format(i=i)} * {b_tmpl.format(i=i)}" for i in range(1, _LSH_DIM + 1)
+    )
+    return f"({dot}) / (sqrt({aa}) * sqrt({bb}))"
+
+
 def _lsh_topk_sql() -> str:
     """Exact mirror of similarity.lsh_topk on the sf embeddings table:
     deterministic buckets → multiprobe → cosine rerank → top-3."""
     masks = ", ".join(f"({m})" for m in _lsh_masks())
+    cos = _cosine_expr(
+        "CAST(q.embedding[{i}] AS DOUBLE)", "CAST(c.embedding[{i}] AS DOUBLE)"
+    )
     return f"""
 WITH {_lsh_buckets_ctes("CAST(embedding[{i}] AS DOUBLE)",
                         "SELECT vec_id, embedding FROM embeddings")},
@@ -904,18 +924,11 @@ cand AS (
   SELECT DISTINCT p.query_id, c.vec_id AS match_id
   FROM probes p JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
 ),
-e AS (
-  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
-),
 sims AS (
-  SELECT cand.query_id, cand.match_id,
-         sum(q.val * c.val) /
-         (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))) AS sim_raw
+  SELECT cand.query_id, cand.match_id, {cos} AS sim_raw
   FROM cand
-  JOIN e q ON q.vec_id = cand.query_id
-  JOIN e c ON c.vec_id = cand.match_id AND c.pos = q.pos
-  GROUP BY cand.query_id, cand.match_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.match_id
 )
 SELECT query_id, match_id, round(round(sim_raw, 6), 4) AS sim, rank FROM (
   SELECT query_id, match_id, sim_raw,
@@ -952,16 +965,10 @@ cand AS (
   SELECT DISTINCT p.query_id, c.vec_id AS match_id
   FROM probes p JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
 ),
-ce AS (
-  SELECT vec_id, i AS pos, vec[i] AS val
-  FROM corpus, unnest(generate_series(1, 64)) AS t(i)
-),
 all_sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-         sum(q.val * c.val) /
-         (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))) AS sim_raw
-  FROM ce q JOIN ce c ON q.pos = c.pos AND q.vec_id < 28 AND c.vec_id <> q.vec_id
-  GROUP BY q.vec_id, c.vec_id
+         {_cosine_expr("q.vec[{i}]", "c.vec[{i}]")} AS sim_raw
+  FROM corpus q JOIN corpus c ON q.vec_id < 28 AND c.vec_id <> q.vec_id
 ),
 exact_topk AS (
   SELECT query_id, match_id FROM (

@@ -289,8 +289,13 @@ def connected_components(
             if hub_threshold is not None and 4 * cur_n > hub_threshold
             else None
         )
-        e2 = _star(e, large=True, ht=ht)
-        e2 = _star(e2, large=False, ht=ht)
+        mid = _star(e, large=True, ht=ht)
+        if ht is not None:
+            # the small star's hub-detection collect is an extra action
+            # over mid's lineage — persist mid so the large star runs
+            # once (not once for detection + once for materialization)
+            mid = mid.persist()
+        e2 = _star(mid, large=False, ht=ht)
         # materialize the round: reliable parquet checkpoint when a dir
         # is given (resumable across drivers), localCheckpoint otherwise
         if checkpoint_dir:
@@ -298,6 +303,8 @@ def connected_components(
             e2 = spark.read.parquet(_round_dir(rounds))
         else:
             e2 = e2.localCheckpoint(eager=True)
+        if ht is not None:
+            mid.unpersist()
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"), F.count("*").alias("n")

@@ -56,15 +56,20 @@ def _word_pattern(label: str) -> re.Pattern:
 
 
 @_lru_cache_small
-def _unique_labels(options: tuple[tuple[str, str], ...]) -> tuple[str, ...]:
-    """Distinct labels in match_options' resolution order (option_id
-    sort, first id per label) — the gate must see the same dictionary
-    the spec scans."""
+def _ids_by_label(options: tuple[tuple[str, str], ...]) -> dict[str, str]:
+    """Label → option id in the canonical resolution order (option_id
+    sort, FIRST id per label). The ONE source of truth shared by
+    match_options (the spec) and link_options' vectorized gate — the
+    two cannot diverge. Cached per dictionary; callers must not mutate."""
     seen: dict[str, str] = {}
     for oid, label in sorted(options, key=lambda o: o[0]):
         if label and label not in seen:
             seen[label] = oid
-    return tuple(seen)
+    return seen
+
+
+def _unique_labels(options: tuple[tuple[str, str], ...]) -> tuple[str, ...]:
+    return tuple(_ids_by_label(options))
 
 
 @_lru_cache_small
@@ -197,10 +202,7 @@ def match_options(
     """
     if not text or not options:
         return []
-    ids_by_label: dict[str, str] = {}
-    for oid, label in sorted(options, key=lambda o: o[0]):
-        if label and label not in ids_by_label:
-            ids_by_label[label] = oid
+    ids_by_label = _ids_by_label(tuple(options))
     pattern = _alternation(tuple(ids_by_label))
     first_span: dict[str, tuple[int, int]] = {}
     for m in pattern.finditer(text):

@@ -87,19 +87,31 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
-    """Pure-python binary PPM (P6, maxval ≤ 255) decoder → HxWx3 uint8."""
+    """Pure-python binary PPM (P6, maxval ≤ 255) decoder → HxWx3 uint8.
+
+    Every scan is bounds-checked: a truncated header (e.g. b'P6 2 2')
+    raises instead of spinning — one malformed blob must fail the row,
+    never hang the executor task."""
+    n = len(data)
     fields: list[bytes] = []
     i = 0
     while len(fields) < 4:
+        if i >= n:
+            raise ValueError("truncated PPM header")
         if data[i : i + 1] == b"#":  # comment to end of line
-            i = data.index(b"\n", i) + 1
+            nl = data.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            i = nl + 1
             continue
         if data[i : i + 1].isspace():
             i += 1
             continue
         j = i
-        while not data[j : j + 1].isspace():
+        while j < n and not data[j : j + 1].isspace():
             j += 1
+        if j == n:
+            raise ValueError("truncated PPM header")
         fields.append(data[i:j])
         i = j
     if fields[0] != b"P6":
@@ -107,6 +119,8 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")
+    if n - (i + 1) < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     raw = np.frombuffer(data, np.uint8, count=w * h * 3, offset=i + 1)
     return raw.reshape(h, w, 3).copy()
 

@@ -294,12 +294,13 @@ def fit_gbdt(X: np.ndarray, y: np.ndarray, n_rounds: int = 40, lr: float = 0.3,
         contrib = _eval_tree(X, tree)
         if not np.any(contrib):
             break
-        f = f + contrib
-        p = np.clip(1.0 / (1.0 + np.exp(-f)), 1e-12, 1 - 1e-12)
+        f_new = f + contrib
+        p = np.clip(1.0 / (1.0 + np.exp(-f_new)), 1e-12, 1 - 1e-12)
         loss = float(-(sw * (y * np.log(p) + (1 - y) * np.log(1 - p))).mean())
-        trees.append(tree)
         if prev_loss - loss < 1e-7:
-            break
+            break  # no improvement: DISCARD this round's tree and stop
+        f = f_new
+        trees.append(tree)
         prev_loss = loss
     return {"kind": "gbdt", "base": base, "trees": trees,
             "n_features": int(X.shape[1])}

@@ -163,12 +163,17 @@ def _snippet_trigrams(text: str) -> list[str]:
     return [t[i:i + 3] for i in range(len(t) - 2)]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def trigram_weight_rows() -> list[tuple[str, str, int, int]]:
     """(tri, lang, weight, lang_rank) rows for the broadcast weight table.
 
     weight = round(1000 · log P(tri|lang)/P̄(tri)) with add-1 smoothing,
     positive weights only (evidence FOR a language), top-K per language.
-    Integers → exact, order-free sums in both engines.
+    Integers → exact, order-free sums in both engines. Cached (pure
+    function of the module-level snippets); callers must not mutate.
     """
     import math
 

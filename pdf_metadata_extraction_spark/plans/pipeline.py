@@ -174,84 +174,90 @@ def train_extraction(
         (F.col("run_name") == run_name) & (F.col("extraction_name") == extraction_name)
     )
     labels = _ingest_labels(labels).cache()
-    n = labels.count()
-    has_xml = n > 0 and labels.where(F.col("url").isNotNull()).count() > 0
+    _persisted = [labels]
+    # cancellation or any mid-training error must not leak cached
+    # frames in a long-lived service session (round-3 review)
+    try:
+        n = labels.count()
+        has_xml = n > 0 and labels.where(F.col("url").isNotNull()).count() > 0
 
-    model = ExtractionModel(
-        run_name=run_name,
-        extraction_name=extraction_name,
-        kind="",
-        multi_value=multi_value,
-        options=options or [],
-    )
+        model = ExtractionModel(
+            run_name=run_name,
+            extraction_name=extraction_name,
+            kind="",
+            multi_value=multi_value,
+            options=options or [],
+        )
 
-    if options:
-        model.kind = "pdf_to_multi_option" if has_xml else "text_to_multi_option"
-        if n == 0:
-            raise ValueError(M.NO_VALID_RESULTS)
-        return model
+        if options:
+            model.kind = "pdf_to_multi_option" if has_xml else "text_to_multi_option"
+            if n == 0:
+                raise ValueError(M.NO_VALID_RESULTS)
+            return model
 
-    if not has_xml:
-        model.kind = "text_to_text"
-        pairs = [
-            (r["source_text"], r["label_text"])
-            for r in labels.select("source_text", "label_text").collect()
-        ]
+        if not has_xml:
+            model.kind = "text_to_text"
+            pairs = [
+                (r["source_text"], r["label_text"])
+                for r in labels.select("source_text", "label_text").collect()
+            ]
+            _check_cancel(cancel_check)
+            name, state, _acc = M.select_best_method(pairs)
+            model.method_name, model.method_state = name, state
+            return model
+
+        # pdf_to_text: segments of labeled docs, selector + method fit
+        model.kind = "pdf_to_text"
+        assert pages is not None, "pdf extraction training needs the pages table"
+        label_docs = labels.select(
+            "url", "xml_segments_boxes", "label_segments_boxes", "label_text"
+        )
+        pages_boxed = pages.select("url", "html").join(
+            F.broadcast(label_docs), "url", "inner"
+        )
+        segs = segments_from_pages(pages_boxed)
+        # label marking is box-based (J2) OR label-text containment — the
+        # reference's golden pdf_to_text case has a label box that grazes the
+        # wrong token; the text signal is what pins the right segment.
+        segs = (
+            segs.join(F.broadcast(labels.select("url", "label_text")), "url", "left")
+            .withColumn(
+                "is_label",
+                F.col("is_label")
+                | (
+                    F.col("label_text").isNotNull()
+                    & (F.instr(F.col("text"), F.col("label_text")) > 0)
+                ),
+            )
+            .drop("label_text")
+            .cache()
+        )
+        _persisted.append(segs)
+        vocab = frequent_words(labels.where(F.col("label_text").isNotNull()), "label_text")
+        model.vocab = vocab
+        _check_cancel(cancel_check)
+        model.selector_state = train_selector(segs, vocab)
+        # F2: learn the label-page window for prediction-time pruning
+        from pdf_metadata_extraction_spark.operators.pages_filter import page_range_stats
+
+        model.page_stats = page_range_stats(labels)
+
+        # method pairs: (label segment text, label_text) per labeled doc
+        label_segs = (
+            segs.where(F.col("is_label"))
+            .join(F.broadcast(labels.select("url", "label_text")), "url")
+            .select("url", "segment_id", "text", "label_text")
+            .orderBy("url", "segment_id")
+            .collect()
+        )
+        pairs = [(r["text"], r["label_text"]) for r in label_segs]
         _check_cancel(cancel_check)
         name, state, _acc = M.select_best_method(pairs)
         model.method_name, model.method_state = name, state
         return model
-
-    # pdf_to_text: segments of labeled docs, selector + method fit
-    model.kind = "pdf_to_text"
-    assert pages is not None, "pdf extraction training needs the pages table"
-    label_docs = labels.select(
-        "url", "xml_segments_boxes", "label_segments_boxes", "label_text"
-    )
-    pages_boxed = pages.select("url", "html").join(
-        F.broadcast(label_docs), "url", "inner"
-    )
-    segs = segments_from_pages(pages_boxed)
-    # label marking is box-based (J2) OR label-text containment — the
-    # reference's golden pdf_to_text case has a label box that grazes the
-    # wrong token; the text signal is what pins the right segment.
-    segs = (
-        segs.join(F.broadcast(labels.select("url", "label_text")), "url", "left")
-        .withColumn(
-            "is_label",
-            F.col("is_label")
-            | (
-                F.col("label_text").isNotNull()
-                & (F.instr(F.col("text"), F.col("label_text")) > 0)
-            ),
-        )
-        .drop("label_text")
-        .cache()
-    )
-    vocab = frequent_words(labels.where(F.col("label_text").isNotNull()), "label_text")
-    model.vocab = vocab
-    _check_cancel(cancel_check)
-    model.selector_state = train_selector(segs, vocab)
-    # F2: learn the label-page window for prediction-time pruning
-    from pdf_metadata_extraction_spark.operators.pages_filter import page_range_stats
-
-    model.page_stats = page_range_stats(labels)
-
-    # method pairs: (label segment text, label_text) per labeled doc
-    label_segs = (
-        segs.where(F.col("is_label"))
-        .join(F.broadcast(labels.select("url", "label_text")), "url")
-        .select("url", "segment_id", "text", "label_text")
-        .orderBy("url", "segment_id")
-        .collect()
-    )
-    pairs = [(r["text"], r["label_text"]) for r in label_segs]
-    _check_cancel(cancel_check)
-    name, state, _acc = M.select_best_method(pairs)
-    model.method_name, model.method_state = name, state
-    labels.unpersist()
-    segs.unpersist()
-    return model
+    finally:
+        for _df in _persisted:
+            _df.unpersist()
 
 
 # ------------------------------------------------------------ prediction

@@ -425,3 +425,20 @@ def test_winnow_fingerprints_detect_partial_copy(spark):
     # whole-doc fingerprints CANNOT see the partial copy (distinct texts)
     whole = {r["fp_md5"] for r in textstats.fingerprint(df, "doc_id").collect()}
     assert len(whole) == 3
+
+
+def test_decode_ppm_truncated_inputs_fail_loudly():
+    """Regression (round-3 self-review): a truncated PPM header/body must
+    raise, never spin — one malformed blob must not hang an executor."""
+    import numpy as np
+    import pytest
+
+    from pdf_metadata_extraction_spark.operators import multimodal as mm
+
+    for bad in (b"P6 2 2", b"P6", b"P6 4 4 255", b"P6\n# only a comment",
+                b"P6 2 2 255 \x00\x00"):
+        with pytest.raises((ValueError, NotImplementedError)):
+            mm.decode_ppm(bad)
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = b"P6 2 2 255\n" + img.tobytes()
+    assert mm.decode_ppm(good).shape == (2, 2, 3)
