@@ -61,6 +61,7 @@ def _fuzzy_sql_pattern(label: str) -> str:
 # source of truth, the two engines cannot drift
 from pdf_metadata_extraction_spark.operators.textstats import (  # noqa: E402
     _LANG_MARKERS as _MARKERS,
+    _QUALITY_STOPWORDS,
 )
 
 _LANGS = list(_MARKERS)
@@ -1278,11 +1279,17 @@ SELECT mention_id, entity_id, round(sim_raw, 4) AS sim FROM (
 """,
         "lang_id": _lang_sql(),
         "lang_id_ngram": _lang_ngram_sql(),
-        "quality_scores": """
+        "quality_scores": f"""
 SELECT doc_id AS id, length(text) AS n_chars,
   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_ratio,
   round(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1), 6) AS digit_ratio,
+  round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+  round(
+    len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> ''),
+        w -> list_contains({list(_QUALITY_STOPWORDS)!r}, w))) /
+    greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')), 1),
+    6) AS stopword_ratio,
   round(CAST(greatest(length(text), 1) AS DOUBLE) /
         (length(text) - length(replace(text, ' ', '')) + 1), 6) AS mean_word_len,
   CAST(round(

@@ -304,18 +304,34 @@ def detect_language(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     )
 
 
+# C4-style English stopwords for the stopword-ratio quality signal
+# (a real-text page has a healthy share of function words; keyword-spam
+# and boilerplate lists do not). ASCII, lowercase — portable.
+_QUALITY_STOPWORDS = (
+    "the", "and", "of", "to", "in", "is", "that", "it", "for", "on",
+    "with", "as", "was", "are", "be", "this", "at", "by", "an", "or",
+)
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score ∈ [0,1].
 
-    Signals: length band, alpha ratio, digit ratio, mean word length —
-    the usual web-corpus filters (C4-style) as pure expressions.
+    Signals: length band, alpha/digit/punct ratios, mean word length,
+    stopword ratio — the usual web-corpus filters (C4/Gopher-style) as
+    pure expressions.
     """
     t = F.col(text_col)
     n = F.greatest(F.length(t), F.lit(1)).cast("double")
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n
     digits = F.length(F.regexp_replace(t, r"[^0-9]", "")) / n
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")) / n
     spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
     n_words = (spaces + 1).cast("double")
+    words = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: w != "")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(list(_QUALITY_STOPWORDS)))
+    )
+    stopword_ratio = stop_hits / F.greatest(F.size(words), F.lit(1)).cast("double")
     mean_word_len = n / n_words
     len_ok = (F.length(t) >= 50) & (F.length(t) <= 100000)
     word_ok = (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
@@ -331,6 +347,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
         n_words.cast("long").alias("n_words"),
         F.round(alpha, 6).alias("alpha_ratio"),
         F.round(digits, 6).alias("digit_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(score, 6).alias("quality"),
     )
