@@ -561,6 +561,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents").where("doc_id < 200"), "doc_id"
         )
 
+    # ------------------------------------------------ BM25 keyword search
+    def bm25_topk(spark, sf_dir):
+        """BM25 ranking over documents for a corpus-vocabulary query."""
+        from pdf_metadata_extraction_spark.operators.search import bm25_rank
+
+        return bm25_rank(
+            _t(spark, sf_dir, "documents"), _BM25_TERMS, topk=15
+        )
+
     # ------------------------------------------------ skew: salted agg
     def skew_salted_count(spark, sf_dir):
         """The salted two-phase aggregation through the REAL operator —
@@ -694,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": winnow_fp,
         "q1_pricing_summary": q1_pricing_summary,
         "skew_salted_count": skew_salted_count,
+        "bm25_topk": bm25_topk,
         "lsh_ann_topk": lsh_ann_topk,
         "lsh_recall_gate": lsh_recall_gate,
         "pages_roundtrip": pages_roundtrip,
@@ -774,6 +784,54 @@ SELECT id,
   CASE WHEN {best} > 0 THEN (CASE {when_sql} END) ELSE 'und' END AS detected_lang,
   round(CASE WHEN ({total}) > 0 THEN {best} / ({total}) ELSE 0.0 END, 6) AS lang_confidence
 FROM scored
+"""
+
+
+_BM25_TERMS = ["spark", "window", "merge", "customer"]
+
+
+def _bm25_sql(terms: list[str], topk: int = 15,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of search.bm25_rank: per-term tf as array expressions,
+    integer corpus stats (order-exact), fixed-order left-assoc score
+    with the identical literal sequence Spark evaluates — bit-exact."""
+    words = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    contribs = []
+    for i in range(len(terms)):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        df = f"CAST(df_{i} AS DOUBLE)"
+        idf = (
+            f"ln(1.0 + (CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        )
+        contribs.append(
+            f"{idf} * (({tf} * {k1 + 1.0!r}) / ({tf} + {k1!r} * "
+            f"(1.0 - {b!r} + {b!r} * (CAST(dl AS DOUBLE) / {avgdl}))))"
+        )
+    score = "0.0 + " + " + ".join(contribs)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, CAST(len(w) AS BIGINT) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {words} AS w FROM documents)
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+), scored AS (
+  SELECT id, ({score}) AS _s FROM base CROSS JOIN stats
+)
+SELECT id, round(_s, 6) AS score, rank FROM (
+  SELECT id, _s, row_number() OVER (ORDER BY _s DESC, id ASC) AS rank
+  FROM scored WHERE _s > 0
+) WHERE rank <= {topk}
 """
 
 
@@ -1346,6 +1404,7 @@ FROM hs
         "skew_salted_count": (
             "SELECT source, count(*) AS n FROM documents GROUP BY source"
         ),
+        "bm25_topk": _bm25_sql(_BM25_TERMS, topk=15),
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
     out["ivf_ann_topk"] = out["cosine_topk"]

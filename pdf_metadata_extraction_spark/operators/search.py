@@ -1,0 +1,98 @@
+"""Keyword search — BM25 ranking over the documents table (task
+mandate: query capabilities for a training-data corpus; retrieval is
+how humans audit what dedup/quality filters kept).
+
+Design for cross-engine exactness (the driver value-hash gate):
+- per-term tf and per-doc length are PURE array expressions (no
+  explode, no groupBy) — whole-stage codegen, one corpus scan;
+- corpus stats (N, Σdl, per-term df) are INTEGER aggregates — exact
+  under any aggregation order — broadcast back via one cross join;
+- the score is a FIXED-ORDER (query-term-order) left-associated sum of
+  per-term BM25 contributions with identical parenthesization on both
+  engines → bit-exact doubles, no rank flips.
+
+Scale: the scan is map-only; the stats row is O(1); top-k compiles to
+TakeOrderedAndProject (per-partition heap + driver merge, no global
+sort) — the same shape the IVF quantizer sample is plan-asserted to.
+Query terms are bounded (a human query, ≤ tens of terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _words(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
+    )
+
+
+def _eq(term: str):
+    # single-arg lambda factory: a `lambda w, t=t:` closure has TWO
+    # parameters, which F.filter interprets as (element, index)
+    return lambda w: w == term
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k: (id, score, rank) for a bag-of-words query.
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Robertson/Sparck-Jones
+    form Lucene uses); tie-break (score desc, id asc) is explicit.
+    """
+    terms = list(query_terms)
+    base = docs.select(
+        F.col(id_col).alias("id"), _words(text_col).alias("_w")
+    ).select(
+        "id",
+        F.size("_w").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        contrib = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)))
+        )
+        score = score + contrib
+    hits = (
+        joined.select("id", score.alias("_s"))
+        .where(F.col("_s") > 0)
+        .orderBy(F.desc("_s"), F.asc("id"))
+        .limit(topk)
+    )
+    w = Window.orderBy(F.desc("_s"), F.asc("id"))
+    return hits.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "id", F.round("_s", 6).alias("score"), "rank"
+    )

@@ -442,3 +442,25 @@ def test_decode_ppm_truncated_inputs_fail_loudly():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     good = b"P6 2 2 255\n" + img.tobytes()
     assert mm.decode_ppm(good).shape == (2, 2, 3)
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25: rare query terms outweigh common ones (idf), repeated terms
+    saturate (k1), and docs without any query term never appear."""
+    from pdf_metadata_extraction_spark.operators.search import bm25_rank
+
+    rows = [
+        (1, "rareword appears here once amid other text padding words"),
+        (2, "common common common common common nothing else but filler"),
+        (3, "common rareword together in one document of medium length"),
+        (4, "totally unrelated content with no relevant query words"),
+    ] + [(10 + i, "common filler text block") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(df, ["rareword", "common"], topk=10)
+    ranked = [r["id"] for r in out.orderBy("rank").collect()]
+    assert 4 not in ranked                  # no query term -> no hit
+    assert ranked[0] == 3                   # both terms -> top
+    # rare term beats even 5x repetition of the common term (idf + k1)
+    assert ranked.index(1) < ranked.index(2)
+    scores = {r["id"]: r["score"] for r in out.collect()}
+    assert all(s > 0 for s in scores.values())
