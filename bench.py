@@ -134,7 +134,7 @@ def main() -> None:
     for name in [
         "minhash_dup_pairs", "ngram_jaccard", "canonical_components",
         "cosine_topk", "lsh_ann_topk", "lsh_recall_gate", "lang_id",
-        "lang_id_ngram", "quality_scores",
+        "lang_id_ngram", "quality_scores", "bm25_topk", "winnow_fp",
         "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
         "kg_mention_triples", "dedup_exact",
     ]:

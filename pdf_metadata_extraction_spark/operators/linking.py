@@ -314,7 +314,16 @@ def link_options(
                         stripped = t.str.translate(_FOLD_TABLE).str.replace(
                             _MARK_SENTINEL, "", regex=False
                         )
-                        need = need | stripped.str.contains(fz[0])
+                        import warnings
+
+                        with warnings.catch_warnings():
+                            # the alternation's named groups are for the
+                            # spec's label resolution; the gate only
+                            # needs the boolean — silence pandas' hint
+                            warnings.filterwarnings(
+                                "ignore", message="This pattern is interpreted"
+                            )
+                            need = need | stripped.str.contains(fz[0])
                 for i, hit in zip(idx, need.to_numpy()):
                     if hit:
                         vals[i] = match_options(

@@ -180,3 +180,17 @@ def test_lang_id_ngram_join_is_broadcast_with_partial_agg(spark):
     plan = _plan(detect_language_ngram(df, "doc_id"))
     assert "BroadcastExchange" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bm25_topk_has_no_global_sort(spark):
+    """bm25_rank's top-k must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), not a range-partitioned global sort."""
+    from pdf_metadata_extraction_spark.operators.search import bm25_rank
+
+    df = spark.createDataFrame(
+        [(i, "spark window " + "filler " * (i % 5)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_rank(df, ["spark", "window"], topk=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower().replace("takeordered", "")
