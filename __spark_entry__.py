@@ -809,8 +809,11 @@ def _bm25_sql(terms: list[str], topk: int = 15,
     for i in range(len(terms)):
         tf = f"CAST(tf_{i} AS DOUBLE)"
         df = f"CAST(df_{i} AS DOUBLE)"
+        # idf rounded to 6dp on BOTH engines: ln is not IEEE
+        # correctly-rounded-mandated (see search.bm25_rank docstring)
         idf = (
-            f"ln(1.0 + (CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+            f"round(ln(1.0 + (CAST(n_docs AS DOUBLE) - {df} + 0.5)"
+            f" / ({df} + 0.5)), 6)"
         )
         contribs.append(
             f"{idf} * (({tf} * {k1 + 1.0!r}) / ({tf} + {k1!r} * "

@@ -125,6 +125,7 @@ def _with_neighbor_min(
     sym: DataFrame,
     hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
     n_salt: int = _HUB_SALT,
+    caches: list | None = None,
 ) -> DataFrame:
     """Attach ``m = least(u, min(v) over u's rows)`` to every sym row,
     hub-safe (round-2 verdict #2: a 10⁹-degree hub key funnels the whole
@@ -146,6 +147,14 @@ def _with_neighbor_min(
     )
     if hub_threshold is None:
         return window_path(sym)
+    # the hub path reads sym several times (salted degree agg for the
+    # collect below, then the window branch and the isin/anti scans of
+    # the returned plan) — persist it for the round so those are cache
+    # scans, not recomputations; the caller unpersists after the round
+    # materializes (caches list)
+    if caches is not None:
+        sym = sym.persist()
+        caches.append(sym)
     hub_df = (
         sym.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(n_salt)))
         .groupBy("u", "_salt")
@@ -162,6 +171,11 @@ def _with_neighbor_min(
     if not hubs:
         return window_path(sym)
     if len(hubs) > 4096:
+        # hub_df feeds TWO broadcast joins below — persist so the
+        # salted aggregation runs once, not once per join
+        if caches is not None:
+            hub_df = hub_df.persist()
+            caches.append(hub_df)
         hub_rows = sym.join(F.broadcast(hub_df), "u").select(
             "u", "v", F.least(F.col("u"), F.col("_mn")).alias("m")
         )
@@ -212,21 +226,48 @@ def connected_components(
     lineage (swap for reliable checkpoint on a real cluster).
     """
     import json
-    import os
     import time
 
     spark = edges.sparkSession
 
+    # Fingerprint/marker I/O goes through the Hadoop FileSystem API so
+    # checkpoint_dir may live on ANY Spark-visible filesystem (hdfs://,
+    # s3a://, file:) — the parquet rounds already do; mixing in
+    # driver-local open()/os.path here would crash after the first
+    # round on a real cluster and make resume silently see no rounds.
+    def _fs_for(path_str: str):
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+    def _fs_exists(path_str: str) -> bool:
+        fs, p = _fs_for(path_str)
+        return fs.exists(p)
+
+    def _fs_read_json(path_str: str) -> dict:
+        fs, p = _fs_for(path_str)
+        stream = fs.open(p)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(raw).decode("utf-8"))
+
+    def _fs_write_json(path_str: str, obj: dict) -> None:
+        fs, p = _fs_for(path_str)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(obj).encode("utf-8")))
+        finally:
+            out.close()
+
     def _round_dir(i: int) -> str:
-        return os.path.join(checkpoint_dir, f"round_{i}")
+        return f"{checkpoint_dir.rstrip('/')}/round_{i}"
 
     def _load_fp(i: int) -> tuple | None:
-        p = os.path.join(_round_dir(i), "_fingerprint.json")
-        if not (os.path.exists(p)
-                and os.path.exists(os.path.join(_round_dir(i), "_SUCCESS"))):
+        p = f"{_round_dir(i)}/_fingerprint.json"
+        if not (_fs_exists(p) and _fs_exists(f"{_round_dir(i)}/_SUCCESS")):
             return None
-        with open(p) as fh:
-            d = json.load(fh)
+        d = _fs_read_json(p)
         return (d["h"], d["n"])
 
     e = (
@@ -237,7 +278,7 @@ def connected_components(
     )
 
     def _star(cur: DataFrame, large: bool, ht: int | None,
-              dedup: bool = True) -> DataFrame:
+              dedup: bool = True, caches: list | None = None) -> DataFrame:
         # Rows stay narrow: instead of materializing each node's whole
         # neighborhood with collect_set (one array of 10⁷⁺ ids for a hub
         # node of a mega-component ⇒ executor OOM), attach the per-node
@@ -246,7 +287,7 @@ def connected_components(
         # with keys above ``ht`` routed through the salted two-phase min
         # + literal-map branch so no single task sees a hub's full row set.
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        with_min = _with_neighbor_min(sym, ht)
+        with_min = _with_neighbor_min(sym, ht, caches=caches)
         cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
         out = with_min.where(cond).select(
             F.col("v").alias("u"), F.col("m").alias("v")
@@ -264,7 +305,8 @@ def connected_components(
     converged = False
     done_fps: list[tuple] = []
     if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
+        fs, ckroot = _fs_for(checkpoint_dir)
+        fs.mkdirs(ckroot)
         # resume: reuse every completed round on disk (rounds are
         # deterministic, so the continued run is identical)
         while (fp := _load_fp(len(done_fps) + 1)) is not None:
@@ -289,13 +331,14 @@ def connected_components(
             if hub_threshold is not None and 4 * cur_n > hub_threshold
             else None
         )
-        mid = _star(e, large=True, ht=ht)
+        round_caches: list = []
+        mid = _star(e, large=True, ht=ht, caches=round_caches)
         if ht is not None:
             # the small star's hub-detection collect is an extra action
             # over mid's lineage — persist mid so the large star runs
             # once (not once for detection + once for materialization)
             mid = mid.persist()
-        e2 = _star(mid, large=False, ht=ht)
+        e2 = _star(mid, large=False, ht=ht, caches=round_caches)
         # materialize the round: reliable parquet checkpoint when a dir
         # is given (resumable across drivers), localCheckpoint otherwise
         if checkpoint_dir:
@@ -305,15 +348,18 @@ def connected_components(
             e2 = e2.localCheckpoint(eager=True)
         if ht is not None:
             mid.unpersist()
+        for c in round_caches:
+            c.unpersist()
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"), F.count("*").alias("n")
         ).collect()[0]
         cur_hash = (h["h"], h["n"])
         if checkpoint_dir:
-            _save_round_fp = os.path.join(_round_dir(rounds), "_fingerprint.json")
-            with open(_save_round_fp, "w") as fh:
-                json.dump({"h": cur_hash[0], "n": cur_hash[1]}, fh)
+            _fs_write_json(
+                f"{_round_dir(rounds)}/_fingerprint.json",
+                {"h": cur_hash[0], "n": cur_hash[1]},
+            )
         if lineage is not None:
             # per-round cost telemetry (round-2 verdict #7): CC is the
             # most expensive bench query and its cost is round-dominated

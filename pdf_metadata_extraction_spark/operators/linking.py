@@ -102,9 +102,17 @@ def _fold_char(ch: str) -> str:
     Combining marks (decomposed-Unicode accents, e.g. U+0301 in
     'e\\u0301s') fold to a sentinel so ``fold_strip`` can remove them
     with an index map — mirroring DuckDB ``strip_accents``, which
-    deletes them outright (the j3_fuzzy_match oracle contract)."""
+    deletes them outright (the j3_fuzzy_match oracle contract).
+
+    A LITERAL U+0001 in the input must not collide with the sentinel
+    (it would be deleted as if it were an accent, while strip_accents
+    preserves it): remap it to U+0002 — still a non-word boundary
+    character for the ``(?<![0-9a-z])`` fuzzy boundary, so matching
+    behavior is identical to the oracle's."""
     import unicodedata
 
+    if ch == _MARK_SENTINEL:
+        return "\x02"
     if unicodedata.combining(ch):
         return _MARK_SENTINEL
     base = unicodedata.normalize("NFD", ch)[:1] or ch

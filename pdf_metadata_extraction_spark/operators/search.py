@@ -51,6 +51,15 @@ def bm25_rank(
 
     idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Robertson/Sparck-Jones
     form Lucene uses); tie-break (score desc, id asc) is explicit.
+
+    Cross-engine exactness note: unlike +,*,/ and sqrt, ``ln`` is NOT
+    IEEE-754 correctly-rounded-mandated, so Java's Math.log and
+    DuckDB's std::log may differ by 1 ulp. The idf is therefore
+    ROUNDED TO 6 DECIMALS on both engines immediately after the log —
+    a 1-ulp input difference (~2e-16) then flips the rounded value
+    only if the true ln lands within 1 ulp of a 5e-7 boundary
+    (probability ~2e-10 per distinct (N, df) pair); every operation
+    downstream of the rounding is IEEE-exact.
     """
     terms = list(query_terms)
     base = docs.select(
@@ -77,9 +86,13 @@ def bm25_rank(
     for i in range(len(terms)):
         tf = F.col(f"tf_{i}").cast("double")
         df = F.col(f"df_{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs").cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - df + F.lit(0.5))
+                / (df + F.lit(0.5))
+            ),
+            6,
         )
         contrib = idf * (
             (tf * F.lit(k1 + 1.0))

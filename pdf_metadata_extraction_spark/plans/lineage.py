@@ -52,6 +52,7 @@ class LineageWriter:
         df: DataFrame,
         partition_by: list[str] | None = None,
         input_rows: int = -1,
+        partition_row_cap: int = 4096,
     ) -> DataFrame:
         """Materialize a stage's output; reuse it if already on disk.
 
@@ -70,32 +71,42 @@ class LineageWriter:
         writer.parquet(path)
         out = self.spark.read.parquet(path)
         wall_ms = int((time.monotonic() - t0) * 1000)
+        out_rows = out.count()
         self.record(
             stage,
             input_rows=input_rows,
-            output_rows=out.count(),
+            output_rows=out_rows,
             wall_ms=wall_ms,
         )
         if partition_by:
             # per-partition lineage rows (north rule: any partition
             # range is independently auditable/resumable) — one row per
-            # partition value of the FIRST partition column, capped so a
-            # pathological layout can't flood the lineage table
-            from pyspark.sql import functions as F
-
+            # partition value of the FIRST partition column. Capped so a
+            # pathological layout can't flood the lineage table, but the
+            # cap is NEVER silent: the tail beyond the cap is recorded
+            # as one explicit __overflow__ aggregate row, so
+            # sum(partition output_rows) == the 'all' row always holds
+            # (the audited invariant). Partition rows carry ONLY
+            # output_rows — stage-level input_rows/wall_ms are not
+            # attributable per partition, so they stay null here and
+            # live on the 'all' row.
             col = partition_by[0]
-            counts = (
-                out.groupBy(col).count()
-                .orderBy(col).limit(256).collect()
-            )
+            cap = partition_row_cap
+            head = out.groupBy(col).count().orderBy(col).limit(cap).collect()
+            covered = sum(r["count"] for r in head)
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
             rows = [
                 (
                     self.run_id, stage, f"{col}={r[col]}", 0,
-                    input_rows, r["count"], wall_ms,
-                    datetime.now(timezone.utc).replace(tzinfo=None),
+                    None, r["count"], None, now,
                 )
-                for r in counts
+                for r in head
             ]
+            if covered < out_rows:
+                rows.append((
+                    self.run_id, stage, f"{col}=__overflow__", 0,
+                    None, out_rows - covered, None, now,
+                ))
             if rows:
                 self.spark.createDataFrame(rows, LINEAGE).coalesce(1).write.mode(
                     "append"

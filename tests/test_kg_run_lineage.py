@@ -188,3 +188,62 @@ def test_connected_components_checkpoint_resume(spark, tmp_path):
                if r["stage"].startswith("cc_round_")]
     assert len(cc_rows) == 1
     assert cc_rows[0]["stage"] == f"cc_round_{len(rounds)}"
+
+
+def test_cc_checkpoint_dir_accepts_fs_uri(spark, tmp_path):
+    """Regression: fingerprint/marker I/O must go through the Hadoop
+    FileSystem API (like the parquet rounds), not driver-local open() —
+    a checkpoint_dir given as a filesystem URI (here file:, on a real
+    cluster hdfs:/s3a:) must checkpoint AND resume."""
+    import os
+
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    local = tmp_path / "cc_uri"
+    ckpt = "file:" + str(local)
+    base = sorted(
+        tuple(r) for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    )
+    assert base
+    # sidecars landed through the FS API
+    rounds = [d for d in os.listdir(local) if d.startswith("round_")]
+    assert rounds
+    assert all(
+        os.path.exists(local / r / "_fingerprint.json") for r in rounds
+    )
+    # full resume through the same URI: identical result
+    again = sorted(
+        tuple(r) for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    )
+    assert again == base
+
+
+def test_partition_lineage_cap_is_not_silent(spark, tmp_path):
+    """Regression: when a stage has more partition values than the
+    lineage cap, the tail must surface as ONE explicit __overflow__ row
+    so sum(partition output_rows) == the stage 'all' row — never a
+    silent truncation. Per-partition rows carry only output_rows."""
+    from pdf_metadata_extraction_spark.plans.lineage import LineageWriter
+
+    lw = LineageWriter(spark, str(tmp_path / "lw"), "rcap")
+    df = spark.range(50).selectExpr("id", "id % 5 AS bucket")
+    out = lw.checkpoint_stage(
+        "bucketed", df, partition_by=["bucket"], input_rows=50,
+        partition_row_cap=2,
+    )
+    assert out.count() == 50
+    rows = lw.read_lineage().collect()
+    parts = [r for r in rows
+             if r["stage"] == "bucketed" and r["partition_range"] != "all"]
+    all_row = [r for r in rows
+               if r["stage"] == "bucketed" and r["partition_range"] == "all"][0]
+    assert sum(r["output_rows"] for r in parts) == all_row["output_rows"] == 50
+    over = [r for r in parts if r["partition_range"] == "bucket=__overflow__"]
+    assert len(over) == 1 and over[0]["output_rows"] == 30
+    # stage-level metrics are NOT duplicated onto partition rows
+    assert all(r["input_rows"] is None and r["wall_ms"] is None for r in parts)

@@ -157,8 +157,9 @@ def test_proximity_cluster_chunking_path(monkeypatch):
 @given(
     # U+0301 COMBINING ACUTE as a standalone alphabet char: hypothesis
     # builds random DECOMPOSED sequences (e.g. "e\u0301s"), which must
-    # match exactly like the oracle's strip_accents (mark deleted)
-    st.text(alphabet="aBc 1-\u00e9\u0301", max_size=30),
+    # match exactly like the oracle's strip_accents (mark deleted);
+    # \x01 probes the fold-sentinel collision (must NOT be deleted)
+    st.text(alphabet="aBc 1-\u00e9\u0301\x01", max_size=30),
     st.lists(
         st.sampled_from(
             ["Ab", "ab c", "C-1", "\u00e9s", "Abs", "b1", "e\u0301s"]
@@ -202,3 +203,30 @@ def test_fuzzy_matches_decomposed_unicode_like_strip_accents():
         inner = v["segment_text"].split(MATCH_OPEN)[1].split(MATCH_CLOSE)[0]
         # original decomposed spans, combining marks intact
         assert inner in ("e\u0301s", "la\u0300")
+
+
+def test_literal_u0001_is_boundary_not_deleted():
+    """Regression: a literal U+0001 in the input must not collide with
+    the fold sentinel. strip_accents PRESERVES it (a non-word boundary
+    char), so 'x\\x01\u00e9s' must NOT link label '\u00e9s' as a mid-word match \u2014
+    and '\\x01\u00e9s' standing alone MUST link, with the highlight on the
+    original characters (no index shift from a spurious strip)."""
+    from pdf_metadata_extraction_spark.operators.linking import (
+        MATCH_CLOSE,
+        MATCH_OPEN,
+        fold_strip,
+        match_options,
+    )
+
+    folded, idx = fold_strip("x\x01\u00e9s")
+    assert folded == "x\x02es"          # \x01 remapped, not deleted
+    assert idx is None                  # nothing stripped -> fast path
+    # \x01 next to a decomposed accent: only the MARK is deleted
+    folded2, idx2 = fold_strip("\x01e\u0301s")
+    assert folded2 == "\x02es"
+    assert idx2 == [0, 1, 3]            # index map skips just the mark
+    # boundary semantics match the oracle: \x01 separates tokens
+    vals = match_options("a \x01\u00e9s b", [("o1", "\u00e9s")], True)
+    assert [v["label"] for v in vals] == ["\u00e9s"]
+    inner = vals[0]["segment_text"].split(MATCH_OPEN)[1].split(MATCH_CLOSE)[0]
+    assert inner == "\u00e9s"           # highlight on the original span
