@@ -54,6 +54,17 @@ _MONTHS = {
 
 
 # ------------------------------------------------------------ methods
+def _norm_series(s: pd.Series) -> pd.Series:
+    """Vectorized normalize_ws (pandas ``.str`` ops, C speed)."""
+    return s.fillna("").str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def _na_to_none(s: pd.Series) -> pd.Series:
+    """pandas extract/map emit NaN for misses; the predict() spec says
+    None — keep the two paths indistinguishable."""
+    return s.astype(object).where(s.notna(), None)
+
+
 class Method:
     name: str
 
@@ -63,6 +74,14 @@ class Method:
 
     def predict(self, text: str) -> str | None:
         raise NotImplementedError
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        """Vectorized predict over a pandas Series. MUST equal
+        element-wise ``predict`` (the spec; property-tested in
+        tests/test_properties.py) — subclasses override with
+        ``Series.str`` ops so the regex work runs in C, the per-row
+        fallback here is only for methods with no vector form."""
+        return _na_to_none(texts.map(lambda t: self.predict(t)))
 
     def state(self) -> dict:
         return {}
@@ -79,6 +98,9 @@ class IdentityMethod(Method):
 
     def predict(self, text: str) -> str | None:
         return normalize_ws(text)
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        return _norm_series(texts)
 
 
 class AffixMethod(Method):
@@ -107,14 +129,22 @@ class AffixMethod(Method):
         self.suffix = _common_prefix_of(suffixes)
         return True
 
-    def predict(self, text: str) -> str | None:
-        t = normalize_ws(text)
-        pat = re.compile(
+    def _pattern(self) -> str:
+        return (
             re.escape(self.prefix) + r"(.+?)" + re.escape(self.suffix)
             + ("$" if not self.suffix else "")
         )
-        m = pat.search(t)
+
+    def predict(self, text: str) -> str | None:
+        m = re.search(self._pattern(), normalize_ws(text))
         return m.group(1) if m else None
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        # str.extract = re.search + group capture, vectorized in C;
+        # escaped prefix/suffix contain no groups, so group 1 is (.+?)
+        return _na_to_none(
+            _norm_series(texts).str.extract(self._pattern(), expand=False)
+        )
 
     def state(self) -> dict:
         return {"prefix": self.prefix, "suffix": self.suffix}
@@ -178,6 +208,15 @@ class RegexShapeMethod(Method):
         m = re.search(self.pattern, normalize_ws(text or ""))
         return m.group(0) if m else None
 
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        if not self.pattern:
+            return pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        # the induced pattern has no groups (classes + escaped literals),
+        # so wrapping it makes group 1 == group 0 of the spec
+        return _na_to_none(
+            _norm_series(texts).str.extract(f"({self.pattern})", expand=False)
+        )
+
     def state(self) -> dict:
         return {"pattern": self.pattern}
 
@@ -189,6 +228,11 @@ class FirstNumberMethod(Method):
         m = _NUM_RE.search(text or "")
         return m.group(0) if m else None
 
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        return _na_to_none(
+            texts.fillna("").str.extract(f"({_NUM_RE.pattern})", expand=False)
+        )
+
 
 class LastTokenMethod(Method):
     name = "last_token"
@@ -196,6 +240,13 @@ class LastTokenMethod(Method):
     def predict(self, text: str) -> str | None:
         toks = normalize_ws(text or "").split(" ")
         return toks[-1] if toks and toks[-1] else None
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        # normalized text is single-spaced and stripped: the last token
+        # is the trailing run of non-spaces (empty text -> no match)
+        return _na_to_none(
+            _norm_series(texts).str.extract(r"([^ ]+)$", expand=False)
+        )
 
 
 class DateIsoMethod(Method):
@@ -213,6 +264,23 @@ class DateIsoMethod(Method):
             month = _MONTHS[m.group(2).lower()]
             return f"{m.group(3)}-{month:02d}-{int(m.group(1)):02d}"
         return None
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        raw = texts.fillna("")
+        # both regex passes vectorize; only the day/month zero-padding
+        # on the (few) matching rows stays per-row
+        e0 = raw.str.extract(_DATE_RES[0][0])
+        iso = e0[0] + "-" + e0[1] + "-" + e0[2]
+        e1 = raw.str.extract(_DATE_RES[1][0])
+        long = pd.Series(
+            [
+                None if pd.isna(d)
+                else f"{y}-{_MONTHS[mo.lower()]:02d}-{int(d):02d}"
+                for d, mo, y in zip(e1[0], e1[1], e1[2])
+            ],
+            index=raw.index, dtype=object,
+        )
+        return _na_to_none(iso.astype(object).where(iso.notna(), long))
 
 
 class LookupMethod(Method):
@@ -233,6 +301,9 @@ class LookupMethod(Method):
 
     def predict(self, text: str) -> str | None:
         return self.table.get(normalize_ws(text))
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        return _na_to_none(_norm_series(texts).map(self.table))
 
     def state(self) -> dict:
         return {"table": self.table}
@@ -335,10 +406,14 @@ def apply_method(
         name, state = bc.value
         method = _METHODS_BY_NAME[name].from_state(state)
         for pdf in batches:
+            # the regex/lookup work runs vectorized (predict_series ==
+            # per-row predict, property-tested); only the highlight
+            # assembly on the result stays per-row (plain string concat)
+            norm = _norm_series(pdf[text_col])
+            outs = method.predict_series(norm)
             texts, seg_texts = [], []
-            for src in pdf[text_col].values:
-                src_n = normalize_ws(src or "")
-                out = method.predict(src_n) or ""
+            for src_n, out in zip(norm.values, outs.values):
+                out = out or ""
                 texts.append(out)
                 pos = src_n.find(out) if out else -1
                 if out and pos >= 0:

@@ -230,3 +230,34 @@ def test_literal_u0001_is_boundary_not_deleted():
     assert [v["label"] for v in vals] == ["\u00e9s"]
     inner = vals[0]["segment_text"].split(MATCH_OPEN)[1].split(MATCH_CLOSE)[0]
     assert inner == "\u00e9s"           # highlight on the original span
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet="aB1 .,-\t\n", max_size=14),
+            st.sampled_from([
+                "", "Option 7", "Option 12 end", "2021-02-15",
+                "due 15 February 2021 x", "x 3.14 y", "  a  b  ",
+                "9 December 1948", "A7 code", "no digits here",
+            ]),
+        ),
+        max_size=8,
+    )
+)
+def test_predict_series_equals_predict(texts):
+    """Every method's vectorized predict_series must equal element-wise
+    predict on the same inputs (predict is the spec; predict_series is
+    the C-speed path apply_method runs inside the Arrow stage)."""
+    import pandas as pd
+
+    from pdf_metadata_extraction_spark.operators.methods import METHOD_ORDER
+
+    pairs = [("Option 1", "1"), ("Option 2", "2")]
+    for cls in METHOD_ORDER:
+        m = cls()
+        m.fit(pairs)
+        s = pd.Series(texts, dtype=object)
+        expected = [m.predict(t) for t in texts]
+        got = list(m.predict_series(s))
+        assert got == expected, (cls.name, texts)
