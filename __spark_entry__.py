@@ -561,6 +561,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents").where("doc_id < 200"), "doc_id"
         )
 
+    # ------------------------------------------------ URL canonicalization
+    def url_canonicalize(spark, sf_dir):
+        """Canonicalize a deterministic dirty-URL corpus derived from
+        doc_id (mixed-case hosts, default ports, www, tracking params,
+        fragments, trailing slashes, unparseable rows) — pure map-only
+        expressions; the oracle mirrors every step."""
+        from pdf_metadata_extraction_spark.operators.urlnorm import (
+            canonicalize_urls,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        k = (F.col("doc_id") % 50).cast("string")
+        m = F.col("doc_id") % 6
+        raw = (
+            F.when(m == 0, F.concat(
+                F.lit("HTTPS://WWW.Example"), k,
+                F.lit(".COM:443/a/b/?utm_source=x&b=2&a=1#frag")))
+            .when(m == 1, F.concat(
+                F.lit("http://example"), k, F.lit(".com:80/path//")))
+            .when(m == 2, F.concat(
+                F.lit("https://sub.example"), k, F.lit(".org:8443/x?z=1&y=2")))
+            .when(m == 3, F.concat(F.lit("http://example"), k, F.lit(".com")))
+            .when(m == 4, F.concat(
+                F.lit("https://www.example"), k, F.lit(".com/a?ref=hp&q=1")))
+            .otherwise(F.lit("not a url"))
+        )
+        return canonicalize_urls(d.withColumn("url", raw)).select(
+            "doc_id", "canonical_url", "host", "registered_domain",
+            "path_depth",
+        )
+
+    # ------------------------------------------------ graph metrics
+    def _graph_edges(spark, sf_dir):
+        """Deterministic KG-shaped edge set from doc_id (triangles at
+        d%10<2 via the (d,d+1),(d+1,d+2),(d,d+2) closure)."""
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        return (
+            d.where("doc_id % 10 < 3").select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"))
+            .unionByName(d.where("doc_id % 10 < 2").select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 2).alias("id_b")))
+            .unionByName(d.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 100000).alias("id_b")))
+        )
+
+    def graph_triangles(spark, sf_dir):
+        """Degree-ordered triangle count (graph.py); the oracle counts
+        the same triangles with the a<b<c three-way self-join."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            triangle_count,
+        )
+
+        return triangle_count(_graph_edges(spark, sf_dir))
+
+    def graph_degree_hist(spark, sf_dir):
+        """(degree, n_nodes) histogram — the mega-hub skew audit."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            degree_histogram,
+        )
+
+        return degree_histogram(_graph_edges(spark, sf_dir))
+
     # ------------------------------------------------ BM25 keyword search
     def bm25_topk(spark, sf_dir):
         """BM25 ranking over documents for a corpus-vocabulary query."""
@@ -706,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "lsh_ann_topk": lsh_ann_topk,
         "lsh_recall_gate": lsh_recall_gate,
+        "url_canonicalize": url_canonicalize,
+        "graph_triangles": graph_triangles,
+        "graph_degree_hist": graph_degree_hist,
         "pages_roundtrip": pages_roundtrip,
     }
 
@@ -835,6 +903,103 @@ SELECT id, round(_s, 6) AS score, rank FROM (
   SELECT id, _s, row_number() OVER (ORDER BY _s DESC, id ASC) AS rank
   FROM scored WHERE _s > 0
 ) WHERE rank <= {topk}
+"""
+
+
+_URL_RE_SQL = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+
+def _url_canon_sql() -> str:
+    """Mirror of urlnorm.canonicalize_urls over the same deterministic
+    dirty-URL corpus: identical regex (RE2-safe), identical filter/sort/
+    join steps, NULLs for unparseable rows."""
+    not_tracking = " AND ".join(
+        f"NOT starts_with(p, '{pfx}')"
+        for pfx in ["utm_", "fbclid=", "gclid=", "ref="]
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 6 = 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
+      WHEN doc_id % 6 = 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/path//'
+      WHEN doc_id % 6 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/x?z=1&y=2'
+      WHEN doc_id % 6 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      WHEN doc_id % 6 = 4 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com/a?ref=hp&q=1'
+      ELSE 'not a url'
+    END AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+    regexp_extract(url, '{_URL_RE_SQL}', 2) AS hostport,
+    regexp_extract(url, '{_URL_RE_SQL}', 3) AS path0,
+    regexp_extract(url, '{_URL_RE_SQL}', 4) AS rawq
+  FROM raw
+), step AS (
+  SELECT doc_id, scheme,
+    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    CASE WHEN rawq = '' THEN '' ELSE substr(rawq, 2) END AS qs
+  FROM parsed
+), cleaned AS (
+  SELECT doc_id, scheme, host, port, path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      p -> p <> '' AND {not_tracking})), '&'), '') AS joined
+  FROM step
+)
+SELECT doc_id,
+  CASE WHEN scheme = '' THEN NULL ELSE scheme || '://' || host
+    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                             AND NOT (scheme = 'https' AND port = '443')
+        THEN ':' || port ELSE '' END)
+    || path
+    || (CASE WHEN joined = '' THEN '' ELSE '?' || joined END)
+  END AS canonical_url,
+  CASE WHEN scheme = '' THEN NULL ELSE host END AS host,
+  CASE WHEN scheme = '' THEN NULL
+       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS registered_domain,
+  CASE WHEN scheme = '' THEN NULL
+       ELSE CAST(len(list_filter(string_split(path, '/'), p -> p <> '')) AS BIGINT)
+  END AS path_depth
+FROM cleaned
+"""
+
+
+def _graph_sql(triangles: bool) -> str:
+    """Shared deterministic edge set (mirror of _graph_edges); triangle
+    count via the a<b<c three-way self-join (integer-exact), degree
+    histogram via the two-direction union count."""
+    base = """
+WITH d AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM d WHERE doc_id % 10 < 2
+  UNION ALL
+  SELECT doc_id, doc_id + 100000 FROM d
+),
+und AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM e WHERE id_a <> id_b
+)
+"""
+    if triangles:
+        return base + """
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+    return base + """
+, deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
 """
 
 
@@ -1408,6 +1573,9 @@ FROM hs
             "SELECT source, count(*) AS n FROM documents GROUP BY source"
         ),
         "bm25_topk": _bm25_sql(_BM25_TERMS, topk=15),
+        "url_canonicalize": _url_canon_sql(),
+        "graph_triangles": _graph_sql(triangles=True),
+        "graph_degree_hist": _graph_sql(triangles=False),
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
     out["ivf_ann_topk"] = out["cosine_topk"]

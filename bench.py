@@ -136,7 +136,8 @@ def main() -> None:
         "cosine_topk", "lsh_ann_topk", "lsh_recall_gate", "lang_id",
         "lang_id_ngram", "quality_scores", "bm25_topk", "winnow_fp",
         "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
-        "kg_mention_triples", "dedup_exact",
+        "kg_mention_triples", "dedup_exact", "url_canonicalize",
+        "graph_triangles", "graph_degree_hist",
     ]:
         fn = run_query(name)
         fn()

@@ -1,0 +1,100 @@
+"""Graph metrics over the materialized KG / candidate-pair graph —
+degree statistics and triangle counting.
+
+After canonicalization the nodes/edges tables ARE the product (north
+rule: graph materialize); degree and triangle structure are the
+standard quality probes over them: degree histograms expose mega-hub
+domains (the skew the salting machinery exists for), triangle density
+separates genuine entity clusters from boilerplate-induced near-clique
+noise before anyone trusts a canonical id.
+
+Reference anchor: the reference audits its outputs per extraction with
+count-based suggestions/performance summaries (SURVEY.md §2.4 A3);
+these are the graph-shaped analogues at corpus scale.
+
+Scale design — triangle counting uses the degree-ordered orientation
+(each undirected edge points from its lower-(degree, id) endpoint to
+the higher): every node's out-degree is then O(sqrt(2m)), so the
+wedge self-join enumerates O(m^(3/2)) candidate wedges worst-case
+instead of sum(deg^2) — a 10^9-degree hub contributes NO wedges from
+its own adjacency because almost all its edges point INTO it. Joins
+are plain equi-joins on node ids (sort-merge, AQE-coalesced); all
+counts are integers, so the DuckDB oracle (a<b<c self-join) matches
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a < b), self-loops dropped,
+    duplicates (either direction) collapsed."""
+    return (
+        edges.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) over the canonical undirected edge set — one
+    shuffle (map-side partial counts)."""
+    und = undirected_edges(edges)
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes) — the skew audit: a mega-hub shows up as a
+    lone node at a degree orders of magnitude above the knee."""
+    return node_degrees(edges).groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row: (n_triangles). Degree-ordered wedge join (see module
+    docstring for the scale argument)."""
+    und = undirected_edges(edges)
+    deg = node_degrees(edges)
+    e = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    # orient low-(degree, id) -> high-(degree, id); carry the dst rank
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges src -> {v, w} with rank(v) < rank(w): the closing edge, if
+    # present, is oriented v -> w, so ONE membership join counts each
+    # triangle exactly once
+    wedge_ord = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & wedge_ord
+    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    return wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -1,0 +1,107 @@
+"""URL canonicalization — the web-pipeline staple that precedes every
+url-keyed operation in a Common-Crawl-style KG build (exact dedup by
+url, per-domain sessionization/skew salting, edge provenance).
+
+Reference anchor: the reference keys every extraction sample by
+``xml_file_name`` and tenant (e.g. /root/reference/src/domain/
+PredictionSample.py — one canonical identifier per source document);
+at web scale the url IS that identifier and arrives dirty: mixed-case
+hosts, default ports, tracking params, fragments, trailing slashes all
+alias the same page. Canonicalizing before dedup/linking is what makes
+url a usable join/partition key.
+
+Everything is PURE Spark expressions (regexp_extract + array ops —
+whole-stage codegen, map-only, zero shuffle, no UDF) with a 1:1 DuckDB
+mirror in __spark_entry__._url_canon_sql, so the driver value-hash
+gate pins the semantics bit-exactly.
+
+Canonical form (single source of truth = this docstring + the oracle):
+- scheme and host lowercased; a leading ``www.`` dropped;
+- default ports stripped (http:80, https:443), others kept;
+- path: trailing slashes collapsed away, empty path -> ``/``;
+- query: params split on ``&``, tracking params dropped
+  (``utm_*``, ``fbclid=``, ``gclid=``, ``ref=``), the rest SORTED
+  (byte order) and rejoined — param order never aliases pages;
+- fragment dropped (client-side only).
+
+``registered_domain`` is the last two host labels (example.com) — a
+public-suffix-list lookup is out of scope (documented approximation;
+co.uk-style suffixes group one level too coarse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one regex, four groups: scheme, host[:port], path, ?query (fragment
+# ignored by omission). RE2-compatible (no lookaround/backrefs) so the
+# DuckDB oracle runs the same pattern.
+URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+# tracking params dropped during canonicalization (prefix match)
+TRACKING_PREFIXES = ["utm_", "fbclid=", "gclid=", "ref="]
+
+
+def _clean_query(qs: Column) -> Column:
+    """'a=1&utm_x=2&b=3' -> '?a=1&b=3' (drop tracking, sort byte-order,
+    rejoin); empty after cleaning -> ''."""
+
+    def keep(p: Column) -> Column:
+        cond = p != ""
+        for pfx in TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(pfx)
+        return cond
+
+    joined = F.array_join(F.array_sort(F.filter(F.split(qs, "&"), keep)), "&")
+    return F.when(joined == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), joined)
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds canonical_url, host, registered_domain, path_depth.
+
+    Map-only pure expressions: at 10^12 pages this runs inside the
+    ingest scan's codegen stage, costs zero shuffle, and makes
+    canonical_url safe as the dedup/partition key.
+    Rows whose url does not parse (no scheme://) get NULL canonical
+    columns — callers route them to a quarantine sink, never silently
+    into the keyed stages.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, URL_RE, 1))
+    hostport = F.regexp_extract(u, URL_RE, 2)
+    host0 = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(host0, r"^www\.", "")
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path0 = F.regexp_replace(F.regexp_extract(u, URL_RE, 3), r"/+$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    rawq = F.regexp_extract(u, URL_RE, 4)
+    qs = F.when(rawq == "", F.lit("")).otherwise(
+        rawq.substr(F.lit(2), F.length(rawq))
+    )
+    query = _clean_query(qs)
+    canonical = F.concat(scheme, F.lit("://"), host, portpart, path, query)
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda p: p != "")).cast("long")
+    bad = scheme == ""
+    return (
+        df.withColumn(
+            "canonical_url", F.when(bad, F.lit(None)).otherwise(canonical)
+        )
+        .withColumn("host", F.when(bad, F.lit(None)).otherwise(host))
+        .withColumn(
+            "registered_domain", F.when(bad, F.lit(None)).otherwise(reg_domain)
+        )
+        .withColumn(
+            "path_depth",
+            F.when(bad, F.lit(None).cast("long")).otherwise(depth),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Graph metrics (degrees, triangles) and URL canonicalization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_metadata_extraction_spark.operators.graph import (
+    degree_histogram,
+    node_degrees,
+    triangle_count,
+    undirected_edges,
+)
+from pdf_metadata_extraction_spark.operators.urlnorm import canonicalize_urls
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _tri(spark, pairs) -> int:
+    return triangle_count(_edges(spark, pairs)).collect()[0]["n_triangles"]
+
+
+def test_triangle_counts_known_graphs(spark):
+    k3 = [(1, 2), (2, 3), (1, 3)]
+    assert _tri(spark, k3) == 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == 4
+    chain = [(i, i + 1) for i in range(6)]
+    assert _tri(spark, chain) == 0
+    star = [(0, i) for i in range(1, 7)]
+    assert _tri(spark, star) == 0
+
+
+def test_triangle_count_ignores_dups_loops_direction(spark):
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 3)]
+    assert _tri(spark, messy) == 1
+
+
+def test_degrees_and_histogram(spark):
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    deg = {r["node"]: r["degree"] for r in node_degrees(star).collect()}
+    assert deg == {0: 5, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    hist = {r["degree"]: r["n_nodes"] for r in degree_histogram(star).collect()}
+    assert hist == {5: 1, 1: 5}
+    und = undirected_edges(_edges(spark, [(2, 1), (1, 2), (3, 3)]))
+    assert [tuple(r) for r in und.collect()] == [(1, 2)]
+
+
+CASES = [
+    # (raw, canonical, host, registered_domain, path_depth)
+    ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a/b?a=1&b=2", "example.com", "example.com", 2),
+    ("http://example.com:80/path//",
+     "http://example.com/path", "example.com", "example.com", 1),
+    ("https://sub.example.org:8443/x?z=1&y=2",
+     "https://sub.example.org:8443/x?y=2&z=1",
+     "sub.example.org", "example.org", 1),
+    ("http://example.com",
+     "http://example.com/", "example.com", "example.com", 0),
+    ("https://www.example.com/a?ref=hp&q=1",
+     "https://example.com/a?q=1", "example.com", "example.com", 1),
+    ("not a url", None, None, None, None),
+]
+
+
+@pytest.mark.parametrize("raw,canon,host,dom,depth", CASES)
+def test_url_canonicalization(spark, raw, canon, host, dom, depth):
+    df = canonicalize_urls(spark.createDataFrame([(raw,)], "url string"))
+    r = df.collect()[0]
+    assert r["canonical_url"] == canon
+    assert r["host"] == host
+    assert r["registered_domain"] == dom
+    assert r["path_depth"] == depth
+
+
+def test_url_canonicalization_is_map_only(spark):
+    """Pure expressions: the plan must contain no exchange (shuffle)."""
+    df = canonicalize_urls(spark.createDataFrame([("http://a.bc/x",)], "url string"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

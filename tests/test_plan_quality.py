@@ -194,3 +194,18 @@ def test_bm25_topk_has_no_global_sort(spark):
     plan = _plan(bm25_rank(df, ["spark", "window"], topk=5))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower().replace("takeordered", "")
+
+
+def test_triangle_join_is_not_nested_loop(spark):
+    """The degree-ordered wedge join must compile to equi-joins on node
+    ids (sort-merge/shuffled-hash) — a cartesian/nested-loop plan would
+    be quadratic in edges and dead at scale."""
+    from pdf_metadata_extraction_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(i, i + 2) for i in range(0, 40, 2)],
+        "id_a long, id_b long",
+    )
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
