@@ -573,7 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf_dir, "documents").select("doc_id")
         k = (F.col("doc_id") % 50).cast("string")
-        m = F.col("doc_id") % 6
+        m = F.col("doc_id") % 8
         raw = (
             F.when(m == 0, F.concat(
                 F.lit("HTTPS://WWW.Example"), k,
@@ -585,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(m == 3, F.concat(F.lit("http://example"), k, F.lit(".com")))
             .when(m == 4, F.concat(
                 F.lit("https://www.example"), k, F.lit(".com/a?ref=hp&q=1")))
+            .when(m == 6, F.concat(
+                F.lit("http://user:pw@example"), k, F.lit(".net/q")))
+            .when(m == 7, F.lit("https://localhost:8080/x"))
             .otherwise(F.lit("not a url"))
         )
         return canonicalize_urls(d.withColumn("url", raw)).select(
@@ -921,18 +924,20 @@ def _url_canon_sql() -> str:
 WITH raw AS (
   SELECT doc_id,
     CASE
-      WHEN doc_id % 6 = 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
-      WHEN doc_id % 6 = 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/path//'
-      WHEN doc_id % 6 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/x?z=1&y=2'
-      WHEN doc_id % 6 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
-      WHEN doc_id % 6 = 4 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com/a?ref=hp&q=1'
+      WHEN doc_id % 8 = 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
+      WHEN doc_id % 8 = 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/path//'
+      WHEN doc_id % 8 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/x?z=1&y=2'
+      WHEN doc_id % 8 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      WHEN doc_id % 8 = 4 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com/a?ref=hp&q=1'
+      WHEN doc_id % 8 = 6 THEN 'http://user:pw@example' || CAST(doc_id % 50 AS VARCHAR) || '.net/q'
+      WHEN doc_id % 8 = 7 THEN 'https://localhost:8080/x'
       ELSE 'not a url'
     END AS url
   FROM documents
 ), parsed AS (
   SELECT doc_id,
     lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
-    regexp_extract(url, '{_URL_RE_SQL}', 2) AS hostport,
+    regexp_extract(regexp_extract(url, '{_URL_RE_SQL}', 2), '([^@]*)$', 1) AS hostport,
     regexp_extract(url, '{_URL_RE_SQL}', 3) AS path0,
     regexp_extract(url, '{_URL_RE_SQL}', 4) AS rawq
   FROM raw
@@ -960,7 +965,7 @@ SELECT doc_id,
   END AS canonical_url,
   CASE WHEN scheme = '' THEN NULL ELSE host END AS host,
   CASE WHEN scheme = '' THEN NULL
-       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS registered_domain,
+       ELSE nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') END AS registered_domain,
   CASE WHEN scheme = '' THEN NULL
        ELSE CAST(len(list_filter(string_split(path, '/'), p -> p <> '')) AS BIGINT)
   END AS path_depth

@@ -42,16 +42,19 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def node_degrees(edges: DataFrame) -> DataFrame:
-    """(node, degree) over the canonical undirected edge set — one
-    shuffle (map-side partial counts)."""
-    und = undirected_edges(edges)
+def _degrees_of_und(und: DataFrame) -> DataFrame:
     return (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) over the canonical undirected edge set — one
+    shuffle (map-side partial counts)."""
+    return _degrees_of_und(undirected_edges(edges))
 
 
 def degree_histogram(edges: DataFrame) -> DataFrame:
@@ -62,11 +65,23 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """One row: (n_triangles). Degree-ordered wedge join (see module
-    docstring for the scale argument)."""
+    docstring for the scale argument).
+
+    ``materialize`` (default): the undirected edge set and the degree
+    table each feed MULTIPLE joins below, and Catalyst does not reuse
+    their exchanges across branches — without a cut, the edge distinct
+    and the degree aggregation would execute ~3x each. localCheckpoint
+    runs each exactly once (eager, at call time) and the joins read the
+    materialized blocks. Pass False only for plan inspection.
+    """
     und = undirected_edges(edges)
-    deg = node_degrees(edges)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = _degrees_of_und(und)
+    if materialize:
+        deg = deg.localCheckpoint(eager=True)
     e = (
         und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")

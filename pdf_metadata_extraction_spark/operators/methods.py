@@ -75,12 +75,19 @@ class Method:
     def predict(self, text: str) -> str | None:
         raise NotImplementedError
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
         """Vectorized predict over a pandas Series. MUST equal
         element-wise ``predict`` (the spec; property-tested in
         tests/test_properties.py) — subclasses override with
         ``Series.str`` ops so the regex work runs in C, the per-row
-        fallback here is only for methods with no vector form."""
+        fallback here is only for methods with no vector form.
+
+        ``normalized=True`` promises the input is already
+        whitespace-normalized (normalize_ws is idempotent, so this is
+        purely a speed contract): overrides skip their internal
+        re-normalization pass — apply_method normalizes each batch
+        once and must not pay the whitespace scan twice."""
         return _na_to_none(texts.map(lambda t: self.predict(t)))
 
     def state(self) -> dict:
@@ -99,8 +106,9 @@ class IdentityMethod(Method):
     def predict(self, text: str) -> str | None:
         return normalize_ws(text)
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
-        return _norm_series(texts)
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
+        return texts.fillna("") if normalized else _norm_series(texts)
 
 
 class AffixMethod(Method):
@@ -139,12 +147,12 @@ class AffixMethod(Method):
         m = re.search(self._pattern(), normalize_ws(text))
         return m.group(1) if m else None
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
         # str.extract = re.search + group capture, vectorized in C;
         # escaped prefix/suffix contain no groups, so group 1 is (.+?)
-        return _na_to_none(
-            _norm_series(texts).str.extract(self._pattern(), expand=False)
-        )
+        t = texts.fillna("") if normalized else _norm_series(texts)
+        return _na_to_none(t.str.extract(self._pattern(), expand=False))
 
     def state(self) -> dict:
         return {"prefix": self.prefix, "suffix": self.suffix}
@@ -208,14 +216,14 @@ class RegexShapeMethod(Method):
         m = re.search(self.pattern, normalize_ws(text or ""))
         return m.group(0) if m else None
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
         if not self.pattern:
             return pd.Series([None] * len(texts), index=texts.index, dtype=object)
         # the induced pattern has no groups (classes + escaped literals),
         # so wrapping it makes group 1 == group 0 of the spec
-        return _na_to_none(
-            _norm_series(texts).str.extract(f"({self.pattern})", expand=False)
-        )
+        t = texts.fillna("") if normalized else _norm_series(texts)
+        return _na_to_none(t.str.extract(f"({self.pattern})", expand=False))
 
     def state(self) -> dict:
         return {"pattern": self.pattern}
@@ -228,7 +236,8 @@ class FirstNumberMethod(Method):
         m = _NUM_RE.search(text or "")
         return m.group(0) if m else None
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
         return _na_to_none(
             texts.fillna("").str.extract(f"({_NUM_RE.pattern})", expand=False)
         )
@@ -241,12 +250,12 @@ class LastTokenMethod(Method):
         toks = normalize_ws(text or "").split(" ")
         return toks[-1] if toks and toks[-1] else None
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
         # normalized text is single-spaced and stripped: the last token
         # is the trailing run of non-spaces (empty text -> no match)
-        return _na_to_none(
-            _norm_series(texts).str.extract(r"([^ ]+)$", expand=False)
-        )
+        t = texts.fillna("") if normalized else _norm_series(texts)
+        return _na_to_none(t.str.extract(r"([^ ]+)$", expand=False))
 
 
 class DateIsoMethod(Method):
@@ -265,7 +274,8 @@ class DateIsoMethod(Method):
             return f"{m.group(3)}-{month:02d}-{int(m.group(1)):02d}"
         return None
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
         raw = texts.fillna("")
         # both regex passes vectorize; only the day/month zero-padding
         # on the (few) matching rows stays per-row
@@ -302,8 +312,10 @@ class LookupMethod(Method):
     def predict(self, text: str) -> str | None:
         return self.table.get(normalize_ws(text))
 
-    def predict_series(self, texts: pd.Series) -> pd.Series:
-        return _na_to_none(_norm_series(texts).map(self.table))
+    def predict_series(self, texts: pd.Series,
+                       normalized: bool = False) -> pd.Series:
+        t = texts.fillna("") if normalized else _norm_series(texts)
+        return _na_to_none(t.map(self.table))
 
     def state(self) -> dict:
         return {"table": self.table}
@@ -410,7 +422,7 @@ def apply_method(
             # per-row predict, property-tested); only the highlight
             # assembly on the result stays per-row (plain string concat)
             norm = _norm_series(pdf[text_col])
-            outs = method.predict_series(norm)
+            outs = method.predict_series(norm, normalized=True)
             texts, seg_texts = [], []
             for src_n, out in zip(norm.values, outs.values):
                 out = out or ""

@@ -261,3 +261,10 @@ def test_predict_series_equals_predict(texts):
         expected = [m.predict(t) for t in texts]
         got = list(m.predict_series(s))
         assert got == expected, (cls.name, texts)
+        # the normalized=True fast path (what apply_method calls) must
+        # be indistinguishable on pre-normalized input
+        normed = [normalize_ws(t or "") for t in texts]
+        ns = pd.Series(normed, dtype=object)
+        assert list(m.predict_series(ns, normalized=True)) == [
+            m.predict(t) for t in normed
+        ], (cls.name, texts)
