@@ -629,6 +629,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_histogram(_graph_edges(spark, sf_dir))
 
+    # ------------------------------------------------ repetition signals
+    def repetition_signals(spark, sf_dir):
+        """Gopher-style in-doc repetition fractions (dup word/2gram/
+        3gram slots) — map-only array expressions."""
+        return textstats.repetition_signals(
+            _t(spark, sf_dir, "documents")
+        )
+
+    # ------------------------------------------------ PII scrub
+    def pii_scrub(spark, sf_dir):
+        """Detect + scrub emails/IPv4/phones over a deterministic
+        PII-bearing corpus (suffixes derived from doc_id appended to
+        the documents text); byte-exact scrubbed text + integer counts
+        vs the RE2 oracle running the same patterns."""
+        from pdf_metadata_extraction_spark.operators.pii import (
+            detect_pii,
+            scrub_pii,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        k = (F.col("doc_id") % 50).cast("string")
+        m = F.col("doc_id") % 5
+        extra = (
+            F.when(m == 0, F.concat(
+                F.lit(" contact bob"), k, F.lit("@mail"), k, F.lit(".com")))
+            .when(m == 1, F.concat(F.lit(" call +1 (555) 123-45"), k))
+            .when(m == 2, F.concat(F.lit(" host 10.0."), k, F.lit(".7")))
+            .when(m == 3, F.lit(" call 555-867-5309 now"))
+            .otherwise(F.lit(" no pii here 2021 2022"))
+        )
+        aug = d.withColumn("text", F.concat(F.col("text"), extra))
+        return scrub_pii(detect_pii(aug)).select(
+            "doc_id", "n_emails", "n_ipv4", "n_phones", "clean_text"
+        )
+
     # ------------------------------------------------ BM25 keyword search
     def bm25_topk(spark, sf_dir):
         """BM25 ranking over documents for a corpus-vocabulary query."""
@@ -777,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
+        "pii_scrub": pii_scrub,
+        "repetition_signals": repetition_signals,
         "pages_roundtrip": pages_roundtrip,
     }
 
@@ -970,6 +1007,83 @@ SELECT doc_id,
        ELSE CAST(len(list_filter(string_split(path, '/'), p -> p <> '')) AS BIGINT)
   END AS path_depth
 FROM cleaned
+"""
+
+
+def _pii_sql() -> str:
+    """Mirror of pii.detect_pii + scrub_pii over the same deterministic
+    PII-bearing corpus. Same RE2-safe patterns; DuckDB regexp_replace
+    needs the 'g' flag to match Spark's replace-all semantics."""
+    from pdf_metadata_extraction_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE
+      WHEN doc_id % 5 = 0 THEN ' contact bob' || CAST(doc_id % 50 AS VARCHAR) || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      WHEN doc_id % 5 = 1 THEN ' call +1 (555) 123-45' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN doc_id % 5 = 2 THEN ' host 10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.7'
+      WHEN doc_id % 5 = 3 THEN ' call 555-867-5309 now'
+      ELSE ' no pii here 2021 2022'
+    END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+      '{IPV4_RE}', '{IP_TOKEN}', 'g'),
+    '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
+FROM aug
+"""
+
+
+def _repetition_sql() -> str:
+    """Mirror of textstats.repetition_signals: same regex split, same
+    1-based n-gram assembly, identical 1.0 − distinct/total fraction
+    parenthesization, 0.0 for empty/short docs."""
+
+    def fr(arr: str) -> str:
+        return (
+            f"CASE WHEN len({arr}) > 0 THEN "
+            f"round(1.0 - CAST(len(list_distinct({arr})) AS DOUBLE)"
+            f" / CAST(len({arr}) AS DOUBLE), 6) ELSE 0.0 END"
+        )
+
+    return f"""
+WITH wl AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT id, w,
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(generate_series(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i + 1])
+    ELSE []::VARCHAR[] END AS g2,
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+    ELSE []::VARCHAR[] END AS g3
+  FROM wl
+)
+SELECT id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  {fr('w')} AS dup_word_frac,
+  {fr('g2')} AS dup_2gram_frac,
+  {fr('g3')} AS dup_3gram_frac
+FROM g
 """
 
 
@@ -1581,6 +1695,8 @@ FROM hs
         "url_canonicalize": _url_canon_sql(),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
+        "pii_scrub": _pii_sql(),
+        "repetition_signals": _repetition_sql(),
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
     out["ivf_ann_topk"] = out["cosine_topk"]

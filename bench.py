@@ -137,7 +137,8 @@ def main() -> None:
         "lang_id_ngram", "quality_scores", "bm25_topk", "winnow_fp",
         "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
         "kg_mention_triples", "dedup_exact", "url_canonicalize",
-        "graph_triangles", "graph_degree_hist",
+        "graph_triangles", "graph_degree_hist", "pii_scrub",
+        "repetition_signals",
     ]:
         fn = run_query(name)
         fn()

@@ -422,3 +422,68 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         h.alias("fp_md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp_int"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: (id, n_words, dup_word_frac,
+    dup_2gram_frac, dup_3gram_frac).
+
+    ``dup_ngram_frac`` = 1 − distinct n-grams / total n-grams — the
+    fraction of n-gram slots that repeat an earlier n-gram. Boilerplate
+    shells, keyword-stuffed spam, and template pages score high and get
+    dropped by the quality gate (Gopher's repetition filters, Rae et
+    al. 2021, §A1.1 — the in-doc analogue of the corpus-level dedup
+    family in dedup.py).
+
+    Pure array expressions (filter/transform/array_distinct): map-only,
+    zero shuffle, whole-stage codegen, exactly mirrored in the DuckDB
+    oracle. n-gram assembly uses 1-based element_at on BOTH engines
+    (Spark ``[]`` is 0-based, DuckDB 1-based — element_at agrees).
+    Fractions are round(1.0 − distinct/total, 6) with identical
+    parenthesization cross-engine; empty/short docs score 0.0.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("_w"),
+    ).withColumn(
+        "_g2",
+        F.when(
+            F.size("_w") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_w) - 1),"
+                " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    ).withColumn(
+        "_g3",
+        F.when(
+            F.size("_w") >= 3,
+            F.expr(
+                "transform(sequence(1, size(_w) - 2),"
+                " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1),"
+                " ' ', element_at(_w, i + 2)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+    def frac(arr: str) -> Column:
+        total = F.size(arr)
+        distinct = F.size(F.array_distinct(arr))
+        return F.when(
+            total > 0,
+            F.round(
+                F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return d.select(
+        "id",
+        F.size("_w").cast("long").alias("n_words"),
+        frac("_w").alias("dup_word_frac"),
+        frac("_g2").alias("dup_2gram_frac"),
+        frac("_g3").alias("dup_3gram_frac"),
+    )

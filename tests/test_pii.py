@@ -1,0 +1,70 @@
+"""PII detection + scrubbing (emails, IPv4, phones)."""
+
+from pdf_metadata_extraction_spark.operators.pii import detect_pii, scrub_pii
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    d = detect_pii(df).collect()[0]
+    s = scrub_pii(df).collect()[0]["clean_text"]
+    return d, s
+
+
+def test_email_and_ip_scrub(spark):
+    d, s = _one(spark, "mail bob.smith+x@sub.example.org or 10.0.255.1 now")
+    assert (d["n_emails"], d["n_ipv4"], d["n_phones"]) == (1, 1, 0)
+    assert s == "mail <EMAIL> or <IP> now"
+
+
+def test_phone_shapes(spark):
+    d, s = _one(spark, "call +44 (0) 20-7946 0958 or 555-867-5309 today")
+    assert d["n_phones"] == 2
+    assert s == "call <PHONE> or <PHONE> today"
+
+
+def test_bare_digit_runs_survive(spark):
+    """Precision-first: years, counts, ids without phone shape stay."""
+    d, s = _one(spark, "in 2021 2022 we saw 123456789 events")
+    assert (d["n_emails"], d["n_ipv4"], d["n_phones"]) == (0, 0, 0)
+    assert s == "in 2021 2022 we saw 123456789 events"
+
+
+def test_scrub_order_email_before_phone(spark):
+    """An email whose local part is digit-heavy must become <EMAIL>,
+    not get its digits clipped by the phone pass."""
+    d, s = _one(spark, "x 555-867-5309@example.com y")
+    assert d["n_emails"] == 1
+    assert s == "x <EMAIL> y"
+
+
+def test_scrub_is_map_only(spark):
+    df = scrub_pii(spark.createDataFrame([("a",)], "text string"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repetition_signals_values(spark):
+    """Pinned fractions on known inputs (Gopher repetition family)."""
+    from pdf_metadata_extraction_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, "all words here are unique tokens"),
+         (3, "ab ab cd ab ab cd"),
+         (4, ""),
+         (5, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in repetition_signals(df).collect()}
+    assert rows[1]["dup_word_frac"] == 0.75
+    assert rows[1]["dup_2gram_frac"] == 0.666667
+    assert rows[1]["dup_3gram_frac"] == 0.5
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[3]["n_words"] == 6 and rows[3]["dup_2gram_frac"] == 0.4
+    assert rows[4]["n_words"] == 0 and rows[4]["dup_word_frac"] == 0.0
+    assert rows[5]["dup_3gram_frac"] == 0.0
+    # map-only: pure array expressions, no shuffle
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
