@@ -595,6 +595,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "path_depth",
         )
 
+    def url_dedup(spark, sf_dir):
+        """Composed proof: canonicalization IS the dedup key — dirty
+        variants (case, ports, tracking params, userinfo) collapse onto
+        one canonical_url; emits groups with >1 alias (canonical_url,
+        n_aliases, first_doc)."""
+        c = url_canonicalize(spark, sf_dir)
+        return (
+            c.where(F.col("canonical_url").isNotNull())
+            .groupBy("canonical_url")
+            .agg(
+                F.count("*").cast("long").alias("n_aliases"),
+                F.min("doc_id").alias("first_doc"),
+            )
+            .where(F.col("n_aliases") > 1)
+        )
+
     # ------------------------------------------------ graph metrics
     def _graph_edges(spark, sf_dir):
         """Deterministic KG-shaped edge set from doc_id (triangles at
@@ -810,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": lsh_ann_topk,
         "lsh_recall_gate": lsh_recall_gate,
         "url_canonicalize": url_canonicalize,
+        "url_dedup": url_dedup,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
         "pii_scrub": pii_scrub,
@@ -1693,6 +1710,12 @@ FROM hs
         ),
         "bm25_topk": _bm25_sql(_BM25_TERMS, topk=15),
         "url_canonicalize": _url_canon_sql(),
+        "url_dedup": (
+            "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_aliases, "
+            "min(doc_id) AS first_doc FROM (" + _url_canon_sql() + ") "
+            "WHERE canonical_url IS NOT NULL GROUP BY canonical_url "
+            "HAVING count(*) > 1"
+        ),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
         "pii_scrub": _pii_sql(),

@@ -116,3 +116,43 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.when(bad, F.lit(None).cast("long")).otherwise(depth),
         )
     )
+
+
+def dedup_pages_by_canonical_url(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Ingest-time page dedup on the canonical url — the composed form
+    every crawl pipeline runs before anything keys on url: rewrite
+    ``url`` to its canonical form and keep ONE fetch per canonical url
+    (earliest ``warc_ts``; md5(html) breaks exact-timestamp ties so the
+    survivor is deterministic). Unparseable urls are dropped (the
+    quarantine contract — never silently into the keyed stages).
+
+    One shuffle, keyed by the FULL canonical url — mega-domains spread
+    across their distinct paths, so the window key has no hub skew.
+    A materialized ``url_bucket`` column (the Iceberg bucket stand-in)
+    is recomputed from the rewritten url.
+    """
+    from pyspark.sql import Window
+
+    c = canonicalize_urls(pages, url_col)
+    good = c.where(F.col("canonical_url").isNotNull())
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).asc(), F.md5(F.col("html")).asc()
+    )
+    kept = (
+        good.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = kept.withColumn(url_col, F.col("canonical_url")).drop(
+        "canonical_url", "host", "registered_domain", "path_depth"
+    )
+    if "url_bucket" in pages.columns:
+        from pdf_metadata_extraction_spark.sources.pages_synth import N_BUCKETS
+
+        out = out.withColumn(
+            "url_bucket",
+            F.pmod(F.crc32(F.col(url_col)), F.lit(N_BUCKETS)).cast("int"),
+        )
+    return out

@@ -37,11 +37,26 @@ def run_kg_pipeline(
     run_id: str = "run0",
     extraction_name: str = "mentions",
     n_salt: int = DEFAULT_SALT,
+    normalize_urls: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
-    DataFrames {segments, linked, edges, nodes}."""
+    DataFrames {segments, linked, edges, nodes}.
+
+    ``normalize_urls``: opt-in ingest dedup — rewrite urls to canonical
+    form and keep one fetch per canonical url (earliest warc_ts,
+    deterministic tie-break) before anything keys on url; the cleaned
+    pages are their own checkpointed stage (``pages_clean``)."""
     lw = LineageWriter(spark, work_dir, run_id)
     t0 = time.monotonic()
+
+    if normalize_urls:
+        from pdf_metadata_extraction_spark.operators.urlnorm import (
+            dedup_pages_by_canonical_url,
+        )
+
+        pages = lw.checkpoint_stage(
+            "pages_clean", dedup_pages_by_canonical_url(pages)
+        )
 
     segs = segments_from_pages(pages).withColumn(
         "extraction_name", F.lit(extraction_name)

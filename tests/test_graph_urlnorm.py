@@ -84,3 +84,67 @@ def test_url_canonicalization_is_map_only(spark):
     df = canonicalize_urls(spark.createDataFrame([("http://a.bc/x",)], "url string"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_page_dedup_by_canonical_url(spark):
+    """Dirty url variants of the same fetch collapse to one page row
+    with the canonical url; the survivor is the earliest warc_ts with a
+    deterministic tie-break; unparseable urls are quarantined out."""
+    from datetime import datetime
+
+    from pdf_metadata_extraction_spark.operators.urlnorm import (
+        dedup_pages_by_canonical_url,
+    )
+
+    rows = [
+        ("https://WWW.Example.com/a?utm_source=x", datetime(2021, 1, 2), b"h2"),
+        ("https://example.com/a", datetime(2021, 1, 1), b"h1"),
+        ("https://example.com/a/", datetime(2021, 1, 3), b"h3"),
+        ("https://example.com/b", datetime(2021, 1, 1), b"hb"),
+        ("garbage", datetime(2021, 1, 1), b"hx"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = {r["url"]: r for r in dedup_pages_by_canonical_url(pages).collect()}
+    assert set(out) == {"https://example.com/a", "https://example.com/b"}
+    assert bytes(out["https://example.com/a"]["html"]) == b"h1"  # earliest
+
+
+def test_kg_run_with_normalize_urls(spark, tmp_path):
+    """The flagship pipeline with the opt-in ingest dedup: alias pages
+    produce identical edges to a clean run, and pages_clean is a
+    checkpointed lineage stage."""
+    from pyspark.sql import functions as F
+
+    from pdf_metadata_extraction_spark.plans.kg_run import run_kg_pipeline
+    from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
+
+    pages = generate_pages(spark, 8, partitions=2).select(
+        "url", "warc_ts", "html"
+    )
+    # dirty aliases: tracking params + later fetch timestamps
+    aliases = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=feed"))
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    dirty = pages.unionByName(aliases)
+    opts = spark.createDataFrame(
+        [("mentions", "o1", "united nations", True),
+         ("mentions", "o2", "assembly", True)],
+        "extraction_name string, option_id string, label string, "
+        "multi_value boolean",
+    )
+
+    clean_run = run_kg_pipeline(
+        spark, pages, opts, str(tmp_path / "w1"), run_id="clean"
+    )
+    dirty_run = run_kg_pipeline(
+        spark, dirty, opts, str(tmp_path / "w2"), run_id="dirty",
+        normalize_urls=True,
+    )
+    key = ["subj", "pred", "obj"]
+    a = sorted(tuple(r) for r in clean_run["edges"].select(*key).distinct().collect())
+    b = sorted(tuple(r) for r in dirty_run["edges"].select(*key).distinct().collect())
+    assert a == b
+    lw_rows = spark.read.parquet(str(tmp_path / "w2" / "lineage")).collect()
+    assert any(r["stage"] == "pages_clean" for r in lw_rows)
