@@ -1052,16 +1052,21 @@ WITH aug AS (
     END AS text
   FROM documents
 )
+, steps AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
+  FROM aug
+), steps2 AS (
+  SELECT doc_id, text, t1,
+    regexp_replace(t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS t2
+  FROM steps
+)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
-      '{IPV4_RE}', '{IP_TOKEN}', 'g'),
-    '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
-FROM aug
+  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
+FROM steps2
 """
 
 

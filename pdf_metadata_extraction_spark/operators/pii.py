@@ -48,9 +48,18 @@ PHONE_TOKEN = "<PHONE>"
 
 
 def detect_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds integer columns n_emails, n_ipv4, n_phones (audit
-    side-channel; exact counts, order-free)."""
+    """Adds integer columns n_emails, n_ipv4, n_phones.
+
+    Counts RECONCILE with scrub_pii exactly: each count is taken on the
+    intermediate text the corresponding scrub pass sees (emails on the
+    raw text, IPs after the email pass, phones after the IP pass), so
+    n_X == the number of <X> tokens scrub_pii inserts. Counting all
+    three on the raw text instead would report phantom leaks — a phone
+    or dotted quad nested inside an email local part is redacted by the
+    email pass, not the later ones."""
     t = F.col(text_col)
+    t1 = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    t2 = F.regexp_replace(t1, IPV4_RE, IP_TOKEN)
     return (
         df.withColumn(
             "n_emails",
@@ -58,11 +67,11 @@ def detect_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "n_ipv4",
-            F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).cast("long"),
+            F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), F.lit(0))).cast("long"),
         )
         .withColumn(
             "n_phones",
-            F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("long"),
+            F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), F.lit(0))).cast("long"),
         )
     )
 

@@ -119,14 +119,26 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def dedup_pages_by_canonical_url(
-    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
 ) -> DataFrame:
     """Ingest-time page dedup on the canonical url — the composed form
     every crawl pipeline runs before anything keys on url: rewrite
-    ``url`` to its canonical form and keep ONE fetch per canonical url
-    (earliest ``warc_ts``; md5(html) breaks exact-timestamp ties so the
-    survivor is deterministic). Unparseable urls are dropped (the
-    quarantine contract — never silently into the keyed stages).
+    ``url`` to its canonical form and keep ONE fetch per canonical url.
+
+    Survivor order is TOTAL, so re-runs checkpoint identical rows:
+    earliest ``ts_col``, then md5(``content_col``) (when the column
+    exists), then the original url, then a full-row hash — two rows tie
+    only if they are byte-identical, and then either is the same row.
+    Unparseable urls are dropped; callers that owe an audit trail
+    record the dropped count (kg_run writes a ``pages_quarantined``
+    lineage row).
+
+    Raises if the input already carries one of the derived column names
+    (canonical_url/host/registered_domain/path_depth) — silently
+    clobbering caller data is worse than failing loudly.
 
     One shuffle, keyed by the FULL canonical url — mega-domains spread
     across their distinct paths, so the window key has no hub skew.
@@ -135,11 +147,21 @@ def dedup_pages_by_canonical_url(
     """
     from pyspark.sql import Window
 
+    derived = {"canonical_url", "host", "registered_domain", "path_depth"}
+    clash = derived & set(pages.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_pages_by_canonical_url would clobber input column(s) "
+            f"{sorted(clash)}; rename them first"
+        )
     c = canonicalize_urls(pages, url_col)
     good = c.where(F.col("canonical_url").isNotNull())
-    w = Window.partitionBy("canonical_url").orderBy(
-        F.col(ts_col).asc(), F.md5(F.col("html")).asc()
-    )
+    order = [F.col(ts_col).asc()]
+    if content_col in pages.columns:
+        order.append(F.md5(F.col(content_col)).asc())
+    order.append(F.col(url_col).asc())
+    order.append(F.xxhash64(*[F.col(x) for x in pages.columns]).asc())
+    w = Window.partitionBy("canonical_url").orderBy(*order)
     kept = (
         good.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

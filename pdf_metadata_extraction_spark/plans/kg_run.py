@@ -51,11 +51,28 @@ def run_kg_pipeline(
 
     if normalize_urls:
         from pdf_metadata_extraction_spark.operators.urlnorm import (
+            canonicalize_urls,
             dedup_pages_by_canonical_url,
         )
 
+        # quarantine audit BEFORE the drop: the lineage table must be
+        # able to show that input_rows > output_rows and say why
+        n_in = pages.count()
+        n_bad = (
+            canonicalize_urls(pages)
+            .where(F.col("canonical_url").isNull())
+            .count()
+        )
+        lw.record(
+            "pages_quarantined", input_rows=n_in, output_rows=n_bad,
+            wall_ms=0,
+        )
+        cleaned = dedup_pages_by_canonical_url(pages)
         pages = lw.checkpoint_stage(
-            "pages_clean", dedup_pages_by_canonical_url(pages)
+            "pages_clean", cleaned, input_rows=n_in,
+            partition_by=(
+                ["url_bucket"] if "url_bucket" in cleaned.columns else None
+            ),
         )
 
     segs = segments_from_pages(pages).withColumn(

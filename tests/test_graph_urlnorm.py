@@ -109,6 +109,14 @@ def test_page_dedup_by_canonical_url(spark):
     out = {r["url"]: r for r in dedup_pages_by_canonical_url(pages).collect()}
     assert set(out) == {"https://example.com/a", "https://example.com/b"}
     assert bytes(out["https://example.com/a"]["html"]) == b"h1"  # earliest
+    # clobber guard: pre-existing derived columns fail loudly, never
+    # silently overwritten-and-dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="clobber"):
+        dedup_pages_by_canonical_url(
+            pages.withColumn("host", F.lit("keep-me"))
+        )
 
 
 def test_kg_run_with_normalize_urls(spark, tmp_path):
@@ -148,3 +156,10 @@ def test_kg_run_with_normalize_urls(spark, tmp_path):
     assert a == b
     lw_rows = spark.read.parquet(str(tmp_path / "w2" / "lineage")).collect()
     assert any(r["stage"] == "pages_clean" for r in lw_rows)
+    # quarantine audit row: all urls here parse, so 16 in / 0 quarantined
+    q = [r for r in lw_rows if r["stage"] == "pages_quarantined"]
+    assert len(q) == 1 and q[0]["input_rows"] == 16 and q[0]["output_rows"] == 0
+    # the clean stage records its input so lineage shows the collapse
+    pc = [r for r in lw_rows
+          if r["stage"] == "pages_clean" and r["partition_range"] == "all"]
+    assert pc[0]["input_rows"] == 16 and pc[0]["output_rows"] == 8

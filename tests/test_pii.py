@@ -31,10 +31,13 @@ def test_bare_digit_runs_survive(spark):
 
 def test_scrub_order_email_before_phone(spark):
     """An email whose local part is digit-heavy must become <EMAIL>,
-    not get its digits clipped by the phone pass."""
+    not get its digits clipped by the phone pass — and the audit counts
+    reconcile with the scrub (no phantom phone: it was redacted as part
+    of the email)."""
     d, s = _one(spark, "x 555-867-5309@example.com y")
-    assert d["n_emails"] == 1
+    assert (d["n_emails"], d["n_ipv4"], d["n_phones"]) == (1, 0, 0)
     assert s == "x <EMAIL> y"
+    assert s.count("<PHONE>") == d["n_phones"]
 
 
 def test_scrub_is_map_only(spark):
