@@ -65,6 +65,18 @@ CASES = [
     # dotless host: registered_domain NULL (never the '' mega-group)
     ("https://localhost:8080/x",
      "https://localhost:8080/x", "localhost", None, 1),
+    # query with no path: canonical path is '/'
+    ("http://a.bc?b=1&a=2",
+     "http://a.bc/?a=2&b=1", "a.bc", "a.bc", 0),
+    # fragment-only: dropped, path normalized
+    ("https://example.com/#frag",
+     "https://example.com/", "example.com", "example.com", 0),
+    # non-default port with empty path
+    ("http://example.com:8080",
+     "http://example.com:8080/", "example.com", "example.com", 0),
+    # every param is tracking -> no query at all
+    ("https://example.com/p?utm_a=1&utm_b=2",
+     "https://example.com/p", "example.com", "example.com", 1),
     ("not a url", None, None, None, None),
 ]
 

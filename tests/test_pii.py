@@ -71,3 +71,32 @@ def test_repetition_signals_values(spark):
     # map-only: pure array expressions, no shuffle
     plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scrub_works_in_streaming(spark, tmp_path):
+    """The scrub/detect stages are pure map-only expressions, so they
+    drop into a Structured Streaming plan unchanged (the ingest shape:
+    readStream -> scrub -> sink)."""
+    import json
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "b0.json").write_text("\n".join(
+        json.dumps(r) for r in [
+            {"doc_id": 1, "text": "mail a@b.co now"},
+            {"doc_id": 2, "text": "call 555-867-5309 now"},
+            {"doc_id": 3, "text": "clean 2021"},
+        ]
+    ))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(feed))
+    out = scrub_pii(detect_pii(stream))
+    q = (
+        out.writeStream.format("memory").queryName("pii_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    assert rows[1]["clean_text"] == "mail <EMAIL> now"
+    assert rows[2]["clean_text"] == "call <PHONE> now"
+    assert rows[3]["clean_text"] == "clean 2021"
+    assert (rows[1]["n_emails"], rows[2]["n_phones"]) == (1, 1)
