@@ -611,6 +611,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("n_aliases") > 1)
         )
 
+    # ------------------------------------------------ link graph
+    def link_graph_hosts(spark, sf_dir):
+        """Host-level link graph out of a deterministic synthetic HTML
+        corpus (absolute, root-relative, and dropped href classes all
+        represented); composes urlnorm host rules with one host-pair
+        aggregation. The oracle mirrors the anchor regex, the
+        resolution CASE, and the host pipeline."""
+        from pdf_metadata_extraction_spark.operators.links import (
+            host_link_edges,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        k = (F.col("doc_id") % 20).cast("string")
+        j = ((F.col("doc_id") + 7) % 20).cast("string")
+        j2 = ((F.col("doc_id") + 3) % 20).cast("string")
+        m = F.col("doc_id") % 4
+        extra = (
+            F.when(m == 0, F.lit('<a href="mailto:x@y.z">m</a>'))
+            .when(m == 1, F.lit('<a href="//cdn.example/lib.js">c</a>'))
+            .when(m == 2, F.lit('<a href="rel/p">r</a>'))
+            .otherwise(F.concat(
+                F.lit('<a href="http://user:pw@site'), j2,
+                F.lit('.example:8080/q">u</a>')))
+        )
+        corpus = d.select(
+            F.concat(F.lit("https://www.site"), k,
+                     F.lit(".example/p"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.concat(
+                F.lit('<p><a href="https://site'), j,
+                F.lit('.example/x">o</a><a href="/nav">n</a>'), extra,
+                F.lit("</p>"),
+            ).alias("html_text"),
+        )
+        return host_link_edges(corpus)
+
     # ------------------------------------------------ graph metrics
     def _graph_edges(spark, sf_dir):
         """Deterministic KG-shaped edge set from doc_id (triangles at
@@ -827,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_gate": lsh_recall_gate,
         "url_canonicalize": url_canonicalize,
         "url_dedup": url_dedup,
+        "link_graph_hosts": link_graph_hosts,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
         "pii_scrub": pii_scrub,
@@ -1106,6 +1143,54 @@ SELECT id,
   {fr('g2')} AS dup_2gram_frac,
   {fr('g3')} AS dup_3gram_frac
 FROM g
+"""
+
+
+def _sql_host_of(e: str) -> str:
+    """DuckDB mirror of links._host_of over url expression ``e``."""
+    return (
+        "regexp_replace(lower(regexp_extract(regexp_extract("
+        f"regexp_extract({e}, '{_URL_RE_SQL}', 2), '([^@]*)$', 1),"
+        " '^([^:]*)', 1)), '^www\\.', '')"
+    )
+
+
+def _link_graph_sql() -> str:
+    """Mirror of links.host_link_edges over the same synthetic corpus:
+    same anchor regex, same absolute/root-relative/drop resolution,
+    same host pipeline, one GROUP BY."""
+    return f"""
+WITH corpus AS (
+  SELECT
+    'https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+    '<p><a href="https://site' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.example/x">o</a><a href="/nav">n</a>'
+    || CASE
+         WHEN doc_id % 4 = 0 THEN '<a href="mailto:x@y.z">m</a>'
+         WHEN doc_id % 4 = 1 THEN '<a href="//cdn.example/lib.js">c</a>'
+         WHEN doc_id % 4 = 2 THEN '<a href="rel/p">r</a>'
+         ELSE '<a href="http://user:pw@site' || CAST((doc_id + 3) % 20 AS VARCHAR) || '.example:8080/q">u</a>'
+       END || '</p>' AS html_text
+  FROM documents
+), anchors AS (
+  SELECT url AS src_url, unnest(regexp_extract_all(html_text, 'href="([^"]*)"', 1)) AS href
+  FROM corpus
+), resolved AS (
+  SELECT src_url,
+    CASE
+      WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+      WHEN href LIKE '/%' AND href NOT LIKE '//%' THEN
+        lower(regexp_extract(src_url, '{_URL_RE_SQL}', 1)) || '://'
+        || {_sql_host_of('src_url')} || href
+    END AS abs_href
+  FROM anchors
+)
+SELECT {_sql_host_of('src_url')} AS src_host,
+       {_sql_host_of('abs_href')} AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM resolved
+WHERE abs_href IS NOT NULL
+  AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_href')} <> ''
+GROUP BY 1, 2
 """
 
 
@@ -1721,6 +1806,7 @@ FROM hs
             "WHERE canonical_url IS NOT NULL GROUP BY canonical_url "
             "HAVING count(*) > 1"
         ),
+        "link_graph_hosts": _link_graph_sql(),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
         "pii_scrub": _pii_sql(),

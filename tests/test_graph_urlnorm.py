@@ -175,3 +175,31 @@ def test_kg_run_with_normalize_urls(spark, tmp_path):
     pc = [r for r in lw_rows
           if r["stage"] == "pages_clean" and r["partition_range"] == "all"]
     assert pc[0]["input_rows"] == 16 and pc[0]["output_rows"] == 8
+
+
+def test_link_graph_extraction(spark):
+    """Anchors -> host edges: absolute kept, root-relative resolved
+    against the source host, protocol-relative/mailto/path-relative
+    dropped, userinfo stripped, self-links kept."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_links,
+        host_link_edges,
+    )
+
+    rows = [
+        ("https://www.a.com/p",
+         '<a href="https://B.com/x">b</a> <a href="/local">l</a> '
+         '<a href="//proto.rel/x">p</a> <a href="mailto:x@y.z">m</a> '
+         '<a href="rel/path">r</a> <a href="http://user:pw@c.net/q">c</a>'),
+        ("http://d.org", '<a href="https://a.com/back">k</a><a href="#t">t</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    assert extract_links(df).count() == 8  # raw audit surface: ALL hrefs
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in host_link_edges(df).collect()}
+    assert edges == {
+        ("a.com", "b.com"): 1,   # absolute, host lowercased
+        ("a.com", "a.com"): 1,   # root-relative -> self-link, kept
+        ("a.com", "c.net"): 1,   # userinfo dropped
+        ("d.org", "a.com"): 1,
+    }
