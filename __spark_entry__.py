@@ -681,6 +681,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_histogram(_graph_edges(spark, sf_dir))
 
+    def graph_pagerank(spark, sf_dir):
+        """Fixed-point integer PageRank (5 iterations) on the same
+        deterministic edge set — order-free integer sums make the
+        iterative algorithm bit-exactly oracle-checkable (the oracle
+        unrolls the identical arithmetic as chained CTEs)."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            pagerank_fixed,
+        )
+
+        return pagerank_fixed(_graph_edges(spark, sf_dir), iters=5)
+
     # ------------------------------------------------ repetition signals
     def repetition_signals(spark, sf_dir):
         """Gopher-style in-doc repetition fractions (dup word/2gram/
@@ -866,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_hosts": link_graph_hosts,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
+        "graph_pagerank": graph_pagerank,
         "pii_scrub": pii_scrub,
         "repetition_signals": repetition_signals,
         "pages_roundtrip": pages_roundtrip,
@@ -1192,6 +1204,52 @@ WHERE abs_href IS NOT NULL
   AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_href')} <> ''
 GROUP BY 1, 2
 """
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12,
+                  damp_num: int = 85, damp_den: int = 100) -> str:
+    """Mirror of graph.pagerank_fixed over the _graph_edges corpus:
+    identical integer fixed-point arithmetic, one CTE per iteration
+    (DuckDB `//` = Spark `div` = Python `//` on non-negative ints)."""
+    head = f"""
+WITH d AS (SELECT doc_id FROM documents),
+eraw AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM d WHERE doc_id % 10 < 2
+  UNION ALL
+  SELECT doc_id, doc_id + 100000 FROM d
+),
+e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM eraw WHERE id_a <> id_b),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+params AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
+"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+, r{i} AS (
+  SELECT nodes.node,
+    (({damp_den - damp_num} * {scale}) // ({damp_den} * params.n))
+      + ({damp_num} * coalesce(sub.s, 0)) // {damp_den} AS rank
+  FROM nodes CROSS JOIN params
+  LEFT JOIN (
+    SELECT e.dst, sum(r{i - 1}.rank // outdeg.outdeg) AS s
+    FROM e
+    JOIN r{i - 1} ON r{i - 1}.node = e.src
+    JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst
+  ) sub ON sub.dst = nodes.node
+)""")
+    parts.append(
+        f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}\n"
+    )
+    return "".join(parts)
 
 
 def _graph_sql(triangles: bool) -> str:
@@ -1809,6 +1867,7 @@ FROM hs
         "link_graph_hosts": _link_graph_sql(),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
+        "graph_pagerank": _pagerank_sql(iters=5),
         "pii_scrub": _pii_sql(),
         "repetition_signals": _repetition_sql(),
     }

@@ -113,3 +113,77 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     return wedges.join(closing, ["v", "w"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+PR_SCALE = 10**12  # rank mass in integer pico-units: exact, order-free
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 5,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER fixed-point — (node, rank)
+    with rank in ``scale`` units (total initial mass = ``scale``).
+
+    Why integers: float PageRank is not cross-engine checkable — the
+    per-node contribution sum is order-unspecified under groupBy, so
+    Spark and an oracle disagree in the last ulps and a value-hash
+    gate flakes. Every operation here is integer (init ``scale // N``,
+    contribution ``rank div outdeg``, update ``base + (damp_num * sum)
+    div damp_den``) — sums of integers are exact under ANY order, so
+    the DuckDB oracle (same unrolled arithmetic) matches bit-exactly.
+
+    Documented variant (the contract, mirrored by the oracle):
+    fixed ``iters`` iterations (no convergence test), self-loops and
+    duplicate edges dropped, dangling-node mass NOT redistributed
+    (standard simplification; ranks then sum to < scale), flooring
+    division throughout.
+
+    Scale shape: per iteration one join edges⋈ranks (both keyed by
+    node id; outdeg is joined in once, precomputed) and one integer
+    groupBy-sum (map-side partial agg) — the classic Pregel/GraphX
+    PageRank schedule as plain DataFrame ops; localCheckpoint each
+    iteration cuts the growing lineage exactly like connected
+    components' rounds.
+    """
+    e = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

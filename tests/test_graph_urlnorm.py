@@ -203,3 +203,34 @@ def test_link_graph_extraction(spark):
         ("a.com", "c.net"): 1,   # userinfo dropped
         ("d.org", "a.com"): 1,
     }
+
+
+def test_pagerank_fixed_matches_python_reference(spark):
+    """Integer fixed-point PageRank equals an independent pure-Python
+    implementation of the same documented arithmetic, exactly — and
+    behaves sanely (star center outranks leaves; total mass bounded)."""
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3), (5, 3), (2, 1)]
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixed(_edges(spark, pairs), iters=5).collect()}
+
+    # independent reference: same contract, plain dicts
+    scale, dn, dd = 10**12, 85, 100
+    e = sorted(set((a, b) for a, b in pairs if a != b))
+    nodes = sorted({x for p in e for x in p})
+    out = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    base = (dd - dn) * scale // (dd * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for a, b in e:
+            s[b] += rank[a] // out[a]
+        rank = {v: base + dn * s[v] // dd for v in nodes}
+    assert got == rank
+    assert sum(got.values()) <= scale
+    # hub sanity: node 3 (most in-links) ranks highest
+    assert max(got, key=got.get) == 3
