@@ -612,16 +612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # ------------------------------------------------ link graph
-    def link_graph_hosts(spark, sf_dir):
-        """Host-level link graph out of a deterministic synthetic HTML
-        corpus (absolute, root-relative, and dropped href classes all
-        represented); composes urlnorm host rules with one host-pair
-        aggregation. The oracle mirrors the anchor regex, the
-        resolution CASE, and the host pipeline."""
-        from pdf_metadata_extraction_spark.operators.links import (
-            host_link_edges,
-        )
-
+    def _link_corpus(spark, sf_dir):
+        """Deterministic synthetic HTML corpus: every href resolution
+        class (absolute, root-relative, protocol-relative, mailto,
+        path-relative, userinfo) represented."""
         d = _t(spark, sf_dir, "documents").select("doc_id")
         k = (F.col("doc_id") % 20).cast("string")
         j = ((F.col("doc_id") + 7) % 20).cast("string")
@@ -635,7 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('<a href="http://user:pw@site'), j2,
                 F.lit('.example:8080/q">u</a>')))
         )
-        corpus = d.select(
+        return d.select(
             F.concat(F.lit("https://www.site"), k,
                      F.lit(".example/p"),
                      F.col("doc_id").cast("string")).alias("url"),
@@ -645,7 +639,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("</p>"),
             ).alias("html_text"),
         )
-        return host_link_edges(corpus)
+
+    def link_graph_hosts(spark, sf_dir):
+        """Host-level link graph out of the synthetic HTML corpus;
+        composes urlnorm host rules with one host-pair aggregation.
+        The oracle mirrors the anchor regex, the resolution CASE, and
+        the host pipeline."""
+        from pdf_metadata_extraction_spark.operators.links import (
+            host_link_edges,
+        )
+
+        return host_link_edges(_link_corpus(spark, sf_dir))
+
+    def host_pagerank(spark, sf_dir):
+        """The composed Common-Crawl ranking chain in ONE query:
+        pages -> anchor extraction -> host link graph -> fixed-point
+        PageRank (3 iterations, string host nodes) — the whole path is
+        bit-exactly mirrored in a single DuckDB oracle statement."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            pagerank_fixed,
+        )
+        from pdf_metadata_extraction_spark.operators.links import (
+            host_link_edges,
+        )
+
+        edges = host_link_edges(_link_corpus(spark, sf_dir)).select(
+            F.col("src_host").alias("id_a"), F.col("dst_host").alias("id_b")
+        )
+        return pagerank_fixed(edges, iters=3)
 
     # ------------------------------------------------ graph metrics
     def _graph_edges(spark, sf_dir):
@@ -875,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize,
         "url_dedup": url_dedup,
         "link_graph_hosts": link_graph_hosts,
+        "host_pagerank": host_pagerank,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
         "graph_pagerank": graph_pagerank,
@@ -1206,21 +1228,13 @@ GROUP BY 1, 2
 """
 
 
-def _pagerank_sql(iters: int = 5, scale: int = 10**12,
-                  damp_num: int = 85, damp_den: int = 100) -> str:
-    """Mirror of graph.pagerank_fixed over the _graph_edges corpus:
-    identical integer fixed-point arithmetic, one CTE per iteration
-    (DuckDB `//` = Spark `div` = Python `//` on non-negative ints)."""
+def _pagerank_tail_sql(iters: int, scale: int, damp_num: int,
+                       damp_den: int) -> str:
+    """Unrolled PageRank iterations over a caller-provided CTE
+    ``e(src, dst)`` (distinct, no self-loops) — mirror of
+    graph.pagerank_fixed's arithmetic (DuckDB `//` = Spark `div` =
+    Python `//` on non-negative ints)."""
     head = f"""
-WITH d AS (SELECT doc_id FROM documents),
-eraw AS (
-  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id % 10 < 3
-  UNION ALL
-  SELECT doc_id, doc_id + 2 FROM d WHERE doc_id % 10 < 2
-  UNION ALL
-  SELECT doc_id, doc_id + 100000 FROM d
-),
-e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM eraw WHERE id_a <> id_b),
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
@@ -1250,6 +1264,68 @@ r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
         f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}\n"
     )
     return "".join(parts)
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12,
+                  damp_num: int = 85, damp_den: int = 100) -> str:
+    """PageRank oracle over the _graph_edges doc-id corpus."""
+    return (
+        """
+WITH d AS (SELECT doc_id FROM documents),
+eraw AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM d WHERE doc_id % 10 < 2
+  UNION ALL
+  SELECT doc_id, doc_id + 100000 FROM d
+),
+e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM eraw WHERE id_a <> id_b),
+"""
+        + _pagerank_tail_sql(iters, scale, damp_num, damp_den)
+    )
+
+
+def _host_pagerank_sql(iters: int = 3, scale: int = 10**12,
+                       damp_num: int = 85, damp_den: int = 100) -> str:
+    """The composed pipeline oracle: pages -> anchors -> host edges ->
+    PageRank, all in one statement (link-graph CTEs + unrolled
+    fixed-point iterations over STRING host nodes)."""
+    return (
+        f"""
+WITH corpus AS (
+  SELECT
+    'https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+    '<p><a href="https://site' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.example/x">o</a><a href="/nav">n</a>'
+    || CASE
+         WHEN doc_id % 4 = 0 THEN '<a href="mailto:x@y.z">m</a>'
+         WHEN doc_id % 4 = 1 THEN '<a href="//cdn.example/lib.js">c</a>'
+         WHEN doc_id % 4 = 2 THEN '<a href="rel/p">r</a>'
+         ELSE '<a href="http://user:pw@site' || CAST((doc_id + 3) % 20 AS VARCHAR) || '.example:8080/q">u</a>'
+       END || '</p>' AS html_text
+  FROM documents
+), anchors AS (
+  SELECT url AS src_url, unnest(regexp_extract_all(html_text, 'href="([^"]*)"', 1)) AS href
+  FROM corpus
+), resolved AS (
+  SELECT src_url,
+    CASE
+      WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+      WHEN href LIKE '/%' AND href NOT LIKE '//%' THEN
+        lower(regexp_extract(src_url, '{_URL_RE_SQL}', 1)) || '://'
+        || {_sql_host_of('src_url')} || href
+    END AS abs_href
+  FROM anchors
+), e AS (
+  SELECT DISTINCT {_sql_host_of('src_url')} AS src,
+                  {_sql_host_of('abs_href')} AS dst
+  FROM resolved
+  WHERE abs_href IS NOT NULL
+    AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_href')} <> ''
+    AND {_sql_host_of('src_url')} <> {_sql_host_of('abs_href')}
+),
+"""
+        + _pagerank_tail_sql(iters, scale, damp_num, damp_den)
+    )
 
 
 def _graph_sql(triangles: bool) -> str:
@@ -1865,6 +1941,7 @@ FROM hs
             "HAVING count(*) > 1"
         ),
         "link_graph_hosts": _link_graph_sql(),
+        "host_pagerank": _host_pagerank_sql(iters=3),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
         "graph_pagerank": _pagerank_sql(iters=5),

@@ -138,7 +138,7 @@ def main() -> None:
         "w4_sessionize", "hourly_event_agg", "q1_pricing_summary",
         "kg_mention_triples", "dedup_exact", "url_canonicalize",
         "graph_triangles", "graph_degree_hist", "pii_scrub",
-        "repetition_signals", "link_graph_hosts", "graph_pagerank",
+        "repetition_signals", "link_graph_hosts", "graph_pagerank", "host_pagerank",
     ]:
         fn = run_query(name)
         fn()
