@@ -1037,29 +1037,16 @@ SELECT id, round(_s, 6) AS score, rank FROM (
 _URL_RE_SQL = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
 
 
-def _url_canon_sql() -> str:
-    """Mirror of urlnorm.canonicalize_urls over the same deterministic
-    dirty-URL corpus: identical regex (RE2-safe), identical filter/sort/
-    join steps, NULLs for unparseable rows."""
+def _url_canon_transform_sql() -> str:
+    """The canonicalize_urls mirror as CTEs over a caller-provided
+    ``raw(doc_id, url)`` relation (identical regex — RE2-safe —
+    identical filter/sort/join steps, NULLs for unparseable rows).
+    Shared by the driver oracle and the cross-engine fuzz test."""
     not_tracking = " AND ".join(
         f"NOT starts_with(p, '{pfx}')"
         for pfx in ["utm_", "fbclid=", "gclid=", "ref="]
     )
-    return f"""
-WITH raw AS (
-  SELECT doc_id,
-    CASE
-      WHEN doc_id % 8 = 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
-      WHEN doc_id % 8 = 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/path//'
-      WHEN doc_id % 8 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/x?z=1&y=2'
-      WHEN doc_id % 8 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
-      WHEN doc_id % 8 = 4 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com/a?ref=hp&q=1'
-      WHEN doc_id % 8 = 6 THEN 'http://user:pw@example' || CAST(doc_id % 50 AS VARCHAR) || '.net/q'
-      WHEN doc_id % 8 = 7 THEN 'https://localhost:8080/x'
-      ELSE 'not a url'
-    END AS url
-  FROM documents
-), parsed AS (
+    return f"""parsed AS (
   SELECT doc_id,
     lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
     regexp_extract(regexp_extract(url, '{_URL_RE_SQL}', 2), '([^@]*)$', 1) AS hostport,
@@ -1096,6 +1083,26 @@ SELECT doc_id,
   END AS path_depth
 FROM cleaned
 """
+
+
+def _url_canon_sql() -> str:
+    """Driver oracle: the deterministic dirty-URL corpus + the shared
+    canonicalization transform."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 8 = 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
+      WHEN doc_id % 8 = 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/path//'
+      WHEN doc_id % 8 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/x?z=1&y=2'
+      WHEN doc_id % 8 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      WHEN doc_id % 8 = 4 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com/a?ref=hp&q=1'
+      WHEN doc_id % 8 = 6 THEN 'http://user:pw@example' || CAST(doc_id % 50 AS VARCHAR) || '.net/q'
+      WHEN doc_id % 8 = 7 THEN 'https://localhost:8080/x'
+      ELSE 'not a url'
+    END AS url
+  FROM documents
+), {_url_canon_transform_sql()}"""
 
 
 def _pii_sql() -> str:

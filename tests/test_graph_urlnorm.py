@@ -234,3 +234,53 @@ def test_pagerank_fixed_matches_python_reference(spark):
     assert sum(got.values()) <= scale
     # hub sanity: node 3 (most in-links) ranks highest
     assert max(got, key=got.get) == 3
+
+
+def test_url_canonicalization_cross_engine_fuzz(spark):
+    """Differential fuzz: 300 seeded adversarial url-ish strings
+    (malformed authorities, stray @/:/?/#, control chars, empty
+    segments) through BOTH engines — Spark canonicalize_urls must agree
+    with the DuckDB oracle transform on every column, batch-compared."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _url_canon_transform_sql
+
+    rng = random.Random(42)
+    frags = [
+        "http", "https", "HTTPS", "ftp", "://", ":/", "//", "", "www.",
+        "Ex", "ample", ".com", ".co.uk", ":80", ":443", ":8080", ":x",
+        "/", "a", "b/", "?", "&", "=1", "utm_x=2", "ref=h", "q=3",
+        "#frag", "@", "user:pw@", ":", ".", "..", "%7E", " ", "-",
+    ]
+    urls = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        for _ in range(294)
+    ] + ["http://", "http://@", "http://:80", "http://?", "http://#",
+         "http://."]
+
+    sdf = canonicalize_urls(
+        spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+        )
+    ).select(
+        "doc_id", "canonical_url", "host", "registered_domain", "path_depth"
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in sdf.collect()}
+
+    db = duckdb.connect()
+    db.register(
+        "raw", pd.DataFrame({"doc_id": range(len(urls)), "url": urls})
+    )
+    want = {
+        int(r[0]): (r[1], r[2], r[3], None if pd.isna(r[4]) else int(r[4]))
+        for r in db.sql(
+            "WITH " + _url_canon_transform_sql()
+        ).fetchall()
+    }
+    mismatches = {
+        i: (got[i], want[i]) for i in range(len(urls)) if got[i] != want[i]
+    }
+    assert not mismatches, (len(mismatches), dict(list(mismatches.items())[:5]))
