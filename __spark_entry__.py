@@ -1105,10 +1105,11 @@ WITH raw AS (
 ), {_url_canon_transform_sql()}"""
 
 
-def _pii_sql() -> str:
-    """Mirror of pii.detect_pii + scrub_pii over the same deterministic
-    PII-bearing corpus. Same RE2-safe patterns; DuckDB regexp_replace
-    needs the 'g' flag to match Spark's replace-all semantics."""
+def _pii_transform_sql() -> str:
+    """The detect+scrub mirror as CTEs over a caller-provided
+    ``aug(doc_id, text)`` relation — same RE2-safe patterns; DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all.
+    Shared by the driver oracle and the cross-engine fuzz test."""
     from pdf_metadata_extraction_spark.operators.pii import (
         EMAIL_RE,
         EMAIL_TOKEN,
@@ -1118,19 +1119,7 @@ def _pii_sql() -> str:
         PHONE_TOKEN,
     )
 
-    return f"""
-WITH aug AS (
-  SELECT doc_id,
-    text || CASE
-      WHEN doc_id % 5 = 0 THEN ' contact bob' || CAST(doc_id % 50 AS VARCHAR) || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.com'
-      WHEN doc_id % 5 = 1 THEN ' call +1 (555) 123-45' || CAST(doc_id % 50 AS VARCHAR)
-      WHEN doc_id % 5 = 2 THEN ' host 10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.7'
-      WHEN doc_id % 5 = 3 THEN ' call 555-867-5309 now'
-      ELSE ' no pii here 2021 2022'
-    END AS text
-  FROM documents
-)
-, steps AS (
+    return f"""steps AS (
   SELECT doc_id, text,
     regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
   FROM aug
@@ -1146,6 +1135,23 @@ SELECT doc_id,
   regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
 FROM steps2
 """
+
+
+def _pii_sql() -> str:
+    """Driver oracle: the deterministic PII-bearing corpus + the shared
+    detect/scrub transform."""
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE
+      WHEN doc_id % 5 = 0 THEN ' contact bob' || CAST(doc_id % 50 AS VARCHAR) || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      WHEN doc_id % 5 = 1 THEN ' call +1 (555) 123-45' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN doc_id % 5 = 2 THEN ' host 10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.7'
+      WHEN doc_id % 5 = 3 THEN ' call 555-867-5309 now'
+      ELSE ' no pii here 2021 2022'
+    END AS text
+  FROM documents
+), {_pii_transform_sql()}"""
 
 
 def _repetition_sql() -> str:

@@ -100,3 +100,41 @@ def test_scrub_works_in_streaming(spark, tmp_path):
     assert rows[2]["clean_text"] == "call <PHONE> now"
     assert rows[3]["clean_text"] == "clean 2021"
     assert (rows[1]["n_emails"], rows[2]["n_phones"]) == (1, 1)
+
+
+def test_pii_cross_engine_fuzz(spark):
+    """Differential fuzz: 300 seeded PII-ish strings (digit runs,
+    partial emails/IPs/phones, nested and adjacent patterns) through
+    Spark detect+scrub and the DuckDB oracle transform — every count
+    and the scrubbed text must agree byte-exactly."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _pii_transform_sql
+
+    rng = random.Random(7)
+    frags = [
+        "a", "bob", "x.y", "@", "mail", ".com", ".c", "10.0.0.1",
+        "555", "-", "867", "5309", "+1 ", "(555) ", "123", " ", ".",
+        "..", "2021", "@@", "1.2.3.4.5", "999.999.999.999", "()",
+        "a@b", "@b.co", "+", "ab@cd.ef", " end",
+    ]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 14)))
+        for _ in range(296)
+    ] + ["", "@", "1.2.3.4", "x 555-867-5309@example.com 10.0.0.1 y"]
+
+    sdf = scrub_pii(detect_pii(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ))).select("doc_id", "n_emails", "n_ipv4", "n_phones", "clean_text")
+    got = {r["doc_id"]: tuple(r)[1:] for r in sdf.collect()}
+
+    db = duckdb.connect()
+    db.register("aug", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = {int(r[0]): (int(r[1]), int(r[2]), int(r[3]), r[4])
+            for r in db.sql("WITH " + _pii_transform_sql()).fetchall()}
+    mismatches = {i: (got[i], want[i])
+                  for i in range(len(texts)) if got[i] != want[i]}
+    assert not mismatches, (len(mismatches), dict(list(mismatches.items())[:5]))
