@@ -212,8 +212,12 @@ def connected_components(
     ``{checkpoint_dir}/round_{i}`` (parquet + a fingerprint sidecar) and
     a re-run RESUMES from the last completed round instead of
     recomputing (north rule: resumable from checkpoint) — rounds are
-    deterministic, so the resumed result is identical. When unset,
-    rounds use ``localCheckpoint`` (lineage cut only; driver-lifetime).
+    deterministic, so the resumed result is identical. The dir is
+    stamped with an INPUT fingerprint (``_input.json``: xor-hash +
+    count of the deduped edge set); reusing it with a different edge
+    set wipes the stale rounds instead of silently resuming them.
+    When unset, rounds use ``localCheckpoint`` (lineage cut only;
+    driver-lifetime).
 
     Each round the edge set is rewritten:
     - **large-star**: for every node, connect all *strictly larger*
@@ -225,49 +229,21 @@ def connected_components(
     directions); ``localCheckpoint`` cuts the otherwise-exponential
     lineage (swap for reliable checkpoint on a real cluster).
     """
-    import json
     import time
 
+    from pdf_metadata_extraction_spark.operators import ckpt
+
     spark = edges.sparkSession
-
-    # Fingerprint/marker I/O goes through the Hadoop FileSystem API so
-    # checkpoint_dir may live on ANY Spark-visible filesystem (hdfs://,
-    # s3a://, file:) — the parquet rounds already do; mixing in
-    # driver-local open()/os.path here would crash after the first
-    # round on a real cluster and make resume silently see no rounds.
-    def _fs_for(path_str: str):
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
-        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-    def _fs_exists(path_str: str) -> bool:
-        fs, p = _fs_for(path_str)
-        return fs.exists(p)
-
-    def _fs_read_json(path_str: str) -> dict:
-        fs, p = _fs_for(path_str)
-        stream = fs.open(p)
-        try:
-            raw = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        finally:
-            stream.close()
-        return json.loads(bytes(raw).decode("utf-8"))
-
-    def _fs_write_json(path_str: str, obj: dict) -> None:
-        fs, p = _fs_for(path_str)
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(json.dumps(obj).encode("utf-8")))
-        finally:
-            out.close()
 
     def _round_dir(i: int) -> str:
         return f"{checkpoint_dir.rstrip('/')}/round_{i}"
 
     def _load_fp(i: int) -> tuple | None:
         p = f"{_round_dir(i)}/_fingerprint.json"
-        if not (_fs_exists(p) and _fs_exists(f"{_round_dir(i)}/_SUCCESS")):
+        if not (ckpt.fs_exists(spark, p)
+                and ckpt.fs_exists(spark, f"{_round_dir(i)}/_SUCCESS")):
             return None
-        d = _fs_read_json(p)
+        d = ckpt.fs_read_json(spark, p)
         return (d["h"], d["n"])
 
     e = (
@@ -303,10 +279,25 @@ def connected_components(
     prev_hash = None
     rounds = 0
     converged = False
+    input_n = None
     done_fps: list[tuple] = []
     if checkpoint_dir:
-        fs, ckroot = _fs_for(checkpoint_dir)
-        fs.mkdirs(ckroot)
+        # resume is gated on an INPUT fingerprint: completed round_N
+        # dirs are only trusted when they were produced from this edge
+        # set — a caller reusing a checkpoint_dir with different edges
+        # (kg_run scopes by run_id, but the API must not rely on it)
+        # would otherwise silently get the stale run's components. One
+        # extra action over the deduped input; its n is reused below in
+        # place of the e.count() the un-checkpointed path runs.
+        row = e.select(
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        input_n = row["n"]
+        ckpt.reset_dir_if_input_changed(
+            spark, checkpoint_dir,
+            {"h": row["h"] if input_n else 0, "n": input_n, "op": "cc"},
+        )
         # resume: reuse every completed round on disk (rounds are
         # deterministic, so the continued run is identical)
         while (fp := _load_fp(len(done_fps) + 1)) is not None:
@@ -317,7 +308,10 @@ def connected_components(
             e = spark.read.parquet(_round_dir(rounds)).persist()
             prev_hash = done_fps[-1]
             converged = rounds >= 2 and done_fps[-1] == done_fps[-2]
-    cur_n = done_fps[-1][1] if done_fps else e.count()
+    cur_n = (
+        done_fps[-1][1] if done_fps
+        else (input_n if input_n is not None else e.count())
+    )
 
     while not converged and rounds < max_iter:
         t0 = time.monotonic()
@@ -356,7 +350,8 @@ def connected_components(
         ).collect()[0]
         cur_hash = (h["h"], h["n"])
         if checkpoint_dir:
-            _fs_write_json(
+            ckpt.fs_write_json(
+                spark,
                 f"{_round_dir(rounds)}/_fingerprint.json",
                 {"h": cur_hash[0], "n": cur_hash[1]},
             )

@@ -72,16 +72,21 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     ``materialize`` (default): the undirected edge set and the degree
     table each feed MULTIPLE joins below, and Catalyst does not reuse
     their exchanges across branches — without a cut, the edge distinct
-    and the degree aggregation would execute ~3x each. localCheckpoint
-    runs each exactly once (eager, at call time) and the joins read the
-    materialized blocks. Pass False only for plan inspection.
+    and the degree aggregation would execute ~3x each. They are
+    persist()ed, the single-row aggregate is computed EAGERLY, and both
+    caches are unpersisted before returning — repeated calls in a
+    long-lived driver (service/bench loops) leave ZERO storage behind
+    (an earlier localCheckpoint variant pinned two checkpointed RDDs
+    per call for the session's lifetime). The returned one-row
+    DataFrame is the already-computed result. Pass False for a fully
+    lazy plan (plan inspection; shared subtrees then re-execute).
     """
     und = undirected_edges(edges)
     if materialize:
-        und = und.localCheckpoint(eager=True)
+        und = und.persist()
     deg = _degrees_of_und(und)
     if materialize:
-        deg = deg.localCheckpoint(eager=True)
+        deg = deg.persist()
     e = (
         und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
@@ -110,8 +115,16 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    return wedges.join(closing, ["v", "w"]).agg(
+    result = wedges.join(closing, ["v", "w"]).agg(
         F.count("*").cast("long").alias("n_triangles")
+    )
+    if not materialize:
+        return result
+    n = result.collect()[0]["n_triangles"]
+    und.unpersist()
+    deg.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(n,)], "n_triangles long"
     )
 
 
@@ -124,6 +137,8 @@ def pagerank_fixed(
     damp_num: int = 85,
     damp_den: int = 100,
     scale: int = PR_SCALE,
+    checkpoint_dir: str | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER fixed-point — (node, rank)
     with rank in ``scale`` units (total initial mass = ``scale``).
@@ -138,52 +153,135 @@ def pagerank_fixed(
 
     Documented variant (the contract, mirrored by the oracle):
     fixed ``iters`` iterations (no convergence test), self-loops and
-    duplicate edges dropped, dangling-node mass NOT redistributed
-    (standard simplification; ranks then sum to < scale), flooring
-    division throughout.
+    duplicate edges dropped, flooring division throughout, empty edge
+    set → empty result. Dangling-node (no out-edge) mass is dropped by
+    default (ranks then sum to < scale — comparing rank masses ACROSS
+    subgraphs with different sink fractions is then skewed); with
+    ``redistribute_dangling=True`` each iteration adds the floor-share
+    ``dangling_sum // N`` to every node's incoming sum BEFORE damping
+    — one extra integer aggregate per iteration, still bit-exact
+    (``graph_pagerank_dangling`` oracle), and ranks sum to ≈ scale
+    (short only by flooring remainders).
+
+    ``checkpoint_dir``: when set, per-iteration rank tables are written
+    as reliable parquet checkpoints (``{dir}/iter_{i}``, resumable —
+    exactly the scheme connected_components uses, sharing its
+    input-fingerprint guard via operators.ckpt) and the deduped edge
+    set is FS-backed too; executor loss then costs one iteration, not
+    the job. When unset, iterations fall back to ``localCheckpoint``
+    (lineage cut only; blocks die with an executor — fine on a
+    single-box session, not on a preemptible cluster).
 
     Scale shape: per iteration one join edges⋈ranks (both keyed by
     node id; outdeg is joined in once, precomputed) and one integer
     groupBy-sum (map-side partial agg) — the classic Pregel/GraphX
-    PageRank schedule as plain DataFrame ops; localCheckpoint each
-    iteration cuts the growing lineage exactly like connected
-    components' rounds.
+    PageRank schedule as plain DataFrame ops.
     """
+    from pdf_metadata_extraction_spark.operators import ckpt
+
+    spark = edges.sparkSession
     e = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+    def _iter_dir(i: int) -> str:
+        return f"{checkpoint_dir.rstrip('/')}/iter_{i}"
+
+    start_iter = 0
+    if checkpoint_dir:
+        row = e.select(
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        ckpt.reset_dir_if_input_changed(
+            spark, checkpoint_dir,
+            {
+                "h": row["h"] if row["n"] else 0, "n": row["n"], "op": "pr",
+                "damp": [damp_num, damp_den], "scale": scale,
+                "dangling": redistribute_dangling,
+            },
+        )
+        edir = f"{checkpoint_dir.rstrip('/')}/edges"
+        if not ckpt.fs_exists(spark, f"{edir}/_SUCCESS"):
+            e.write.mode("overwrite").parquet(edir)
+        e = spark.read.parquet(edir)
+    else:
+        e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    outdeg = (
-        e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
+    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    if checkpoint_dir:
+        nodes = nodes.persist()
+        outdeg = outdeg.persist()
+    else:
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty edge set (or self-loops only): empty (node, rank) with
+        # the input's node type — not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
     r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(iters):
-        contrib = (
+    if checkpoint_dir:
+        # resume: latest completed iteration ≤ iters wins
+        for i in range(iters, 0, -1):
+            if ckpt.fs_exists(spark, f"{_iter_dir(i)}/_SUCCESS"):
+                start_iter = i
+                r = spark.read.parquet(_iter_dir(i))
+                break
+    if redistribute_dangling:
+        dangling = nodes.join(
+            outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+        )
+        if checkpoint_dir:
+            dangling = dangling.persist()
+        else:
+            dangling = dangling.localCheckpoint(eager=True)
+    for i in range(start_iter, iters):
+        sums = (
             e.join(r.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
             .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s"))
         )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        extra = 0
+        if redistribute_dangling:
+            # integer sink mass this iteration, floor-shared per node —
+            # a 1-row driver scalar (order-free integer sum → exact)
+            drow = (
+                r.join(dangling, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+                .collect()[0]
+            )
+            extra = drow["d"] // n
         r = (
             nodes.join(sums, nodes.node == sums.dst, "left")
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
+                    + F.expr(
+                        f"({damp_num} * (coalesce(s, 0L) + {extra}))"
+                        f" div {damp_den}"
+                    )
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_dir:
+            r.write.mode("overwrite").parquet(_iter_dir(i + 1))
+            r = spark.read.parquet(_iter_dir(i + 1))
+        else:
+            r = r.localCheckpoint(eager=True)
+    if checkpoint_dir:
+        # the final r reads from parquet — the helper caches can go
+        nodes.unpersist()
+        outdeg.unpersist()
+        if redistribute_dangling:
+            dangling.unpersist()
     return r

@@ -25,16 +25,82 @@ Canonical form (single source of truth = this docstring + the oracle):
   (byte order) and rejoined — param order never aliases pages;
 - fragment dropped (client-side only).
 
-``registered_domain`` is the last two host labels (example.com) — a
-public-suffix-list lookup is out of scope (documented approximation;
-co.uk-style suffixes group one level too coarse). Dotless hosts
-(localhost, bare intranet names) get NULL, never ``''``.
+``registered_domain`` is public-suffix-aware for the common two-label
+suffixes: when the host's last two labels are a registration suffix
+(``co.uk``, ``com.au``, ... — PUBLIC_SUFFIXES_2LABEL, a compact
+embedded subset of the public-suffix list covering the major ccTLD
+second-level registries), the registered domain is the last THREE
+labels (``example.co.uk``); otherwise the last two (``example.com``).
+Hosts that ARE a bare suffix, and dotless hosts (localhost, bare
+intranet names), get NULL, never ``''`` — a '' group would silently
+merge them all under one per-domain key. The full PSL's rarer
+wildcard/exception rules are out of scope (documented approximation);
+the subset fixes the .co.uk-class grouping that skew audits and
+per-registered-domain policies (crawl budgets, dedup scopes) hit
+constantly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Compact embedded subset of the public-suffix list (publicsuffix.org,
+# public data): the widely-used TWO-LABEL registration suffixes. A
+# host's last two labels matching one of these means registration
+# happens at the third label. Pure-expression lookup (isin -> Catalyst
+# In over a literal set, codegen-friendly, still map-only) — no
+# broadcast join needed at this size.
+PUBLIC_SUFFIXES_2LABEL = [
+    # United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    # Japan / Korea / Taiwan / Hong Kong / China
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # South / Southeast Asia
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    # Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    # Europe
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve",
+    "com.ec", "com.uy", "com.py", "com.bo", "com.do", "com.gt",
+    "com.sv", "com.ni", "com.hn", "com.pa",
+]
 
 # one regex, four groups: scheme, host[:port], path, ?query (fragment
 # ignored by omission). RE2-compatible (no lookaround/backrefs) so the
@@ -95,12 +161,14 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     query = _clean_query(qs)
     canonical = F.concat(scheme, F.lit("://"), host, portpart, path, query)
-    # dotless hosts (localhost, bare intranet names) have no registered
-    # domain: NULL, never '' — a '' group would silently merge them all
-    # under one per-domain key
-    reg_domain = F.nullif(
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1), F.lit("")
-    )
+    # public-suffix-aware registered domain (module docstring): last
+    # THREE labels when the last two are a registration suffix, else
+    # last two; dotless hosts and bare suffixes -> NULL, never ''
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    reg_domain = F.when(
+        last2.isin(PUBLIC_SUFFIXES_2LABEL), F.nullif(last3, F.lit(""))
+    ).otherwise(F.nullif(last2, F.lit("")))
     depth = F.size(F.filter(F.split(path, "/"), lambda p: p != "")).cast("long")
     bad = scheme == ""
     return (

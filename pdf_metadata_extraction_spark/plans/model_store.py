@@ -20,6 +20,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pdf_metadata_extraction_spark.plans.pipeline import ExtractionModel
 
@@ -85,15 +86,27 @@ def cancel_training(root: str, run_name: str, extraction_name: str) -> bool:
 def is_extractor_cancelled(root: str, run_name: str, extraction_name: str) -> bool:
     """GET /is_extractor_cancelled parity (app.py:189-196): consume-on-
     read — a True result clears the flag, exactly like the endpoint
-    deletes the redis key when it reads 'true'."""
-    p = os.path.join(_model_dir(root, run_name, extraction_name), CANCEL_FILE)
+    deletes the redis key when it reads 'true'.
+
+    The consume is ATOMIC (rename-then-read): a read-then-remove pair
+    would let a concurrent cancel_training() re-write the flag between
+    the two steps and be silently deleted unread, and two concurrent
+    pollers could both read 'true' with only one consuming. os.rename
+    to a poller-unique name is atomic on POSIX — exactly one poller
+    wins the rename and observes the cancel; a flag re-set after the
+    rename lands under the original name, untouched."""
+    d = _model_dir(root, run_name, extraction_name)
+    p = os.path.join(d, CANCEL_FILE)
+    claimed = os.path.join(d, f".{CANCEL_FILE}.{os.getpid()}.{uuid.uuid4().hex}")
     try:
-        with open(p) as fh:
-            flagged = fh.read().strip() == "true"
+        os.rename(p, claimed)
     except FileNotFoundError:
         return False
-    if flagged:
-        os.remove(p)
+    try:
+        with open(claimed) as fh:
+            flagged = fh.read().strip() == "true"
+    finally:
+        os.remove(claimed)
     return flagged
 
 

@@ -77,6 +77,15 @@ CASES = [
     # every param is tracking -> no query at all
     ("https://example.com/p?utm_a=1&utm_b=2",
      "https://example.com/p", "example.com", "example.com", 1),
+    # public-suffix-aware registered domain (round-3 verdict #4):
+    # two-label registration suffixes group at the THIRD label
+    ("https://www.shop.example.CO.UK/x",
+     "https://shop.example.co.uk/x", "shop.example.co.uk",
+     "example.co.uk", 1),
+    ("http://foo.com.au",
+     "http://foo.com.au/", "foo.com.au", "foo.com.au", 0),
+    # a host that IS a bare suffix registers nothing -> NULL
+    ("https://co.uk/x", "https://co.uk/x", "co.uk", None, 1),
     ("not a url", None, None, None, None),
 ]
 
@@ -178,9 +187,10 @@ def test_kg_run_with_normalize_urls(spark, tmp_path):
 
 
 def test_link_graph_extraction(spark):
-    """Anchors -> host edges: absolute kept, root-relative resolved
-    against the source host, protocol-relative/mailto/path-relative
-    dropped, userinfo stripped, self-links kept."""
+    """Anchors -> host edges: absolute kept, root-relative AND
+    path-relative AND protocol-relative resolved (round-3 verdict #1),
+    mailto/fragment dropped, userinfo stripped, self-links kept, and
+    non-anchor href-bearing elements (<link>) excluded."""
     from pdf_metadata_extraction_spark.operators.links import (
         extract_links,
         host_link_edges,
@@ -190,19 +200,116 @@ def test_link_graph_extraction(spark):
         ("https://www.a.com/p",
          '<a href="https://B.com/x">b</a> <a href="/local">l</a> '
          '<a href="//proto.rel/x">p</a> <a href="mailto:x@y.z">m</a> '
-         '<a href="rel/path">r</a> <a href="http://user:pw@c.net/q">c</a>'),
+         '<a href="rel/path">r</a> <a href="http://user:pw@c.net/q">c</a>'
+         '<link href="style.css">'),
         ("http://d.org", '<a href="https://a.com/back">k</a><a href="#t">t</a>'),
     ]
     df = spark.createDataFrame(rows, "url string, html_text string")
-    assert extract_links(df).count() == 8  # raw audit surface: ALL hrefs
+    assert extract_links(df).count() == 8  # raw audit: all ANCHOR hrefs
     edges = {(r["src_host"], r["dst_host"]): r["n_links"]
              for r in host_link_edges(df).collect()}
     assert edges == {
-        ("a.com", "b.com"): 1,   # absolute, host lowercased
-        ("a.com", "a.com"): 1,   # root-relative -> self-link, kept
-        ("a.com", "c.net"): 1,   # userinfo dropped
+        ("a.com", "b.com"): 1,     # absolute, host lowercased
+        ("a.com", "a.com"): 2,     # root-relative + path-relative
+        ("a.com", "proto.rel"): 1,  # protocol-relative, base scheme
+        ("a.com", "c.net"): 1,     # userinfo dropped
         ("d.org", "a.com"): 1,
     }
+
+
+def test_href_resolution_matches_urljoin(spark):
+    """Differential: RFC 3986 resolution (expression fold) vs Python's
+    urllib.parse.urljoin over 200+ seeded (base, href) combinations —
+    equal up to the documented deviations (canonical www-stripped
+    host; no trailing slash re-append after a final dot segment;
+    fragment always stripped)."""
+    import random
+    from urllib.parse import urljoin, urlsplit
+
+    from pdf_metadata_extraction_spark.operators.links import resolve_hrefs
+
+    rng = random.Random(7)
+    bases = [
+        "https://www.a.com/dir/page1",
+        "https://a.com/dir/sub/p.html",
+        "http://b.org",
+        "http://b.org/",
+        "https://c.net/a/b/c/",
+    ]
+    seg = ["x", "y2", "up", "..", ".", "a.b"]
+    hrefs = ["/abs/p", "//cdn.d.com/l", "?q=1", "page2.html"]
+    for _ in range(200):
+        parts = [rng.choice(seg) for _ in range(rng.randint(1, 4))]
+        h = "/".join(parts)
+        if rng.random() < 0.3:
+            h = "/" + h
+        if rng.random() < 0.3:
+            h += "/"
+        if rng.random() < 0.3:
+            h += "?k=" + str(rng.randint(0, 9))
+        hrefs.append(h)
+    cases = [(rng.choice(bases), h) for h in hrefs]
+    df = spark.createDataFrame(cases, "src_url string, href string")
+    got = resolve_hrefs(df).collect()
+
+    def norm(u):
+        s = urlsplit(u)
+        host = s.netloc.lower()
+        host = host[4:] if host.startswith("www.") else host
+        path = s.path.rstrip("/") or "/"
+        return (s.scheme, host, path, s.query)
+
+    bad = []
+    for r in got:
+        want = norm(urljoin(r["src_url"], r["href"]))
+        have = norm(r["abs_url"])
+        if have != want:
+            bad.append((r["src_url"], r["href"], have, want))
+    assert not bad, bad[:5]
+
+
+def test_href_class_counts_partition_all_anchors(spark):
+    """The resolved-vs-dropped audit: every anchor lands in exactly one
+    class; sum == total anchors."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_links,
+        href_class_counts,
+    )
+
+    rows = [
+        ("https://www.a.com/p",
+         '<a href="https://b.com/x">1</a><a href="/l">2</a>'
+         '<a href="//p.rel/x">3</a><a href="mailto:x@y.z">4</a>'
+         '<a href="rel/p">5</a><a href="#t">6</a><a href="?q=1">7</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    counts = {r["href_class"]: r["n_hrefs"]
+              for r in href_class_counts(df).collect()}
+    assert counts == {
+        "absolute": 1, "root_relative": 1, "protocol_relative": 1,
+        "non_http_scheme": 1, "path_relative": 1, "fragment_or_empty": 1,
+        "query_relative": 1,
+    }
+    assert sum(counts.values()) == extract_links(df).count()
+
+
+def test_anchor_text_extraction(spark):
+    """(src_url, href, anchor_text): leading text node per closed
+    anchor; anchors with nested leading markup yield the pre-tag
+    prefix (documented contract)."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_anchor_texts,
+    )
+
+    rows = [
+        ("https://s.com/p",
+         '<a href="/a">Alpha Corp</a> <a class="z" href="/b">Beta <b>x</b></a>'
+         '<link href="c.css"><a href="/c"><img src="i.png"></a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    got = {(r["href"], r["anchor_text"])
+           for r in extract_anchor_texts(df).collect()}
+    assert got == {("/a", "Alpha Corp"), ("/b", "Beta "), ("/c", "")}
 
 
 def test_pagerank_fixed_matches_python_reference(spark):
@@ -284,3 +391,185 @@ def test_url_canonicalization_cross_engine_fuzz(spark):
         i: (got[i], want[i]) for i in range(len(urls)) if got[i] != want[i]
     }
     assert not mismatches, (len(mismatches), dict(list(mismatches.items())[:5]))
+
+
+def test_pagerank_empty_and_selfloop_edges(spark):
+    """An empty edge set — or one that is all self-loops, which are
+    dropped — must return an empty (node, rank) frame with the right
+    schema, not raise ZeroDivisionError."""
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+
+    empty = pagerank_fixed(_edges(spark, []), iters=3)
+    assert empty.columns == ["node", "rank"]
+    assert empty.count() == 0
+    loops = pagerank_fixed(_edges(spark, [(1, 1), (2, 2)]), iters=3)
+    assert loops.count() == 0
+
+
+def test_pagerank_checkpoint_resume(spark, tmp_path):
+    """FS-portable PageRank checkpoints (round-3 verdict #2): with a
+    checkpoint_dir the per-iteration ranks land as parquet under it,
+    a mid-run kill (last iter deleted) resumes to the identical
+    result, and reusing the dir with DIFFERENT edges is detected by
+    the input fingerprint (fresh run, not a stale resume)."""
+    import os
+    import shutil
+
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3), (5, 3), (2, 1)]
+    plain = sorted(
+        tuple(r) for r in pagerank_fixed(_edges(spark, pairs), iters=4).collect()
+    )
+    ck = str(tmp_path / "pr")
+    with_ck = sorted(
+        tuple(r)
+        for r in pagerank_fixed(
+            _edges(spark, pairs), iters=4, checkpoint_dir=ck
+        ).collect()
+    )
+    assert with_ck == plain
+    iters_on_disk = sorted(d for d in os.listdir(ck) if d.startswith("iter_"))
+    assert iters_on_disk == ["iter_1", "iter_2", "iter_3", "iter_4"]
+    assert os.path.exists(os.path.join(ck, "_input.json"))
+
+    # mid-run kill: drop the last iteration, resume — identical result
+    shutil.rmtree(os.path.join(ck, "iter_4"))
+    resumed = sorted(
+        tuple(r)
+        for r in pagerank_fixed(
+            _edges(spark, pairs), iters=4, checkpoint_dir=ck
+        ).collect()
+    )
+    assert resumed == plain
+
+    # input change: same dir, different edges -> fingerprint mismatch
+    # wipes the stale iterations; result equals a fresh run
+    other = [(7, 8), (8, 9), (9, 7)]
+    fresh = sorted(
+        tuple(r) for r in pagerank_fixed(_edges(spark, other), iters=4).collect()
+    )
+    reused = sorted(
+        tuple(r)
+        for r in pagerank_fixed(
+            _edges(spark, other), iters=4, checkpoint_dir=ck
+        ).collect()
+    )
+    assert reused == fresh
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """redistribute_dangling=True: sink mass is floor-shared into every
+    node's incoming sum each iteration — equals an independent Python
+    reference of the same integer arithmetic, and total rank mass is
+    within N flooring remainders of scale (vs. the default variant,
+    which leaks sink mass)."""
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+
+    # nodes 4 and 5 are sinks (no out-edges)
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (1, 5)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(
+            _edges(spark, pairs), iters=5, redistribute_dangling=True
+        ).collect()
+    }
+
+    scale, dn, dd = 10**12, 85, 100
+    e = sorted(set(pairs))
+    nodes = sorted({x for p in e for x in p})
+    out: dict = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    base = (dd - dn) * scale // (dd * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for a, b in e:
+            s[b] += rank[a] // out[a]
+        dang = sum(rank[v] for v in nodes if v not in out) // n
+        rank = {v: base + dn * (s[v] + dang) // dd for v in nodes}
+    assert got == rank
+    # mass conservation up to flooring: each of the 5 iterations can
+    # drop < n units at the dangling share + < 1 per node at each div
+    assert scale - sum(got.values()) < 5 * (3 * n + n * n)
+
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(_edges(spark, pairs), iters=5).collect()
+    }
+    assert sum(plain.values()) < sum(got.values())  # default leaks sink mass
+
+
+def test_triangle_count_releases_storage(spark):
+    """Repeated triangle_count calls in a long-lived driver must not
+    accumulate cached blocks (round-3 ADVICE: the localCheckpoint
+    variant pinned two RDDs per call forever)."""
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    for _ in range(3):
+        assert triangle_count(edges).collect()[0]["n_triangles"] == 1
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # no growth (unrelated earlier blocks may be GC'd concurrently, so
+    # the count can legitimately shrink)
+    assert after <= before
+
+
+def test_entity_linked_only_via_anchor_text(spark):
+    """E2E (round-3 verdict #8): an entity absent from every page BODY
+    is still linked because its surface form appears as an anchor's
+    inner text — extract_anchor_texts lifts the mention surface with
+    (src_url, href) provenance and the REAL dictionary-linking
+    operator (link_options) matches it."""
+    from pdf_metadata_extraction_spark.operators.linking import link_options
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_anchor_texts,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://news.example/a",
+             '<p>quarterly results were strong</p>'
+             '<a href="https://acme.example/ir">Acme Corp</a>'),
+            ("https://news.example/b",
+             '<p>weather stays dry</p><a href="/tags/sports">sports</a>'),
+        ],
+        "url string, html_text string",
+    )
+    options = spark.createDataFrame(
+        [("anchor_ents", "opt1", "Acme Corp", True)],
+        "extraction_name string, option_id string, label string, multi_value boolean",
+    )
+
+    # body text alone (anchor elements removed, as a boilerplate strip
+    # that drops nav/link chrome does): no match anywhere
+    body = pages.select(
+        F.col("url").alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace("html_text", "<a[^>]*>[^<]*</a>", " "),
+            "<[^>]*>", " ",
+        ).alias("text"),
+        F.lit("anchor_ents").alias("extraction_name"),
+    )
+    body_hits = (
+        link_options(body, options)
+        .select(F.explode("values").alias("v")).count()
+    )
+    assert body_hits == 0
+
+    # anchor-text surface: linked, with (src_url, href) provenance
+    mentions = extract_anchor_texts(pages).select(
+        F.col("src_url").alias("doc_id"),
+        F.col("href"),
+        F.col("anchor_text").alias("text"),
+        F.lit("anchor_ents").alias("extraction_name"),
+    )
+    linked = (
+        link_options(mentions, options)
+        .select("doc_id", "href", F.explode("values").alias("v"))
+        .collect()
+    )
+    assert [(r["doc_id"], r["href"], r["v"]["label"]) for r in linked] == [
+        ("https://news.example/a", "https://acme.example/ir", "Acme Corp")
+    ]

@@ -247,3 +247,34 @@ def test_partition_lineage_cap_is_not_silent(spark, tmp_path):
     assert len(over) == 1 and over[0]["output_rows"] == 30
     # stage-level metrics are NOT duplicated onto partition rows
     assert all(r["input_rows"] is None and r["wall_ms"] is None for r in parts)
+
+
+def test_cc_checkpoint_dir_rejects_stale_input(spark, tmp_path):
+    """Round-3 ADVICE: resume must not trust completed rounds produced
+    from a DIFFERENT edge set. Reusing a checkpoint_dir with new edges
+    triggers the input-fingerprint mismatch, wipes the stale rounds,
+    and recomputes — the result equals a fresh run, not the stale one."""
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "cc_fp")
+    edges_a = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    stale = sorted(
+        tuple(r)
+        for r in connected_components(edges_a, checkpoint_dir=ckpt).collect()
+    )
+    edges_b = spark.createDataFrame(
+        [(100, 101), (101, 102), (200, 201)], "id_a long, id_b long"
+    )
+    fresh = sorted(
+        tuple(r) for r in connected_components(edges_b).collect()
+    )
+    reused = sorted(
+        tuple(r)
+        for r in connected_components(edges_b, checkpoint_dir=ckpt).collect()
+    )
+    assert reused == fresh
+    assert reused != stale

@@ -206,6 +206,6 @@ def test_triangle_join_is_not_nested_loop(spark):
         [(i, i + 1) for i in range(40)] + [(i, i + 2) for i in range(0, 40, 2)],
         "id_a long, id_b long",
     )
-    plan = _plan(triangle_count(edges))
+    plan = _plan(triangle_count(edges, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
