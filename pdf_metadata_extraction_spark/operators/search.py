@@ -15,6 +15,14 @@ Scale: the scan is map-only; the stats row is O(1); top-k compiles to
 TakeOrderedAndProject (per-partition heap + driver merge, no global
 sort) — the same shape the IVF quantizer sample is plan-asserted to.
 Query terms are bounded (a human query, ≤ tens of terms).
+
+Two entry paths over one shared scoring tail:
+- ``bm25_rank`` — the SPEC: one corpus scan, per-term tf as array
+  expressions; right for one-off audit queries.
+- ``build_postings`` + ``bm25_rank_indexed`` — the SERVING path:
+  materialize ``postings(term, id, tf)`` + ``doc_lens(id, dl)`` once,
+  answer each query from the query terms' postings rows (term-prunable,
+  no text re-tokenization); bit-exactly equal to the scan path.
 """
 
 from __future__ import annotations
@@ -38,52 +46,29 @@ def _eq(term: str):
     return lambda w: w == term
 
 
-def bm25_rank(
-    docs: DataFrame,
-    query_terms: list[str],
-    topk: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
+def _score_and_topk(
+    base: DataFrame, n_terms: int, topk: int, k1: float, b: float
 ) -> DataFrame:
-    """BM25 top-k: (id, score, rank) for a bag-of-words query.
-
-    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Robertson/Sparck-Jones
-    form Lucene uses); tie-break (score desc, id asc) is explicit.
-
-    Cross-engine exactness note: unlike +,*,/ and sqrt, ``ln`` is NOT
-    IEEE-754 correctly-rounded-mandated, so Java's Math.log and
-    DuckDB's std::log may differ by 1 ulp. The idf is therefore
-    ROUNDED TO 6 DECIMALS on both engines immediately after the log —
-    a 1-ulp input difference (~2e-16) then flips the rounded value
-    only if the true ln lands within 1 ulp of a 5e-7 boundary
-    (probability ~2e-10 per distinct (N, df) pair); every operation
-    downstream of the rounding is IEEE-exact.
-    """
-    terms = list(query_terms)
-    base = docs.select(
-        F.col(id_col).alias("id"), _words(text_col).alias("_w")
-    ).select(
-        "id",
-        F.size("_w").alias("dl"),
-        *[
-            F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
+    """Shared scoring tail over a ``(id, dl, tf_0..tf_{n-1})`` frame:
+    integer corpus stats (order-exact), one broadcast cross join, a
+    FIXED-ORDER left-associated per-term sum with identical
+    parenthesization on both engines and both entry paths (scan and
+    postings-index) → bit-exact doubles, no rank flips. A tf of 0
+    contributes exactly +0.0, which is an IEEE identity, so the scan
+    path (all terms materialized) and the index path (absent terms
+    filled with 0) produce the SAME float."""
     stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
-            for i in range(len(terms))
+            for i in range(n_terms)
         ],
     )
     joined = base.crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = F.lit(0.0)
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf = F.col(f"tf_{i}").cast("double")
         df = F.col(f"df_{i}").cast("double")
         idf = F.round(
@@ -109,3 +94,108 @@ def bm25_rank(
     return hits.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "id", F.round("_s", 6).alias("score"), "rank"
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k: (id, score, rank) for a bag-of-words query — the
+    SPEC path: one full corpus scan, per-term tf as array expressions.
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Robertson/Sparck-Jones
+    form Lucene uses); tie-break (score desc, id asc) is explicit.
+
+    Cross-engine exactness note: unlike +,*,/ and sqrt, ``ln`` is NOT
+    IEEE-754 correctly-rounded-mandated, so Java's Math.log and
+    DuckDB's std::log may differ by 1 ulp. The idf is therefore
+    ROUNDED TO 6 DECIMALS on both engines immediately after the log —
+    a 1-ulp input difference (~2e-16) then flips the rounded value
+    only if the true ln lands within 1 ulp of a 5e-7 boundary
+    (probability ~2e-10 per distinct (N, df) pair); every operation
+    downstream of the rounding is IEEE-exact.
+    """
+    terms = list(query_terms)
+    base = docs.select(
+        F.col(id_col).alias("id"), _words(text_col).alias("_w")
+    ).select(
+        "id",
+        F.size("_w").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return _score_and_topk(base, len(terms), topk, k1, b)
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the inverted index: ``postings(term, id, tf)`` and
+    ``doc_lens(id, dl)``.
+
+    The serving-path complement to bm25_rank's corpus scan (round-3
+    verdict #7): build once — callers persist/checkpoint or write both
+    frames as parquet/Iceberg tables bucketed by ``term`` — then every
+    query reads only its own terms' postings rows instead of
+    re-tokenizing the corpus text. At 10^12 pages the text column is
+    the dominant I/O; the postings table is a fraction of it and
+    term-partition-prunable.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"), _words(text_col).alias("_w")
+    )
+    doc_lens = words.select("id", F.size("_w").cast("long").alias("dl"))
+    postings = (
+        words.select("id", F.explode("_w").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return postings, doc_lens
+
+
+def bm25_rank_indexed(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k answered from the postings index — bit-exactly equal
+    to bm25_rank on the same corpus (the ``bm25_topk_indexed`` oracle
+    pins indexed == scan by value hash).
+
+    Shape: filter postings to the query terms (partition-prunable on a
+    bucketed/partitioned term column — no full-corpus text scan), one
+    conditional-aggregation pivot back to per-term tf columns (each
+    (id, term) appears at most once, so the pivot sums are order-free
+    integers), left join onto doc_lens (docs containing no query term
+    keep tf = 0 and contribute exactly +0.0), then the SAME scoring
+    tail as the scan path.
+    """
+    terms = list(query_terms)
+    qp = postings.where(F.col("term").isin(terms))
+    tf_cols = qp.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    base = doc_lens.join(tf_cols, "id", "left").select(
+        "id",
+        "dl",
+        *[
+            F.coalesce(F.col(f"tf_{i}"), F.lit(0).cast("long")).alias(f"tf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    return _score_and_topk(base, len(terms), topk, k1, b)

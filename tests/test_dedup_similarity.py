@@ -464,3 +464,50 @@ def test_bm25_ranking_semantics(spark):
     assert ranked.index(1) < ranked.index(2)
     scores = {r["id"]: r["score"] for r in out.collect()}
     assert all(s > 0 for s in scores.values())
+
+
+def test_bm25_indexed_equals_scan(spark):
+    """The postings-index path must be bit-indistinguishable from the
+    corpus-scan spec: same ids, same ranks, same SCORES (shared
+    fixed-order scoring tail; absent terms contribute exactly +0.0)."""
+    from pdf_metadata_extraction_spark.operators.search import (
+        bm25_rank,
+        bm25_rank_indexed,
+        build_postings,
+    )
+
+    rows = [
+        (1, "rareword appears here once amid other text padding words"),
+        (2, "common common common common common nothing else but filler"),
+        (3, "common rareword together in one document of medium length"),
+        (4, "totally unrelated content with no relevant query words"),
+        (5, ""),
+    ] + [(10 + i, "common filler text block") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["rareword", "common", "absentterm"]
+    scan = [tuple(r) for r in bm25_rank(df, terms, topk=8).collect()]
+    postings, doc_lens = build_postings(df)
+    idx = [tuple(r)
+           for r in bm25_rank_indexed(postings, doc_lens, terms, topk=8).collect()]
+    assert idx == scan
+    assert len(scan) > 0
+
+
+def test_bm25_postings_prune_query_terms(spark):
+    """The index path filters postings to the query terms BEFORE any
+    aggregation — the pushed filter must appear in the plan (at scale,
+    with postings partitioned by term, that filter is the partition
+    prune that keeps a query from touching the rest of the index)."""
+    from pdf_metadata_extraction_spark.operators.search import (
+        bm25_rank_indexed,
+        build_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    postings, doc_lens = build_postings(df)
+    plan = bm25_rank_indexed(
+        postings, doc_lens, ["b"], topk=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "term" in plan and ("IN" in plan or "= b" in plan or "(b)" in plan)

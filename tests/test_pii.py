@@ -40,6 +40,40 @@ def test_scrub_order_email_before_phone(spark):
     assert s.count("<PHONE>") == d["n_phones"]
 
 
+def test_ipv6_scrub(spark):
+    """Full 8-group and ::-compressed forms are scrubbed; times
+    ('12:30'), short hex pairs ('aa:bb') and bare loopback ('::1')
+    survive (precision-first contract)."""
+    d, s = _one(
+        spark,
+        "a 2001:0db8:85a3:0000:0000:8a2e:0370:7334 b 2001:db8::7 "
+        "at 12:30 via aa:bb or ::1 end",
+    )
+    assert d["n_ipv6"] == 2
+    assert s == "a <IP> b <IP> at 12:30 via aa:bb or ::1 end"
+
+
+def test_card_luhn_gating(spark):
+    """Card candidates are scrubbed ONLY when the Luhn checksum passes:
+    grouped, dashed, contiguous and 15-digit Amex forms all validate;
+    a same-shaped non-Luhn number survives."""
+    d, s = _one(
+        spark,
+        "pay 4111 1111 1111 1111 or 5500-0000-0000-0004 or "
+        "4012888888881881 or 378282246310005 but not 1234 5678 9012 3456",
+    )
+    assert d["n_cc"] == 4
+    assert s == "pay <CC> or <CC> or <CC> or <CC> but not 1234 5678 9012 3456"
+
+
+def test_card_count_reconciles_with_repeats(spark):
+    """The same valid card twice: both occurrences counted AND both
+    scrubbed (counts == inserted tokens)."""
+    d, s = _one(spark, "a 4111111111111111 b 4111111111111111 c")
+    assert d["n_cc"] == 2
+    assert s == "a <CC> b <CC> c"
+
+
 def test_scrub_is_map_only(spark):
     df = scrub_pii(spark.createDataFrame([("a",)], "text string"))
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -120,20 +154,29 @@ def test_pii_cross_engine_fuzz(spark):
         "555", "-", "867", "5309", "+1 ", "(555) ", "123", " ", ".",
         "..", "2021", "@@", "1.2.3.4.5", "999.999.999.999", "()",
         "a@b", "@b.co", "+", "ab@cd.ef", " end",
+        # IPv6-ish and card-ish material (round-4: new classes)
+        "fe80::1", "2001:db8::7", "::", ":", "aa:bb", "12:30",
+        "4111 1111 1111 1111", "5500-0000-0000-0004",
+        "1234 5678 9012 3456", "4012888888881881", "123456789012",
+        "12345678901234567890", "4111", "1111",
     ]
     texts = [
         "".join(rng.choice(frags) for _ in range(rng.randint(1, 14)))
-        for _ in range(296)
-    ] + ["", "@", "1.2.3.4", "x 555-867-5309@example.com 10.0.0.1 y"]
+        for _ in range(294)
+    ] + ["", "@", "1.2.3.4", "x 555-867-5309@example.com 10.0.0.1 y",
+         "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 full",
+         "cards 378282246310005 and 4111-1111-1111-1111 pay"]
 
     sdf = scrub_pii(detect_pii(spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-    ))).select("doc_id", "n_emails", "n_ipv4", "n_phones", "clean_text")
+    ))).select("doc_id", "n_emails", "n_ipv6", "n_ipv4", "n_cc",
+               "n_phones", "clean_text")
     got = {r["doc_id"]: tuple(r)[1:] for r in sdf.collect()}
 
     db = duckdb.connect()
     db.register("aug", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
-    want = {int(r[0]): (int(r[1]), int(r[2]), int(r[3]), r[4])
+    want = {int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]),
+                        int(r[5]), r[6])
             for r in db.sql("WITH " + _pii_transform_sql()).fetchall()}
     mismatches = {i: (got[i], want[i])
                   for i in range(len(texts)) if got[i] != want[i]}
