@@ -690,6 +690,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             checkpoint_dir=tempfile.mkdtemp(prefix="hostpr_ck_"),
         )
 
+    def domain_link_graph(spark, sf_dir):
+        """Host link graph rolled up to PSL-aware registered domains —
+        the crawl-budget / dedup-scope granularity (composes RFC 3986
+        resolution, urlnorm host rules, and the public-suffix
+        subset)."""
+        from pdf_metadata_extraction_spark.operators.links import (
+            domain_link_edges,
+        )
+
+        return domain_link_edges(_link_corpus(spark, sf_dir))
+
+    def anchor_term_profile(spark, sf_dir):
+        """(dst_host, term, n): what the web calls each host — anchor
+        texts of resolved in-links tokenized and aggregated per target
+        host (alias-discovery signal for entity naming)."""
+        from pdf_metadata_extraction_spark.operators import links
+
+        return links.anchor_term_profile(_link_corpus(spark, sf_dir))
+
     def href_resolution_audit(spark, sf_dir):
         """(href_class, n_hrefs) over the link corpus — the
         resolved-vs-dropped audit the RFC 3986 resolution contract
@@ -815,7 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
         k = (F.col("doc_id") % 50).cast("string")
-        m = F.col("doc_id") % 7
+        m = F.col("doc_id") % 9
         card = F.when(
             F.col("doc_id") % 2 == 0, F.lit(" pay 4111 1111 1111 1111 ok")
         ).otherwise(F.lit(" pay 5500-0000-0000-0004 ok"))
@@ -828,12 +847,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(m == 5, F.concat(F.lit(" v6 2001:db8::"), k, F.lit(" up")))
             .when(m == 6, F.concat(
                 card, F.lit(" ref 1234 5678 9012 3456")))
+            .when(m == 7, F.lit(" acct DE89370400440532013000 ok"))
+            .when(m == 8, F.lit(" acct DE89370400440532013001 x"))
             .otherwise(F.lit(" no pii here 2021 2022"))
         )
         aug = d.withColumn("text", F.concat(F.col("text"), extra))
         return scrub_pii(detect_pii(aug)).select(
-            "doc_id", "n_emails", "n_ipv6", "n_ipv4", "n_cc", "n_phones",
-            "clean_text",
+            "doc_id", "n_emails", "n_ipv6", "n_ipv4", "n_iban", "n_cc",
+            "n_phones", "clean_text",
         )
 
     # ------------------------------------------------ BM25 keyword search
@@ -1005,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": host_pagerank,
         "href_resolution_audit": href_resolution_audit,
         "anchor_text_mentions": anchor_text_mentions,
+        "domain_link_graph": domain_link_graph,
+        "anchor_term_profile": anchor_term_profile,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
         "graph_pagerank": graph_pagerank,
@@ -1248,6 +1271,40 @@ def _luhn_sql_pred(c: str) -> str:
     )
 
 
+def _iban_sql_pred(c: str) -> str:
+    """IBAN validity predicate over candidate expression ``c`` —
+    mirror of pii._iban_ok: registry length gate + ISO 7064 mod-97
+    fold (digits via acc*10, letters as two digits via acc*100)."""
+    from pdf_metadata_extraction_spark.operators.pii import IBAN_LENGTHS
+
+    len_case = (
+        f"CASE substr({c}, 1, 2) "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in IBAN_LENGTHS.items())
+        + " END"
+    )
+    R = f"(substr({c}, 5) || substr({c}, 1, 4))"
+    ch = f"ascii(substr({R}, i, 1))"
+    fold = (
+        f"list_reduce(list_prepend(0, generate_series(1, length({R}))), "
+        f"(a, i) -> CASE WHEN {ch} <= 57 THEN (a * 10 + {ch} - 48) % 97 "
+        f"ELSE (a * 100 + {ch} - 55) % 97 END)"
+    )
+    return f"(length({c}) = ({len_case}) AND ({fold}) = 1)"
+
+
+def _ordered_valid_sql(source: str, cand_re: str, pred: str) -> str:
+    """Distinct candidates of ``cand_re`` in ``source`` passing
+    ``pred`` (a predicate over lambda var c), ordered length-desc then
+    value-desc — the shared deterministic substring-safe replacement
+    order (mirror of pii._valid_cards_ordered / _scrub_ibans)."""
+    return (
+        "list_transform(list_reverse(list_sort(list_transform("
+        f"list_filter(list_distinct(regexp_extract_all({source}, '{cand_re}')), "
+        f"c -> {pred}), "
+        "c -> struct_pack(l := length(c), c := c)))), s -> s.c)"
+    )
+
+
 def _pii_transform_sql() -> str:
     """The detect+scrub mirror as CTEs over a caller-provided
     ``aug(doc_id, text)`` relation — same Java-regex/RE2
@@ -1261,6 +1318,8 @@ def _pii_transform_sql() -> str:
         CC_TOKEN,
         EMAIL_RE,
         EMAIL_TOKEN,
+        IBAN_RE,
+        IBAN_TOKEN,
         IP_TOKEN,
         IPV4_RE,
         IPV6_RE,
@@ -1270,12 +1329,9 @@ def _pii_transform_sql() -> str:
     )
 
     luhn_c = _luhn_sql_pred("c")
-    ordered = (
-        "list_transform(list_reverse(list_sort(list_transform("
-        f"list_filter(list_distinct(regexp_extract_all(t3, '{CC_RE}')), "
-        f"c -> {luhn_c}), "
-        "c -> struct_pack(l := length(c), c := c)))), s -> s.c)"
-    )
+    iban_c = _iban_sql_pred("c")
+    ordered_ibans = _ordered_valid_sql("t3", IBAN_RE, iban_c)
+    ordered_cards = _ordered_valid_sql("t4", CC_RE, luhn_c)
     return f"""steps AS (
   SELECT doc_id, text,
     regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
@@ -1290,18 +1346,24 @@ def _pii_transform_sql() -> str:
   FROM steps2
 ), steps4 AS (
   SELECT doc_id, text, t1, t2, t3,
-    list_reduce(list_prepend(t3, {ordered}),
-                (acc, c) -> replace(acc, c, '{CC_TOKEN}')) AS t4
+    list_reduce(list_prepend(t3, {ordered_ibans}),
+                (acc, c) -> replace(acc, c, '{IBAN_TOKEN}')) AS t4
   FROM steps3
+), steps5 AS (
+  SELECT doc_id, text, t1, t2, t3, t4,
+    list_reduce(list_prepend(t4, {ordered_cards}),
+                (acc, c) -> replace(acc, c, '{CC_TOKEN}')) AS t5
+  FROM steps4
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
   CAST(len(regexp_extract_all(t1, '{IPV6_RE}')) AS BIGINT) AS n_ipv6,
   CAST(len(regexp_extract_all(t2, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
-  CAST(len(list_filter(regexp_extract_all(t3, '{CC_RE}'), c -> {luhn_c})) AS BIGINT) AS n_cc,
-  CAST(len(regexp_extract_all(t4, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-  regexp_replace(t4, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
-FROM steps4
+  CAST(len(list_filter(regexp_extract_all(t3, '{IBAN_RE}'), c -> {iban_c})) AS BIGINT) AS n_iban,
+  CAST(len(list_filter(regexp_extract_all(t4, '{CC_RE}'), c -> {luhn_c})) AS BIGINT) AS n_cc,
+  CAST(len(regexp_extract_all(t5, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(t5, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
+FROM steps5
 """
 
 
@@ -1312,12 +1374,14 @@ def _pii_sql() -> str:
 WITH aug AS (
   SELECT doc_id,
     text || CASE
-      WHEN doc_id % 7 = 0 THEN ' contact bob' || CAST(doc_id % 50 AS VARCHAR) || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.com'
-      WHEN doc_id % 7 = 1 THEN ' call +1 (555) 123-45' || CAST(doc_id % 50 AS VARCHAR)
-      WHEN doc_id % 7 = 2 THEN ' host 10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.7'
-      WHEN doc_id % 7 = 3 THEN ' call 555-867-5309 now'
-      WHEN doc_id % 7 = 5 THEN ' v6 2001:db8::' || CAST(doc_id % 50 AS VARCHAR) || ' up'
-      WHEN doc_id % 7 = 6 THEN (CASE WHEN doc_id % 2 = 0 THEN ' pay 4111 1111 1111 1111 ok' ELSE ' pay 5500-0000-0000-0004 ok' END) || ' ref 1234 5678 9012 3456'
+      WHEN doc_id % 9 = 0 THEN ' contact bob' || CAST(doc_id % 50 AS VARCHAR) || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      WHEN doc_id % 9 = 1 THEN ' call +1 (555) 123-45' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN doc_id % 9 = 2 THEN ' host 10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.7'
+      WHEN doc_id % 9 = 3 THEN ' call 555-867-5309 now'
+      WHEN doc_id % 9 = 5 THEN ' v6 2001:db8::' || CAST(doc_id % 50 AS VARCHAR) || ' up'
+      WHEN doc_id % 9 = 6 THEN (CASE WHEN doc_id % 2 = 0 THEN ' pay 4111 1111 1111 1111 ok' ELSE ' pay 5500-0000-0000-0004 ok' END) || ' ref 1234 5678 9012 3456'
+      WHEN doc_id % 9 = 7 THEN ' acct DE89370400440532013000 ok'
+      WHEN doc_id % 9 = 8 THEN ' acct DE89370400440532013001 x'
       ELSE ' no pii here 2021 2022'
     END AS text
   FROM documents
@@ -1419,25 +1483,30 @@ def _dotseg_sql(merged: str) -> str:
     return f"coalesce(nullif({fold}, ''), '/')"
 
 
-def _href_resolved_sql() -> str:
+def _href_resolved_sql(anchors_body: str | None = None,
+                       carry: str = "") -> str:
     """CTE chain anchors -> resolved(src_url, href, href_class,
     abs_url) over an existing corpus(url, html_text) — mirror of
     links.resolve_hrefs (same class order, same RFC 3986 merge-path +
     dot-segment fold, NULL for dropped classes and unparseable
-    bases)."""
-    return f"""anchors AS (
+    bases). ``anchors_body`` overrides the anchor-extraction SELECT
+    (e.g. the two-group anchor-text variant); ``carry`` names extra
+    columns (", col" form) to thread through to ``resolved``."""
+    if anchors_body is None:
+        anchors_body = f"""
   SELECT url AS src_url,
          unnest(regexp_extract_all(html_text, '{_HREF_SQL_RE}', 1)) AS href
-  FROM corpus
+  FROM corpus"""
+    return f"""anchors AS ({anchors_body}
 ), astep AS (
-  SELECT src_url, href, split_part(href, '#', 1) AS h,
+  SELECT src_url, href{carry}, split_part(href, '#', 1) AS h,
     lower(regexp_extract(src_url, '{_URL_RE_SQL}', 1)) AS scheme,
     {_sql_host_of('src_url')} AS bhost,
     CASE WHEN regexp_extract(src_url, '{_URL_RE_SQL}', 3) = '' THEN '/'
          ELSE regexp_extract(src_url, '{_URL_RE_SQL}', 3) END AS bpath
   FROM anchors
 ), astep2 AS (
-  SELECT src_url, href, h, scheme, bhost, bpath,
+  SELECT src_url, href{carry}, h, scheme, bhost, bpath,
     regexp_replace(bpath, '[^/]*$', '') AS bdir,
     split_part(h, '?', 1) AS hpath,
     substr(h, length(split_part(h, '?', 1)) + 1) AS hquery,
@@ -1450,7 +1519,7 @@ def _href_resolved_sql() -> str:
          ELSE 'path_relative' END AS href_class
   FROM astep
 ), resolved AS (
-  SELECT src_url, href, href_class,
+  SELECT src_url, href{carry}, href_class,
     CASE WHEN href_class = 'absolute' THEN h
          WHEN scheme = '' THEN NULL
          WHEN href_class = 'protocol_relative' THEN scheme || ':' || h
@@ -1475,6 +1544,64 @@ SELECT {_sql_host_of('src_url')} AS src_host,
 FROM resolved
 WHERE abs_url IS NOT NULL
   AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_url')} <> ''
+GROUP BY 1, 2
+"""
+
+
+def _sql_regdom_of(e: str) -> str:
+    """DuckDB mirror of urlnorm.registered_domain_of over host
+    expression ``e`` (PSL-aware, NULL for bare suffixes/dotless)."""
+    l2 = f"regexp_extract({e}, '([^.]+\\.[^.]+)$', 1)"
+    l3 = f"regexp_extract({e}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return (
+        f"CASE WHEN {l2} IN ({_psl2_sql()}) THEN nullif({l3}, '') "
+        f"ELSE nullif({l2}, '') END"
+    )
+
+
+def _domain_link_graph_sql() -> str:
+    """Mirror of links.domain_link_edges: host edges rolled up to
+    PSL-aware registered domains (integer n_links sums)."""
+    sd = _sql_regdom_of("src_host")
+    dd = _sql_regdom_of("dst_host")
+    return f"""
+WITH corpus AS ({_link_corpus_sql()}),
+{_href_resolved_sql()}, hostedges AS (
+  SELECT {_sql_host_of('src_url')} AS src_host,
+         {_sql_host_of('abs_url')} AS dst_host,
+         count(*) AS n_links
+  FROM resolved
+  WHERE abs_url IS NOT NULL
+    AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_url')} <> ''
+  GROUP BY 1, 2
+)
+SELECT {sd} AS src_domain, {dd} AS dst_domain,
+       CAST(sum(n_links) AS BIGINT) AS n_links
+FROM hostedges
+WHERE {sd} IS NOT NULL AND {dd} IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def _anchor_term_profile_sql() -> str:
+    """Mirror of links.anchor_term_profile: the two-group anchor
+    extraction threaded through the SAME resolution chain (carry
+    anchor_text), then per-(dst_host, term) counts with the textstats
+    tokenization."""
+    anchors_body = f"""
+  SELECT url AS src_url,
+    unnest(regexp_extract_all(html_text, '{_ANCHOR_TEXT_SQL_RE}', 1)) AS href,
+    unnest(regexp_extract_all(html_text, '{_ANCHOR_TEXT_SQL_RE}', 2)) AS anchor_text
+  FROM corpus"""
+    return f"""
+WITH corpus AS ({_link_corpus_sql()}),
+{_href_resolved_sql(anchors_body, carry=", anchor_text")}
+SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT {_sql_host_of('abs_url')} AS dst_host,
+         unnest(list_filter(regexp_split_to_array(lower(anchor_text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS term
+  FROM resolved WHERE abs_url IS NOT NULL
+) WHERE dst_host <> ''
 GROUP BY 1, 2
 """
 
@@ -2222,6 +2349,8 @@ FROM hs
         "host_pagerank": _host_pagerank_sql(iters=3),
         "href_resolution_audit": _href_audit_sql(),
         "anchor_text_mentions": _anchor_mentions_sql(),
+        "domain_link_graph": _domain_link_graph_sql(),
+        "anchor_term_profile": _anchor_term_profile_sql(),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
         "graph_pagerank": _pagerank_sql(iters=5),

@@ -73,8 +73,11 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     table each feed MULTIPLE joins below, and Catalyst does not reuse
     their exchanges across branches — without a cut, the edge distinct
     and the degree aggregation would execute ~3x each. They are
-    persist()ed, the single-row aggregate is computed EAGERLY, and both
-    caches are unpersisted before returning — repeated calls in a
+    persist()ed AND materialized eagerly (count()) — lazy persist
+    would let the parallel join stages of the final action race to
+    fill the cache, recomputing partitions of the shared subtrees —
+    then the single-row aggregate is computed, and both caches are
+    unpersisted before returning: repeated calls in a
     long-lived driver (service/bench loops) leave ZERO storage behind
     (an earlier localCheckpoint variant pinned two checkpointed RDDs
     per call for the session's lifetime). The returned one-row
@@ -84,9 +87,11 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     und = undirected_edges(edges)
     if materialize:
         und = und.persist()
+        und.count()
     deg = _degrees_of_und(und)
     if materialize:
         deg = deg.persist()
+        deg.count()
     e = (
         und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")

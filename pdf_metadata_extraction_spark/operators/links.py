@@ -197,6 +197,64 @@ def href_class_counts(
     )
 
 
+def domain_link_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_text"
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links) — the host link graph rolled
+    up to public-suffix-aware registered domains (urlnorm's PSL
+    rules): the granularity crawl budgets, dedup scopes and
+    per-publisher policies operate at. Hosts without a registered
+    domain (dotless, bare suffixes) are dropped — they carry no
+    registration identity. One extra short-key aggregation over the
+    host edges (n_links sums are integers — order-free)."""
+    from pdf_metadata_extraction_spark.operators.urlnorm import (
+        registered_domain_of,
+    )
+
+    hosts = host_link_edges(df, url_col, html_col)
+    return (
+        hosts.select(
+            registered_domain_of(F.col("src_host")).alias("src_domain"),
+            registered_domain_of(F.col("dst_host")).alias("dst_domain"),
+            "n_links",
+        )
+        .where(
+            F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull()
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("n_links").cast("long").alias("n_links"))
+    )
+
+
+def anchor_term_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(dst_host, term, n) — what the web CALLS each host: terms of
+    the anchor texts of resolved in-links, aggregated per target host
+    (the classic anchor-text-describes-the-target signal search
+    engines and web KGs both exploit; feeds entity naming and alias
+    discovery). Tokenization matches textstats (lower, non-alnum
+    split). Map-only until one (dst_host, term) aggregation."""
+    anchors = extract_anchor_texts(df, url_col, html_col)
+    resolved = resolve_hrefs(anchors).where(F.col("abs_url").isNotNull())
+    terms = resolved.select(
+        _host_of(F.col("abs_url")).alias("dst_host"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("anchor_text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    ).where(F.col("dst_host") != "")
+    out = terms.groupBy("dst_host", "term").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return out.where(F.col("n") >= min_count)
+
+
 def host_link_edges(
     df: DataFrame, url_col: str = "url", html_col: str = "html_text"
 ) -> DataFrame:

@@ -31,11 +31,18 @@ a generated index sequence). Precision-first — a false redaction
 loses one token, a false keep leaks PII — so anything ambiguous is
 left alone and counted by the side-channel detectors for audit.
 
+IBANs are validated before scrubbing like cards: candidate shape
+(two uppercase country letters + 2 check digits + 11-30 uppercase
+alphanumerics, contiguous form), length must equal the country's
+ISO 13616 registry entry, and the ISO 7064 mod-97 checksum must be 1
+— all in expressions.
+
 Scrub order is part of the contract: emails first (their local part
 often contains digits a phone pattern could clip), then IPv6 (hex
 groups a later pass could clip), then IPv4 (dotted digits a phone
-pattern could clip), then Luhn-valid cards (grouped digits a phone
-pattern could clip), then phones. Valid card candidates are replaced
+pattern could clip), then valid IBANs (their digit tails overlap card
+shapes), then Luhn-valid cards (grouped digits a phone pattern could
+clip), then phones. Valid card/IBAN candidates are replaced
 longest-first (then lexicographically descending) so a shorter
 candidate that happens to be a substring of a longer one never
 corrupts it — the same deterministic order on both engines.
@@ -57,6 +64,22 @@ IPV6_RE = (
 # card-number CANDIDATES (validated by Luhn before scrubbing): four
 # separator-grouped blocks of 4, or 13-19 contiguous digits
 CC_RE = r"\b(?:[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}|[0-9]{13,19})\b"
+# IBAN candidates (validated by length-per-country + ISO 7064 mod-97
+# before scrubbing): contiguous uppercase form only — the grouped
+# print form ('DE89 3704 ...') is a documented precision cut
+IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+# IBAN length by country (ISO 13616 registry, public data) — the
+# precision gate ahead of the checksum; unknown countries are left
+# alone (precision-first)
+IBAN_LENGTHS = {
+    "AT": 20, "BE": 16, "CH": 21, "CZ": 24, "DE": 22, "DK": 18,
+    "ES": 24, "FI": 18, "FR": 27, "GB": 22, "GR": 27, "HR": 21,
+    "HU": 28, "IE": 22, "IT": 27, "LU": 20, "NL": 18, "NO": 15,
+    "PL": 28, "PT": 25, "RO": 24, "SE": 24, "SK": 24, "SI": 19,
+    "BG": 22, "CY": 28, "EE": 20, "LT": 20, "LV": 21, "MT": 31,
+    "IS": 26, "LI": 21, "MC": 27, "SM": 27, "RS": 22, "TR": 26,
+    "UA": 29, "AE": 23, "SA": 24, "QA": 29, "IL": 23, "BR": 29,
+}
 # two shapes only (precision-first): +international with separators, or
 # separator-grouped 3-3-4 — a bare digit run ('2021 2022') is NOT a
 # phone and must survive scrubbing
@@ -68,8 +91,73 @@ PHONE_RE = (
 EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"
 IPV6_TOKEN = "<IP>"
+IBAN_TOKEN = "<IBAN>"
 CC_TOKEN = "<CC>"
 PHONE_TOKEN = "<PHONE>"
+
+
+def _iban_ok(cand: Column) -> Column:
+    """ISO 13616 validity: candidate length equals the country's
+    registered IBAN length AND the ISO 7064 mod-97 checksum is 1.
+    The checksum runs entirely in expressions: rearrange (move the
+    first 4 chars to the end), then fold digit-by-digit with
+    ``acc = (acc*10 + digit) % 97`` and letters A..Z as two digits
+    10..35 via ``acc = (acc*100 + val) % 97`` — the standard
+    piecewise-mod evaluation, identical in the DuckDB mirror."""
+    country = cand.substr(F.lit(1), F.lit(2))
+    expected = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for kv in IBAN_LENGTHS.items()
+                for x in kv
+            ]
+        ),
+        country,
+    )
+    r = F.concat(
+        cand.substr(F.lit(5), F.length(cand)), cand.substr(F.lit(1), F.lit(4))
+    )
+
+    def ch(i):
+        return F.ascii(r.substr(i, F.lit(1)))
+
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.length(r)),
+        F.lit(0),
+        lambda a, i: F.when(
+            ch(i) <= 57, (a * 10 + ch(i) - 48) % 97
+        ).otherwise((a * 100 + ch(i) - 55) % 97),
+    )
+    return (F.length(cand) == expected) & (acc == 1)
+
+
+def _scrub_ibans(t: Column) -> Column:
+    """Replace every occurrence of each VALID IBAN candidate with the
+    token; shape-matching but invalid candidates survive. Same
+    longest-first deterministic fold order as cards (a shorter valid
+    IBAN could occur inside a longer candidate's alphanumeric
+    tail)."""
+    valid = F.filter(
+        F.array_distinct(F.regexp_extract_all(t, F.lit(IBAN_RE), F.lit(0))),
+        _iban_ok,
+    )
+    ordered = F.transform(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    valid,
+                    lambda c: F.struct(
+                        F.length(c).alias("l"), c.alias("c")
+                    ),
+                )
+            )
+        ),
+        lambda s: s["c"],
+    )
+    return F.aggregate(
+        ordered, t, lambda acc, c: F.replace(acc, c, F.lit(IBAN_TOKEN))
+    )
 
 
 def _luhn_ok(cand: Column) -> Column:
@@ -140,7 +228,8 @@ def detect_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     t1 = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
     t2 = F.regexp_replace(t1, IPV6_RE, IPV6_TOKEN)
     t3 = F.regexp_replace(t2, IPV4_RE, IP_TOKEN)
-    t4 = _scrub_cards(t3)
+    t4 = _scrub_ibans(t3)
+    t5 = _scrub_cards(t4)
     return (
         df.withColumn(
             "n_emails",
@@ -155,30 +244,40 @@ def detect_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.regexp_extract_all(t2, F.lit(IPV4_RE), F.lit(0))).cast("long"),
         )
         .withColumn(
+            "n_iban",
+            F.size(
+                F.filter(
+                    F.regexp_extract_all(t3, F.lit(IBAN_RE), F.lit(0)),
+                    _iban_ok,
+                )
+            ).cast("long"),
+        )
+        .withColumn(
             "n_cc",
             F.size(
                 F.filter(
-                    F.regexp_extract_all(t3, F.lit(CC_RE), F.lit(0)),
+                    F.regexp_extract_all(t4, F.lit(CC_RE), F.lit(0)),
                     _luhn_ok,
                 )
             ).cast("long"),
         )
         .withColumn(
             "n_phones",
-            F.size(F.regexp_extract_all(t4, F.lit(PHONE_RE), F.lit(0))).cast("long"),
+            F.size(F.regexp_extract_all(t5, F.lit(PHONE_RE), F.lit(0))).cast("long"),
         )
     )
 
 
 def scrub_pii(df: DataFrame, text_col: str = "text",
               out_col: str = "clean_text") -> DataFrame:
-    """Replace every email/IPv6/IPv4/valid-card/phone occurrence with
-    its placeholder token, in the documented order. Map-only;
-    byte-exact vs the oracle."""
+    """Replace every email/IPv6/IPv4/valid-IBAN/valid-card/phone
+    occurrence with its placeholder token, in the documented order.
+    Map-only; byte-exact vs the oracle."""
     t = F.col(text_col)
     t1 = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
     t2 = F.regexp_replace(t1, IPV6_RE, IPV6_TOKEN)
     t3 = F.regexp_replace(t2, IPV4_RE, IP_TOKEN)
-    t4 = _scrub_cards(t3)
-    scrubbed = F.regexp_replace(t4, PHONE_RE, PHONE_TOKEN)
+    t4 = _scrub_ibans(t3)
+    t5 = _scrub_cards(t4)
+    scrubbed = F.regexp_replace(t5, PHONE_RE, PHONE_TOKEN)
     return df.withColumn(out_col, scrubbed)

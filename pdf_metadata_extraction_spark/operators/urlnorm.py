@@ -111,6 +111,19 @@ URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
 TRACKING_PREFIXES = ["utm_", "fbclid=", "gclid=", "ref="]
 
 
+def registered_domain_of(host: Column) -> Column:
+    """Public-suffix-aware registered domain of a (already-canonical)
+    host expression: last THREE labels when the last two are a
+    registration suffix, else last two; bare suffixes and dotless
+    hosts -> NULL (module docstring). Pure expressions — reused by
+    canonicalize_urls and the domain-level link-graph rollup."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(PUBLIC_SUFFIXES_2LABEL), F.nullif(last3, F.lit(""))
+    ).otherwise(F.nullif(last2, F.lit("")))
+
+
 def _clean_query(qs: Column) -> Column:
     """'a=1&utm_x=2&b=3' -> '?a=1&b=3' (drop tracking, sort byte-order,
     rejoin); empty after cleaning -> ''."""
@@ -161,14 +174,7 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     query = _clean_query(qs)
     canonical = F.concat(scheme, F.lit("://"), host, portpart, path, query)
-    # public-suffix-aware registered domain (module docstring): last
-    # THREE labels when the last two are a registration suffix, else
-    # last two; dotless hosts and bare suffixes -> NULL, never ''
-    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    reg_domain = F.when(
-        last2.isin(PUBLIC_SUFFIXES_2LABEL), F.nullif(last3, F.lit(""))
-    ).otherwise(F.nullif(last2, F.lit("")))
+    reg_domain = registered_domain_of(host)
     depth = F.size(F.filter(F.split(path, "/"), lambda p: p != "")).cast("long")
     bad = scheme == ""
     return (

@@ -573,3 +573,46 @@ def test_entity_linked_only_via_anchor_text(spark):
     assert [(r["doc_id"], r["href"], r["v"]["label"]) for r in linked] == [
         ("https://news.example/a", "https://acme.example/ir", "Acme Corp")
     ]
+
+
+def test_domain_link_rollup_psl_aware(spark):
+    """Host edges roll up to registered domains with public-suffix
+    awareness: shop.example.co.uk and www.example.co.uk group under
+    example.co.uk, sub.b.com under b.com; a dotless host drops out."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        domain_link_edges,
+    )
+
+    rows = [
+        ("https://shop.example.co.uk/p",
+         '<a href="https://sub.b.com/x">1</a><a href="/l">2</a>'),
+        ("https://www.example.co.uk/q",
+         '<a href="https://b.com/y">3</a><a href="http://localhost/z">4</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    edges = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+             for r in domain_link_edges(df).collect()}
+    assert edges == {
+        ("example.co.uk", "b.com"): 2,          # both subdomains group
+        ("example.co.uk", "example.co.uk"): 1,  # root-relative self
+    }
+
+
+def test_anchor_term_profile(spark):
+    """Anchor texts of resolved in-links, tokenized per target host —
+    'what the web calls each host'."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        anchor_term_profile,
+    )
+
+    rows = [
+        ("https://a.com/1", '<a href="https://b.com/x">Acme Widgets</a>'),
+        ("https://a.com/2", '<a href="https://b.com/y">acme shop!</a>'
+         '<a href="mailto:z@b.com">dropped words</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    got = {(r["dst_host"], r["term"]): r["n"]
+           for r in anchor_term_profile(df).collect()}
+    assert got == {
+        ("b.com", "acme"): 2, ("b.com", "widgets"): 1, ("b.com", "shop"): 1,
+    }

@@ -66,6 +66,25 @@ def test_card_luhn_gating(spark):
     assert s == "pay <CC> or <CC> or <CC> or <CC> but not 1234 5678 9012 3456"
 
 
+def test_iban_mod97_gating(spark):
+    """IBANs are scrubbed only when the country length matches the
+    ISO 13616 registry AND the ISO 7064 mod-97 checksum is 1: valid
+    German/British/French (letter-bearing tail) forms redact; a
+    checksum-broken sibling, a wrong-length body and an unknown
+    country survive."""
+    d, s = _one(
+        spark,
+        "a DE89370400440532013000 b GB29NWBK60161331926819 c "
+        "FR1420041010050500013M02606 bad DE89370400440532013001 "
+        "short DE8937040044 alien ZZ89370400440532013000 end",
+    )
+    assert d["n_iban"] == 3
+    assert s == (
+        "a <IBAN> b <IBAN> c <IBAN> bad DE89370400440532013001 "
+        "short DE8937040044 alien ZZ89370400440532013000 end"
+    )
+
+
 def test_card_count_reconciles_with_repeats(spark):
     """The same valid card twice: both occurrences counted AND both
     scrubbed (counts == inserted tokens)."""
@@ -159,24 +178,27 @@ def test_pii_cross_engine_fuzz(spark):
         "4111 1111 1111 1111", "5500-0000-0000-0004",
         "1234 5678 9012 3456", "4012888888881881", "123456789012",
         "12345678901234567890", "4111", "1111",
+        "DE89370400440532013000", "DE89370400440532013001",
+        "GB29NWBK60161331926819", "NO9386011117947", "DE89", "XX00",
     ]
     texts = [
         "".join(rng.choice(frags) for _ in range(rng.randint(1, 14)))
         for _ in range(294)
     ] + ["", "@", "1.2.3.4", "x 555-867-5309@example.com 10.0.0.1 y",
          "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 full",
-         "cards 378282246310005 and 4111-1111-1111-1111 pay"]
+         "cards 378282246310005 and 4111-1111-1111-1111 pay",
+         "acct FR1420041010050500013M02606 or DE89370400440532013000 no"]
 
     sdf = scrub_pii(detect_pii(spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-    ))).select("doc_id", "n_emails", "n_ipv6", "n_ipv4", "n_cc",
+    ))).select("doc_id", "n_emails", "n_ipv6", "n_ipv4", "n_iban", "n_cc",
                "n_phones", "clean_text")
     got = {r["doc_id"]: tuple(r)[1:] for r in sdf.collect()}
 
     db = duckdb.connect()
     db.register("aug", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
     want = {int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]),
-                        int(r[5]), r[6])
+                        int(r[5]), int(r[6]), r[7])
             for r in db.sql("WITH " + _pii_transform_sql()).fetchall()}
     mismatches = {i: (got[i], want[i])
                   for i in range(len(texts)) if got[i] != want[i]}
