@@ -467,6 +467,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return connected_components(edges).select("id", "component")
 
+    def component_size_hist(spark, sf_dir):
+        """(size, n_components) over the same CC corpus — the cluster
+        quality audit run before anyone trusts canonical ids (a
+        mega-component at the head of this histogram is the classic
+        boilerplate-glue failure)."""
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        edges = d.select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+        ).unionByName(
+            d.where("doc_id % 10 < 3").select(
+                F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+            )
+        )
+        from pdf_metadata_extraction_spark.operators.canonicalize import (
+            connected_components as _cc,
+        )
+
+        comps = _cc(edges)
+        return (
+            comps.groupBy("component")
+            .agg(F.count("*").cast("long").alias("size"))
+            .groupBy("size")
+            .agg(F.count("*").cast("long").alias("n_components"))
+        )
+
     # ------------------------------------------------ full canonicalization
     def full_canonicalize(spark, sf_dir):
         """The composed flagship dedup path end-to-end: shingles →
@@ -599,6 +624,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "path_depth",
         )
 
+    def domain_skew_audit(spark, sf_dir):
+        """Per-registered-domain page counts + corpus share over the
+        canonicalized dirty-URL corpus — the skew audit public-suffix
+        grouping exists for (a .co.uk site no longer splits across a
+        bogus 'co.uk' mega-group). Integer counts, share = n/total
+        rounded 6dp (same ints -> same double on both engines)."""
+        c = url_canonicalize(spark, sf_dir)
+        per = (
+            c.where(F.col("registered_domain").isNotNull())
+            .groupBy("registered_domain")
+            .agg(F.count("*").cast("long").alias("n_pages"))
+        )
+        tot = per.agg(F.sum("n_pages").cast("long").alias("total"))
+        return per.crossJoin(F.broadcast(tot)).select(
+            "registered_domain", "n_pages",
+            F.round(F.col("n_pages") / F.col("total"), 6).alias("share"),
+        )
+
     def url_dedup(spark, sf_dir):
         """Composed proof: canonicalization IS the dedup key — dirty
         variants (case, ports, tracking params, userinfo) collapse onto
@@ -708,6 +751,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_metadata_extraction_spark.operators import links
 
         return links.anchor_term_profile(_link_corpus(spark, sf_dir))
+
+    def crawl_frontier_hosts(spark, sf_dir):
+        """Hosts linked to but never crawled, ranked by inbound link
+        mass — the next-fetch prioritization input."""
+        from pdf_metadata_extraction_spark.operators.links import (
+            crawl_frontier,
+        )
+
+        return crawl_frontier(_link_corpus(spark, sf_dir))
 
     def href_resolution_audit(spark, sf_dir):
         """(href_class, n_hrefs) over the link corpus — the
@@ -1003,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "lsh_gated_jaccard": lsh_gated_jaccard,
         "canonical_components": canonical_components,
+        "component_size_hist": component_size_hist,
         "full_canonicalize": full_canonicalize,
         "cosine_topk": cosine_topk,
         "ivf_ann_topk": ivf_ann_topk,
@@ -1022,12 +1075,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_gate": lsh_recall_gate,
         "url_canonicalize": url_canonicalize,
         "url_dedup": url_dedup,
+        "domain_skew_audit": domain_skew_audit,
         "link_graph_hosts": link_graph_hosts,
         "host_pagerank": host_pagerank,
         "href_resolution_audit": href_resolution_audit,
         "anchor_text_mentions": anchor_text_mentions,
         "domain_link_graph": domain_link_graph,
         "anchor_term_profile": anchor_term_profile,
+        "crawl_frontier_hosts": crawl_frontier_hosts,
         "graph_triangles": graph_triangles,
         "graph_degree_hist": graph_degree_hist,
         "graph_pagerank": graph_pagerank,
@@ -1603,6 +1658,30 @@ SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n FROM (
   FROM resolved WHERE abs_url IS NOT NULL
 ) WHERE dst_host <> ''
 GROUP BY 1, 2
+"""
+
+
+def _crawl_frontier_sql() -> str:
+    """Mirror of links.crawl_frontier: host edges anti-joined against
+    the distinct crawled-host set, inbound mass summed."""
+    src_host = _sql_host_of("url")
+    return f"""
+WITH corpus AS ({_link_corpus_sql()}),
+{_href_resolved_sql()}, hostedges AS (
+  SELECT {_sql_host_of('src_url')} AS src_host,
+         {_sql_host_of('abs_url')} AS dst_host,
+         count(*) AS n_links
+  FROM resolved
+  WHERE abs_url IS NOT NULL
+    AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_url')} <> ''
+  GROUP BY 1, 2
+)
+SELECT dst_host, CAST(sum(n_links) AS BIGINT) AS in_links
+FROM hostedges
+WHERE dst_host NOT IN (
+  SELECT DISTINCT {src_host} FROM corpus WHERE {src_host} <> ''
+)
+GROUP BY 1
 """
 
 
@@ -2345,12 +2424,42 @@ FROM hs
             "WHERE canonical_url IS NOT NULL GROUP BY canonical_url "
             "HAVING count(*) > 1"
         ),
+        "domain_skew_audit": (
+            "WITH per AS (SELECT registered_domain, CAST(count(*) AS BIGINT)"
+            " AS n_pages FROM (" + _url_canon_sql() + ") "
+            "WHERE registered_domain IS NOT NULL GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n_pages) AS BIGINT) AS total FROM per) "
+            "SELECT registered_domain, n_pages, "
+            "round(CAST(n_pages AS DOUBLE) / total, 6) AS share "
+            "FROM per, tot"
+        ),
+        "component_size_hist": """
+WITH RECURSIVE
+edges0 AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
+""",
         "link_graph_hosts": _link_graph_sql(),
         "host_pagerank": _host_pagerank_sql(iters=3),
         "href_resolution_audit": _href_audit_sql(),
         "anchor_text_mentions": _anchor_mentions_sql(),
         "domain_link_graph": _domain_link_graph_sql(),
         "anchor_term_profile": _anchor_term_profile_sql(),
+        "crawl_frontier_hosts": _crawl_frontier_sql(),
         "graph_triangles": _graph_sql(triangles=True),
         "graph_degree_hist": _graph_sql(triangles=False),
         "graph_pagerank": _pagerank_sql(iters=5),

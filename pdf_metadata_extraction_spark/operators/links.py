@@ -255,6 +255,29 @@ def anchor_term_profile(
     return out.where(F.col("n") >= min_count)
 
 
+def crawl_frontier(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_text"
+) -> DataFrame:
+    """(dst_host, in_links) — hosts the corpus LINKS TO but has never
+    CRAWLED (no page from them): the crawl frontier, ranked by inbound
+    link mass. The classic next-fetch prioritization input (inbound
+    mass ≈ discovery-time importance, the same signal PageRank
+    formalizes). One anti-join of the host edges against the distinct
+    crawled-host set (broadcastable — hosts ≪ pages), one integer
+    aggregation."""
+    edges = host_link_edges(df, url_col, html_col)
+    seen = (
+        df.select(_host_of(F.col(url_col)).alias("h"))
+        .where(F.col("h") != "")
+        .distinct()
+    )
+    return (
+        edges.join(seen, edges.dst_host == seen.h, "left_anti")
+        .groupBy("dst_host")
+        .agg(F.sum("n_links").cast("long").alias("in_links"))
+    )
+
+
 def host_link_edges(
     df: DataFrame, url_col: str = "url", html_col: str = "html_text"
 ) -> DataFrame:

@@ -616,3 +616,19 @@ def test_anchor_term_profile(spark):
     assert got == {
         ("b.com", "acme"): 2, ("b.com", "widgets"): 1, ("b.com", "shop"): 1,
     }
+
+
+def test_crawl_frontier(spark):
+    """Hosts linked to but never crawled surface with their inbound
+    mass; crawled hosts never appear, regardless of in-links."""
+    from pdf_metadata_extraction_spark.operators.links import crawl_frontier
+
+    rows = [
+        ("https://a.com/1",
+         '<a href="https://new.org/x">n</a><a href="https://b.com/y">b</a>'),
+        ("https://b.com/1", '<a href="https://new.org/z">n</a>'
+                            '<a href="https://fresh.net/q">f</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    got = {r["dst_host"]: r["in_links"] for r in crawl_frontier(df).collect()}
+    assert got == {"new.org": 2, "fresh.net": 1}

@@ -209,3 +209,35 @@ def test_triangle_join_is_not_nested_loop(spark):
     plan = _plan(triangle_count(edges, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_href_resolution_is_map_only(spark):
+    """RFC 3986 resolution (classes, merge-path, dot-segment fold) is
+    pure expressions: anchors -> resolved must contain no exchange —
+    at 10^12 pages it runs inside the scan's codegen stage."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_links,
+        resolve_hrefs,
+    )
+
+    df = spark.createDataFrame(
+        [("https://a.com/d/p", '<a href="../up/x">u</a>')],
+        "url string, html_text string",
+    )
+    plan = _plan(resolve_hrefs(extract_links(df)))
+    assert "Exchange" not in plan
+
+
+def test_host_link_edges_single_shuffle(spark):
+    """The host link graph is map-only until ONE aggregation on the
+    short (src_host, dst_host) pair key."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        host_link_edges,
+    )
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", '<a href="/x">l</a>')],
+        "url string, html_text string",
+    )
+    plan = _plan(host_link_edges(df))
+    assert plan.count("Exchange") == 1
