@@ -148,6 +148,7 @@ def pagerank_fixed(
     scale: int = PR_SCALE,
     checkpoint_dir: str | None = None,
     redistribute_dangling: bool = False,
+    lineage=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER fixed-point — (node, rank)
     with rank in ``scale`` units (total initial mass = ``scale``).
@@ -181,11 +182,18 @@ def pagerank_fixed(
     (lineage cut only; blocks die with an executor — fine on a
     single-box session, not on a preemptible cluster).
 
+    ``lineage``: an optional plans.lineage.LineageWriter — each
+    executed iteration records a ``pr_iter_{i}`` row (node count in,
+    node count out, wall ms), exactly like connected components' round
+    telemetry: a 100x regression must be attributable to an iteration.
+
     Scale shape: per iteration one join edges⋈ranks (both keyed by
     node id; outdeg is joined in once, precomputed) and one integer
     groupBy-sum (map-side partial agg) — the classic Pregel/GraphX
     PageRank schedule as plain DataFrame ops.
     """
+    import time
+
     from pdf_metadata_extraction_spark.operators import ckpt
 
     spark = edges.sparkSession
@@ -253,6 +261,7 @@ def pagerank_fixed(
         else:
             dangling = dangling.localCheckpoint(eager=True)
     for i in range(start_iter, iters):
+        t0 = time.monotonic()
         sums = (
             e.join(r.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -287,6 +296,11 @@ def pagerank_fixed(
             r = spark.read.parquet(_iter_dir(i + 1))
         else:
             r = r.localCheckpoint(eager=True)
+        if lineage is not None:
+            lineage.record(
+                f"pr_iter_{i + 1}", input_rows=n, output_rows=n,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
     if checkpoint_dir:
         # the final r reads from parquet — the helper caches can go
         nodes.unpersist()

@@ -278,3 +278,22 @@ def test_cc_checkpoint_dir_rejects_stale_input(spark, tmp_path):
     )
     assert reused == fresh
     assert reused != stale
+
+
+def test_pagerank_iteration_telemetry(spark, tmp_path):
+    """Each executed PageRank iteration records a pr_iter_N lineage row
+    (like CC's round telemetry) — a regression must be attributable to
+    an iteration; a checkpoint resume re-records only what it re-ran."""
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+    from pdf_metadata_extraction_spark.plans.lineage import LineageWriter
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "id_a long, id_b long"
+    )
+    lw = LineageWriter(spark, str(tmp_path / "lw"), "pr")
+    pagerank_fixed(edges, iters=3, lineage=lw).collect()
+    stages = sorted(
+        r["stage"] for r in lw.read_lineage().collect()
+        if r["stage"].startswith("pr_iter_")
+    )
+    assert stages == ["pr_iter_1", "pr_iter_2", "pr_iter_3"]
