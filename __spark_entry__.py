@@ -1552,16 +1552,24 @@ def _href_resolved_sql(anchors_body: str | None = None,
   SELECT url AS src_url,
          unnest(regexp_extract_all(html_text, '{_HREF_SQL_RE}', 1)) AS href
   FROM corpus"""
+    bport = (
+        f"regexp_extract(regexp_extract(regexp_extract(src_url, "
+        f"'{_URL_RE_SQL}', 2), '([^@]*)$', 1), ':([0-9]+)$', 1)"
+    )
     return f"""anchors AS ({anchors_body}
 ), astep AS (
   SELECT src_url, href{carry}, split_part(href, '#', 1) AS h,
     lower(regexp_extract(src_url, '{_URL_RE_SQL}', 1)) AS scheme,
     {_sql_host_of('src_url')} AS bhost,
+    CASE WHEN {bport} <> ''
+          AND NOT (lower(regexp_extract(src_url, '{_URL_RE_SQL}', 1)) = 'http' AND {bport} = '80')
+          AND NOT (lower(regexp_extract(src_url, '{_URL_RE_SQL}', 1)) = 'https' AND {bport} = '443')
+         THEN ':' || {bport} ELSE '' END AS bportpart,
     CASE WHEN regexp_extract(src_url, '{_URL_RE_SQL}', 3) = '' THEN '/'
          ELSE regexp_extract(src_url, '{_URL_RE_SQL}', 3) END AS bpath
   FROM anchors
 ), astep2 AS (
-  SELECT src_url, href{carry}, h, scheme, bhost, bpath,
+  SELECT src_url, href{carry}, h, scheme, bhost, bportpart, bpath,
     regexp_replace(bpath, '[^/]*$', '') AS bdir,
     split_part(h, '?', 1) AS hpath,
     substr(h, length(split_part(h, '?', 1)) + 1) AS hquery,
@@ -1578,9 +1586,9 @@ def _href_resolved_sql(anchors_body: str | None = None,
     CASE WHEN href_class = 'absolute' THEN h
          WHEN scheme = '' THEN NULL
          WHEN href_class = 'protocol_relative' THEN scheme || ':' || h
-         WHEN href_class = 'root_relative' THEN scheme || '://' || bhost || {_dotseg_sql('hpath')} || hquery
-         WHEN href_class = 'query_relative' THEN scheme || '://' || bhost || bpath || h
-         WHEN href_class = 'path_relative' THEN scheme || '://' || bhost || {_dotseg_sql('bdir || hpath')} || hquery
+         WHEN href_class = 'root_relative' THEN scheme || '://' || bhost || bportpart || {_dotseg_sql('hpath')} || hquery
+         WHEN href_class = 'query_relative' THEN scheme || '://' || bhost || bportpart || bpath || h
+         WHEN href_class = 'path_relative' THEN scheme || '://' || bhost || bportpart || {_dotseg_sql('bdir || hpath')} || hquery
          ELSE NULL END AS abs_url
   FROM astep2
 )"""

@@ -32,9 +32,10 @@ oracle), applied to each href after stripping the fragment:
 - any other ``scheme:`` form       -> ``non_http_scheme`` (mailto:,
   javascript:, data:, ftp:, ...), dropped;
 - ``/a/b`` root-relative           -> ``root_relative``, base
-  scheme://host + remove_dot_segments(path);
+  scheme://host[:port] + remove_dot_segments(path);
 - ``?q=1`` query-relative          -> ``query_relative``, base
-  scheme://host + base path + href (RFC 3986 §5.3: path unchanged);
+  scheme://host[:port] + base path + href (RFC 3986 §5.3: path
+  unchanged);
 - everything else (``page2.html``, ``../up/x``, ``./x``)
                                    -> ``path_relative``, merge-path
   (RFC 3986 §5.3.3: base path up to its last ``/`` + href path) then
@@ -48,6 +49,10 @@ produces — appends ``/<segment>``; an empty result means root ``/``.
 Documented deviation from §5.2.4: a FINAL ``.`` or ``..`` segment does
 not re-append a trailing slash (``/a/b/..`` -> ``/a``, not ``/a/``) —
 urlnorm collapses trailing slashes anyway, so canonical keys agree.
+The base host is canonicalized (lowercased, userinfo dropped,
+``www.`` stripped) and the base's NON-default port is preserved in
+resolved urls (a crawl frontier must fetch the right port; default
+ports stripped per the urlnorm canonical form).
 The anchor pattern matches lowercase ``<a``/``href=`` attributes
 (documented case contract, mirrored by the oracle).
 """
@@ -142,11 +147,25 @@ def resolve_hrefs(links: DataFrame) -> DataFrame:
     h = F.substring_index(F.col("href"), "#", 1)  # strip fragment
     scheme = F.lower(F.regexp_extract(F.col("src_url"), URL_RE, 1))
     bhost = _host_of(F.col("src_url"))
+    # the base's NON-DEFAULT port survives into resolved urls (a crawl
+    # frontier must fetch the right port; default ports stripped per
+    # the urlnorm canonical form)
+    authority = F.regexp_extract(F.col("src_url"), URL_RE, 2)
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
+    bport = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (bport != "")
+        & ~((scheme == "http") & (bport == "80"))
+        & ~((scheme == "https") & (bport == "443"))
+    )
+    portpart = F.when(
+        keep_port, F.concat(F.lit(":"), bport)
+    ).otherwise(F.lit(""))
     bpath0 = F.regexp_extract(F.col("src_url"), URL_RE, 3)
     bpath = F.when(bpath0 == "", F.lit("/")).otherwise(bpath0)
     # base path up to (and including) its last '/' — RFC 3986 §5.3.3
     bdir = F.regexp_replace(bpath, "[^/]*$", "")
-    origin = F.concat(scheme, F.lit("://"), bhost)
+    origin = F.concat(scheme, F.lit("://"), bhost, portpart)
     hpath = F.substring_index(h, "?", 1)
     hquery = h.substr(F.length(hpath) + 1, F.length(h))
     has_scheme = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")

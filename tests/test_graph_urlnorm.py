@@ -235,6 +235,9 @@ def test_href_resolution_matches_urljoin(spark):
         "http://b.org",
         "http://b.org/",
         "https://c.net/a/b/c/",
+        # non-default port must survive into resolved urls
+        "https://www.a.com:8443/dir/page1",
+        "http://b.org:8080/x/",
     ]
     seg = ["x", "y2", "up", "..", ".", "a.b"]
     hrefs = ["/abs/p", "//cdn.d.com/l", "?q=1", "page2.html"]
