@@ -282,8 +282,10 @@ def crawl_frontier(
     link mass. The classic next-fetch prioritization input (inbound
     mass ≈ discovery-time importance, the same signal PageRank
     formalizes). One anti-join of the host edges against the distinct
-    crawled-host set (broadcastable — hosts ≪ pages), one integer
-    aggregation."""
+    crawled-host set (hosts ≪ pages; Spark broadcasts it when it fits
+    and falls back to a sort-merge anti join on the short host key —
+    at 10^12 pages the host set can reach 10^9 rows, so do NOT force
+    a broadcast hint here), one integer aggregation."""
     edges = host_link_edges(df, url_col, html_col)
     seen = (
         df.select(_host_of(F.col(url_col)).alias("h"))

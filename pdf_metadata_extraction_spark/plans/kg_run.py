@@ -38,14 +38,23 @@ def run_kg_pipeline(
     extraction_name: str = "mentions",
     n_salt: int = DEFAULT_SALT,
     normalize_urls: bool = False,
+    link_graph: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
-    DataFrames {segments, linked, edges, nodes}.
+    DataFrames {segments, linked, edges, nodes} (+ {host_edges,
+    host_ranks} when ``link_graph``).
 
     ``normalize_urls``: opt-in ingest dedup — rewrite urls to canonical
     form and keep one fetch per canonical url (earliest warc_ts,
     deterministic tie-break) before anything keys on url; the cleaned
-    pages are their own checkpointed stage (``pages_clean``)."""
+    pages are their own checkpointed stage (``pages_clean``).
+
+    ``link_graph``: opt-in web-graph product — RFC 3986-resolved
+    anchors lifted to the host-level link graph (``host_edges`` stage)
+    and ranked with checkpointed fixed-point PageRank (``host_ranks``
+    stage; per-iteration parquet checkpoints live under the run's
+    stage tree, so a killed run resumes mid-PageRank exactly like
+    mid-CC, and each iteration writes a pr_iter_N lineage row)."""
     lw = LineageWriter(spark, work_dir, run_id)
     t0 = time.monotonic()
 
@@ -74,6 +83,33 @@ def run_kg_pipeline(
                 ["url_bucket"] if "url_bucket" in cleaned.columns else None
             ),
         )
+
+    out_extra: dict[str, DataFrame] = {}
+    if link_graph:
+        from pdf_metadata_extraction_spark.operators.graph import (
+            pagerank_fixed,
+        )
+        from pdf_metadata_extraction_spark.operators.links import (
+            host_link_edges,
+        )
+
+        pages_txt = pages.select(
+            "url", F.col("html").cast("string").alias("html_text")
+        )
+        host_edges = lw.checkpoint_stage(
+            "host_edges", host_link_edges(pages_txt)
+        )
+        ranks = pagerank_fixed(
+            host_edges.select(
+                F.col("src_host").alias("id_a"),
+                F.col("dst_host").alias("id_b"),
+            ),
+            iters=3,
+            checkpoint_dir=lw.stage_path("host_rank_iters"),
+            lineage=lw,
+        )
+        out_extra["host_edges"] = host_edges
+        out_extra["host_ranks"] = lw.checkpoint_stage("host_ranks", ranks)
 
     segs = segments_from_pages(pages).withColumn(
         "extraction_name", F.lit(extraction_name)
@@ -122,4 +158,4 @@ def run_kg_pipeline(
     lw.record("pipeline_total", input_rows=-1, output_rows=edges.count(),
               wall_ms=int((time.monotonic() - t0) * 1000))
     return {"segments": segs, "linked": linked, "edges": edges,
-            "edges_dedup": edges_dedup, "nodes": nodes}
+            "edges_dedup": edges_dedup, "nodes": nodes, **out_extra}

@@ -297,3 +297,52 @@ def test_pagerank_iteration_telemetry(spark, tmp_path):
         if r["stage"].startswith("pr_iter_")
     )
     assert stages == ["pr_iter_1", "pr_iter_2", "pr_iter_3"]
+
+
+def test_kg_run_link_graph_stage(spark, tmp_path):
+    """Opt-in link-graph product inside the production runner: nav
+    anchors become host self-edges, PageRank runs with per-iteration
+    checkpoints under the run's stage tree + pr_iter lineage rows, and
+    a re-run with the same run_id reuses the finished stages."""
+    from pdf_metadata_extraction_spark.plans.kg_run import run_kg_pipeline
+    from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
+
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 8, partitions=2).select(
+        "url", "warc_ts",
+        # synthetic nav anchors are all same-host; add one cross-host
+        # anchor so the rank graph has non-self edges
+        F.concat(
+            "html", F.lit(b'<a href="https://hub.example/x">h</a>')
+        ).alias("html"),
+    )
+    opts = spark.createDataFrame(
+        [("mentions", "o1", "united nations", True)],
+        "extraction_name string, option_id string, label string, "
+        "multi_value boolean",
+    )
+    out = run_kg_pipeline(
+        spark, pages, opts, str(tmp_path / "w"), run_id="lg",
+        link_graph=True,
+    )
+    he = out["host_edges"].collect()
+    assert he and all(r["n_links"] >= 1 for r in he)
+    ranks = {r["node"]: r["rank"] for r in out["host_ranks"].collect()}
+    assert ranks and all(v > 0 for v in ranks.values())
+    lw_rows = spark.read.parquet(str(tmp_path / "w" / "lineage")).collect()
+    stages = {r["stage"] for r in lw_rows}
+    assert {"host_edges", "host_ranks", "pr_iter_1", "pr_iter_3"} <= stages
+    # PageRank iteration checkpoints live under the run's stage tree
+    import os
+    it_dir = str(tmp_path / "w" / "stages" / "lg" / "host_rank_iters")
+    assert sorted(d for d in os.listdir(it_dir) if d.startswith("iter_")) == [
+        "iter_1", "iter_2", "iter_3"
+    ]
+
+    # resume: same run_id returns identical ranks
+    again = run_kg_pipeline(
+        spark, pages, opts, str(tmp_path / "w"), run_id="lg",
+        link_graph=True,
+    )
+    assert {r["node"]: r["rank"] for r in again["host_ranks"].collect()} == ranks
