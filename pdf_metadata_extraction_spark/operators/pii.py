@@ -19,7 +19,8 @@ match Spark's replace-all semantics).
 Detection quality note (documented contract, not hidden): these are
 conservative lexical patterns. The email pattern requires a dotted
 TLD; the phone pattern requires 7+ digits with separators and a
-leading +/digit; IPv4 is purely syntactic (no octet range check);
+leading +/digit; IPv4 octets are range-checked (0-255, no leading
+zeros — '999.…' and octal-ambiguous '010.…' quads survive);
 IPv6 matches the full 8-group form and ``::``-compressed forms with
 at least one hex group on EACH side (loopback ``::1`` and
 ``::``-prefixed v4-mapped forms are left alone — too collision-prone
@@ -54,7 +55,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# octet-range-checked (0-255, no leading zeros): '999.999.999.999' and
+# octal-ambiguous '010.001.001.001' are NOT addresses and must survive
+_OCT = r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+IPV4_RE = rf"\b(?:{_OCT}\.){{3}}{_OCT}\b"
 # full 8-group form, or ::-compressed with >= 1 hex group on each side
 IPV6_RE = (
     r"\b(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"

@@ -203,3 +203,12 @@ def test_pii_cross_engine_fuzz(spark):
     mismatches = {i: (got[i], want[i])
                   for i in range(len(texts)) if got[i] != want[i]}
     assert not mismatches, (len(mismatches), dict(list(mismatches.items())[:5]))
+
+
+def test_ipv4_octet_range_gate(spark):
+    """Precision-first IPv4: octets must be 0-255 without leading
+    zeros — impossible quads and octal-ambiguous forms survive."""
+    d, s = _one(spark, "a 10.0.255.1 b 999.999.999.999 c 256.1.1.1 "
+                       "d 010.001.001.001 e 0.0.0.0 f")
+    assert d["n_ipv4"] == 2
+    assert s == "a <IP> b 999.999.999.999 c 256.1.1.1 d 010.001.001.001 e <IP> f"
