@@ -222,7 +222,8 @@ def pagerank_fixed(
         )
         edir = f"{checkpoint_dir.rstrip('/')}/edges"
         if not ckpt.fs_exists(spark, f"{edir}/_SUCCESS"):
-            e.write.mode("overwrite").parquet(edir)
+            eout = e.coalesce(1) if row["n"] <= 1_000_000 else e
+            eout.write.mode("overwrite").parquet(edir)
         e = spark.read.parquet(edir)
     else:
         e = e.localCheckpoint(eager=True)
@@ -292,7 +293,13 @@ def pagerank_fixed(
             )
         )
         if checkpoint_dir:
-            r.write.mode("overwrite").parquet(_iter_dir(i + 1))
+            # small rank tables (n known at the driver) write as ONE
+            # file per iteration — the per-task/file fixed costs
+            # dominate the checkpoint at test scale; big graphs keep
+            # their natural partitioning (a 10^9-node rank table must
+            # not funnel through one writer)
+            out = r.coalesce(1) if n <= 1_000_000 else r
+            out.write.mode("overwrite").parquet(_iter_dir(i + 1))
             r = spark.read.parquet(_iter_dir(i + 1))
         else:
             r = r.localCheckpoint(eager=True)
