@@ -574,6 +574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_scores(spark, sf_dir):
         return textstats.quality_score(_t(spark, sf_dir, "documents"), "doc_id")
 
+    def quality_filter(spark, sf_dir):
+        """The composed C4+Gopher keep-gate in one map-only pass —
+        rows passing both the quality composite and the repetition
+        cap (the standard pre-training corpus filter)."""
+        return textstats.quality_filter(_t(spark, sf_dir, "documents"))
+
     def token_count(spark, sf_dir):
         return textstats.token_counts(_t(spark, sf_dir, "documents"), "doc_id")
 
@@ -1064,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "lang_id_ngram": lang_id_ngram,
         "quality_scores": quality_scores,
+        "quality_filter": quality_filter,
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
         "winnow_fp": winnow_fp,
@@ -2476,6 +2483,12 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "repetition_signals": _repetition_sql(),
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
+    out["quality_filter"] = (
+        "SELECT q.id, q.quality, r.dup_word_frac "
+        "FROM (" + out["quality_scores"] + ") q "
+        "JOIN (" + out["repetition_signals"] + ") r ON q.id = r.id "
+        "WHERE q.quality >= 0.7 AND r.dup_word_frac <= 0.3"
+    )
     out["ivf_ann_topk"] = out["cosine_topk"]
     # sign-LSH is deterministic (md5 hyperplanes) → the oracle mirrors it
     # exactly; the recall gate additionally pins recall@3 ≥ 0.9 vs exact

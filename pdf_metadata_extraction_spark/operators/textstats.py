@@ -487,3 +487,62 @@ def repetition_signals(
         frac("_g2").alias("dup_2gram_frac"),
         frac("_g3").alias("dup_3gram_frac"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.7,
+    max_dup_word_frac: float = 0.3,
+) -> DataFrame:
+    """The composed C4+Gopher keep-gate: rows survive iff the
+    quality_score composite >= ``min_quality`` AND repetition_signals'
+    dup_word_frac <= ``max_dup_word_frac`` — the standard corpus
+    pre-training filter, as ONE map-only pass (the two signals share
+    the tokenized word array; no join, no shuffle — at 10^12 rows a
+    recombination join of the two signal frames would be a pointless
+    full-corpus shuffle).
+
+    Returns (id, quality, dup_word_frac) for kept rows. The inlined
+    expressions are pinned equal to quality_score ⋈ repetition_signals
+    by test_quality_filter_equals_joined_operators — edit them in
+    lockstep.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")) / n
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    mean_word_len = n / (spaces + 1).cast("double")
+    len_ok = (F.length(t) >= 50) & (F.length(t) <= 100000)
+    word_ok = (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
+    score = F.round(
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(word_ok, 0.3).otherwise(0.0)
+        + F.when(alpha >= 0.6, 0.2).otherwise(0.0)
+        + F.when(digits <= 0.2, 0.1).otherwise(0.0),
+        6,
+    )
+    words = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: w != "")
+    total = F.size(words)
+    dup = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double")
+            / total.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            score.alias("quality"),
+            dup.alias("dup_word_frac"),
+        )
+        .where(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+        )
+    )

@@ -212,3 +212,79 @@ def test_ipv4_octet_range_gate(spark):
                        "d 010.001.001.001 e 0.0.0.0 f")
     assert d["n_ipv4"] == 2
     assert s == "a <IP> b 999.999.999.999 c 256.1.1.1 d 010.001.001.001 e <IP> f"
+
+
+def test_quality_filter_equals_joined_operators(spark):
+    """Drift guard: quality_filter's single-pass fused expressions must
+    keep EXACTLY the rows that quality_score ⋈ repetition_signals with
+    the same thresholds keep (edit them in lockstep)."""
+    from pyspark.sql import functions as F
+
+    from pdf_metadata_extraction_spark.operators.textstats import (
+        quality_filter,
+        quality_score,
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "ok"),
+        (4, "12345 67890 " * 20),
+        (5, "a decent length sentence with mostly alphabetic words and few digits here"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {tuple(r) for r in quality_filter(df).collect()}
+    q = quality_score(df, "doc_id").select("id", "quality")
+    r = repetition_signals(df).select("id", "dup_word_frac")
+    joined = {
+        tuple(x)
+        for x in q.join(r, "id")
+        .where((F.col("quality") >= 0.7) & (F.col("dup_word_frac") <= 0.3))
+        .collect()
+    }
+    assert fused == joined
+    assert any(x[0] == 1 for x in fused)       # good prose survives
+    assert not any(x[0] in (2, 3) for x in fused)  # spam/short dropped
+    # single pass: no join, no shuffle
+    plan = quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_link_resolution_works_in_streaming(spark, tmp_path):
+    """resolve_hrefs (classes + RFC 3986 merge-path fold) is map-only
+    expressions, so it drops into a Structured Streaming plan
+    unchanged — the crawl-ingest shape (readStream -> resolve ->
+    sink)."""
+    import json
+
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_links,
+        resolve_hrefs,
+    )
+
+    feed = tmp_path / "pages_feed"
+    feed.mkdir()
+    (feed / "b0.json").write_text("\n".join(
+        json.dumps(r) for r in [
+            {"url": "https://a.com/d/p",
+             "html_text": '<a href="page2.html">x</a><a href="//cdn.b.net/l">y</a>'},
+            {"url": "https://c.org/",
+             "html_text": '<a href="mailto:z@c.org">m</a>'},
+        ]
+    ))
+    stream = spark.readStream.schema("url string, html_text string").json(str(feed))
+    out = resolve_hrefs(extract_links(stream))
+    q = (
+        out.writeStream.format("memory").queryName("links_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["href"], r["href_class"], r["abs_url"])
+           for r in spark.sql("SELECT * FROM links_stream").collect()}
+    assert got == {
+        ("page2.html", "path_relative", "https://a.com/d/page2.html"),
+        ("//cdn.b.net/l", "protocol_relative", "https://cdn.b.net/l"),
+        ("mailto:z@c.org", "non_http_scheme", None),
+    }
