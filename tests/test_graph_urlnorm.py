@@ -635,3 +635,52 @@ def test_crawl_frontier(spark):
     df = spark.createDataFrame(rows, "url string, html_text string")
     got = {r["dst_host"]: r["in_links"] for r in crawl_frontier(df).collect()}
     assert got == {"new.org": 2, "fresh.net": 1}
+
+
+def test_href_resolution_cross_engine_fuzz(spark):
+    """Differential fuzz: 250 seeded adversarial (base, href) pairs
+    through Spark resolve_hrefs AND the DuckDB oracle resolution chain
+    — class and absolute url must agree byte-exactly (the urljoin fuzz
+    checks against RFC semantics; this one pins the ORACLE MIRROR)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _href_resolved_sql
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_links,
+        resolve_hrefs,
+    )
+
+    rng = random.Random(11)
+    bases = [
+        "https://www.a.com/dir/page1", "http://b.org", "https://c.net:8443/a/b/",
+        "not a url", "ftp://weird.host/x", "https://UPPER.COM/Q",
+    ]
+    frags = ["x", "..", ".", "//", "/", "?", "q=1", "#f", "mailto:", "a:b",
+             "p.html", "%20", ":", "~", "http://", "https://d.com/e", ""]
+    hrefs = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 6)))
+             for _ in range(244)] + ["", "#", "?", "/", "//", "."]
+    rows = [(rng.choice(bases), f'<a href="{h}">t</a>') for h in hrefs]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    got = sorted(
+        (r["src_url"], r["href"], r["href_class"], r["abs_url"])
+        for r in resolve_hrefs(extract_links(df)).collect()
+    )
+
+    db = duckdb.connect()
+    db.register("corpus_tbl", pd.DataFrame(
+        {"url": [r[0] for r in rows], "html_text": [r[1] for r in rows]}
+    ))
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in db.sql(
+            "WITH corpus AS (SELECT url, html_text FROM corpus_tbl), "
+            + _href_resolved_sql()
+            + " SELECT src_url, href, href_class, abs_url FROM resolved"
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    bad = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not bad, (len(bad), bad[:5])
