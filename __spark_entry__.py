@@ -574,6 +574,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_scores(spark, sf_dir):
         return textstats.quality_score(_t(spark, sf_dir, "documents"), "doc_id")
 
+    def encoding_signals(spark, sf_dir):
+        """Encoding-damage audit over a deterministic damaged corpus
+        (U+FFFD / control bytes / mojibake lead chars appended by
+        doc_id class) — replacement, control and mojibake-lead counts
+        plus the bad-char ratio."""
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        m = F.col("doc_id") % 4
+        extra = (
+            F.when(m == 0, F.lit(" bad �� char"))
+            .when(m == 1, F.lit(" ctrl \x01\x02 here"))
+            .when(m == 2, F.lit(" moji Ã© and Ã¼"))
+            .otherwise(F.lit(" clean tail"))
+        )
+        return textstats.encoding_signals(
+            d.withColumn("text", F.concat(F.col("text"), extra))
+        )
+
     def quality_filter(spark, sf_dir):
         """The composed C4+Gopher keep-gate in one map-only pass —
         rows passing both the quality composite and the repetition
@@ -1071,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": lang_id_ngram,
         "quality_scores": quality_scores,
         "quality_filter": quality_filter,
+        "encoding_signals": encoding_signals,
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
         "winnow_fp": winnow_fp,
@@ -2483,6 +2501,7 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "repetition_signals": _repetition_sql(),
     }
     # IVF at nprobe == n_clusters is exactly brute force → same oracle
+    out["encoding_signals"] = "\nWITH aug AS (\n  SELECT doc_id, text || CASE\n    WHEN doc_id % 4 = 0 THEN ' bad �� char'\n    WHEN doc_id % 4 = 1 THEN ' ctrl ' || chr(1) || chr(2) || ' here'\n    WHEN doc_id % 4 = 2 THEN ' moji Ã© and Ã¼'\n    ELSE ' clean tail'\n  END AS text FROM documents\n)\nSELECT doc_id AS id,\n  CAST(length(text) - length(replace(text, '�', '')) AS BIGINT) AS n_replacement,\n  CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g')) AS BIGINT) AS n_control,\n  CAST(length(text) - length(replace(text, 'Ã', '')) AS BIGINT) AS n_mojibake_lead,\n  round(CAST((length(text) - length(replace(text, '�', ''))) + (length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'))) AS DOUBLE) / greatest(length(text), 1), 6) AS bad_char_ratio\nFROM aug\n"
     out["quality_filter"] = (
         "SELECT q.id, q.quality, r.dup_word_frac "
         "FROM (" + out["quality_scores"] + ") q "

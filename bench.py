@@ -142,7 +142,7 @@ def main() -> None:
         "graph_pagerank_dangling", "href_resolution_audit",
         "anchor_text_mentions", "bm25_topk_indexed",
         "domain_link_graph", "anchor_term_profile", "crawl_frontier_hosts",
-        "url_dedup", "quality_filter",
+        "url_dedup", "quality_filter", "encoding_signals",
     ]:
         fn = run_query(name)
         fn()

@@ -546,3 +546,43 @@ def quality_filter(
             & (F.col("dup_word_frac") <= max_dup_word_frac)
         )
     )
+
+
+# C0 controls except \t\n\r, DEL, and the C1 block — the bytes that
+# appear in text only through encoding damage or binary bleed-through
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
+
+
+def encoding_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-damage audit: (id, n_replacement, n_control,
+    n_mojibake_lead, bad_char_ratio).
+
+    - ``n_replacement``: U+FFFD chars — a decoder already gave up;
+    - ``n_control``: C0 (minus tab/newline/CR), DEL and C1 chars —
+      binary bleed-through or double-decoded CP-1252;
+    - ``n_mojibake_lead``: 'Ã' (U+00C3) occurrences — the classic
+      UTF-8-bytes-read-as-Latin-1 lead byte ('é' -> 'Ã©'); counted,
+      not scrubbed (legitimate in e.g. Portuguese 'nÃo' is rare but
+      possible — precision-first, this is an AUDIT signal feeding the
+      quality gate, not a filter);
+    - ``bad_char_ratio``: (replacement + control) / length.
+
+    Pure length-difference and regexp expressions — map-only,
+    codegen, zero shuffle; mirrored in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    n_repl = F.length(t) - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    n_ctrl = F.length(t) - F.length(F.regexp_replace(t, _CTRL_RE, ""))
+    n_moji = F.length(t) - F.length(F.replace(t, F.lit("Ã"), F.lit("")))
+    denom = F.greatest(F.length(t), F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        n_moji.cast("long").alias("n_mojibake_lead"),
+        F.round((n_repl + n_ctrl).cast("double") / denom, 6).alias(
+            "bad_char_ratio"
+        ),
+    )

@@ -288,3 +288,109 @@ def test_link_resolution_works_in_streaming(spark, tmp_path):
         ("//cdn.b.net/l", "protocol_relative", "https://cdn.b.net/l"),
         ("mailto:z@c.org", "non_http_scheme", None),
     }
+
+
+def test_luhn_iban_expressions_match_python_reference(spark):
+    """Semantic fuzz (cross-engine fuzz proves the MIRROR; this proves
+    the MATH): the Luhn and IBAN-mod-97 expression folds agree with
+    independent pure-Python implementations on 400 random candidates,
+    including single-character mutations of valid ones."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_metadata_extraction_spark.operators.pii import (
+        IBAN_LENGTHS,
+        _iban_ok,
+        _luhn_ok,
+    )
+
+    def py_luhn(s):
+        d = [int(c) for c in s if c.isdigit()][::-1]
+        t = 0
+        for i, x in enumerate(d):
+            if i % 2 == 1:
+                x *= 2
+                if x > 9:
+                    x -= 9
+            t += x
+        return t % 10 == 0
+
+    def py_iban(s):
+        if len(s) != IBAN_LENGTHS.get(s[:2], -1):
+            return False
+        r = s[4:] + s[:4]
+        acc = 0
+        for c in r:
+            if c.isdigit():
+                acc = (acc * 10 + int(c)) % 97
+            else:
+                acc = (acc * 100 + (ord(c) - 55)) % 97
+        return acc == 1
+
+    rng = random.Random(13)
+    cards = []
+    for _ in range(200):
+        n = rng.randint(13, 19)
+        cards.append("".join(rng.choice("0123456789") for _ in range(n)))
+    valid = ["4111111111111111", "378282246310005", "4012888888881881"]
+    for v in valid:
+        for _ in range(10):
+            i = rng.randrange(len(v))
+            cards.append(v[:i] + rng.choice("0123456789") + v[i + 1:])
+    ibans = []
+    vbase = ["DE89370400440532013000", "GB29NWBK60161331926819",
+             "FR1420041010050500013M02606", "NO9386011117947"]
+    for v in vbase:
+        ibans.append(v)
+        for _ in range(20):
+            i = rng.randrange(2, len(v))
+            ibans.append(v[:i] + rng.choice("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ") + v[i + 1:])
+    for _ in range(100):
+        cc = rng.choice(list(IBAN_LENGTHS))
+        n = IBAN_LENGTHS[cc] + rng.choice([-1, 0, 0, 1])
+        ibans.append(cc + "".join(
+            rng.choice("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+            for _ in range(max(n - 2, 0))
+        ))
+
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cards)], "i long, c string"
+    ).select("i", "c", _luhn_ok(F.col("c")).alias("ok"))
+    bad = [(r["c"], r["ok"], py_luhn(r["c"])) for r in cdf.collect()
+           if r["ok"] != py_luhn(r["c"])]
+    assert not bad, bad[:5]
+
+    idf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ibans)], "i long, c string"
+    ).select("i", "c", F.coalesce(_iban_ok(F.col("c")), F.lit(False)).alias("ok"))
+    badi = [(r["c"], r["ok"], py_iban(r["c"])) for r in idf.collect()
+            if r["ok"] != py_iban(r["c"])]
+    assert not badi, badi[:5]
+
+
+def test_encoding_signals_values(spark):
+    """Pinned encoding-damage counts: replacement chars, control bytes
+    (tab/newline/CR exempt), mojibake lead chars; clean prose scores
+    all-zero; map-only plan."""
+    from pdf_metadata_extraction_spark.operators.textstats import (
+        encoding_signals,
+    )
+
+    rows = [
+        (1, "ok text\twith\ntabs and newlines"),
+        (2, "bad � here � too"),
+        (3, "ctrl \x01\x02\x9f end"),
+        (4, "moji Ã© and Ã¼ twice"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in encoding_signals(df).collect()}
+    assert (got[1]["n_replacement"], got[1]["n_control"],
+            got[1]["n_mojibake_lead"]) == (0, 0, 0)
+    assert got[2]["n_replacement"] == 2
+    assert got[3]["n_control"] == 3
+    assert got[4]["n_mojibake_lead"] == 2
+    assert got[5]["bad_char_ratio"] == 0.0
+    plan = encoding_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
