@@ -629,7 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(m == 1, F.concat(
                 F.lit("http://example"), k, F.lit(".com:80/path//")))
             .when(m == 2, F.concat(
-                F.lit("https://sub.example"), k, F.lit(".org:8443/x?z=1&y=2")))
+                F.lit("https://sub.example"), k,
+                F.lit(".org:8443/%7Euser/x?z=1&%79=2")))
             .when(m == 3, F.concat(F.lit("http://example"), k, F.lit(".com")))
             .when(m == 4, F.concat(
                 F.lit("https://www.example"), k, F.lit(".com/a?ref=hp&q=1")))
@@ -1259,12 +1260,28 @@ def _psl2_sql() -> str:
     return ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2LABEL)
 
 
+def _pct_decode_sql(e: str) -> str:
+    """Mirror of urlnorm.decode_unreserved_escapes over expression
+    ``e``: the same fold of literal replaces over PCT_DECODE_TABLE
+    ('XXc' entries: '%XX' -> c; '%25' absent by construction)."""
+    from pdf_metadata_extraction_spark.operators.urlnorm import (
+        PCT_DECODE_TABLE,
+    )
+
+    entries = ", ".join(f"'{x}'" for x in PCT_DECODE_TABLE)
+    return (
+        f"list_reduce(list_prepend({e}, [{entries}]), "
+        "(acc, x) -> replace(acc, '%' || substr(x, 1, 2), substr(x, 3, 1)))"
+    )
+
+
 def _url_canon_transform_sql() -> str:
     """The canonicalize_urls mirror as CTEs over a caller-provided
     ``raw(doc_id, url)`` relation (identical regex — RE2-safe —
-    identical filter/sort/join steps, public-suffix-aware registered
-    domain, NULLs for unparseable rows). Shared by the driver oracle
-    and the cross-engine fuzz test."""
+    identical filter/sort/join steps, unreserved %-escape decode,
+    public-suffix-aware registered domain, NULLs for unparseable
+    rows). Shared by the driver oracle and the cross-engine fuzz
+    test."""
     not_tracking = " AND ".join(
         f"NOT starts_with(p, '{pfx}')"
         for pfx in ["utm_", "fbclid=", "gclid=", "ref="]
@@ -1273,7 +1290,7 @@ def _url_canon_transform_sql() -> str:
   SELECT doc_id,
     lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
     regexp_extract(regexp_extract(url, '{_URL_RE_SQL}', 2), '([^@]*)$', 1) AS hostport,
-    regexp_extract(url, '{_URL_RE_SQL}', 3) AS path0,
+    {_pct_decode_sql(f"regexp_extract(url, '{_URL_RE_SQL}', 3)")} AS path0,
     regexp_extract(url, '{_URL_RE_SQL}', 4) AS rawq
   FROM raw
 ), step AS (
@@ -1282,7 +1299,7 @@ def _url_canon_transform_sql() -> str:
     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
     CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
          ELSE regexp_replace(path0, '/+$', '') END AS path,
-    CASE WHEN rawq = '' THEN '' ELSE substr(rawq, 2) END AS qs
+    {_pct_decode_sql("CASE WHEN rawq = '' THEN '' ELSE substr(rawq, 2) END")} AS qs
   FROM parsed
 ), cleaned AS (
   SELECT doc_id, scheme, host, port, path,
@@ -1319,7 +1336,7 @@ WITH raw AS (
     CASE
       WHEN doc_id % 10 = 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
       WHEN doc_id % 10 = 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/path//'
-      WHEN doc_id % 10 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/x?z=1&y=2'
+      WHEN doc_id % 10 = 2 THEN 'https://sub.example' || CAST(doc_id % 50 AS VARCHAR) || '.org:8443/%7Euser/x?z=1&%79=2'
       WHEN doc_id % 10 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
       WHEN doc_id % 10 = 4 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com/a?ref=hp&q=1'
       WHEN doc_id % 10 = 6 THEN 'http://user:pw@example' || CAST(doc_id % 50 AS VARCHAR) || '.net/q'

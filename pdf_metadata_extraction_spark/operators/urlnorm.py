@@ -19,6 +19,9 @@ Canonical form (single source of truth = this docstring + the oracle):
 - userinfo (``user:pass@``) dropped from the authority;
 - scheme and host lowercased; a leading ``www.`` dropped;
 - default ports stripped (http:80, https:443), others kept;
+- path and query: percent-escapes of UNRESERVED chars decoded
+  (``%7E`` -> ``~``, both hex cases; ``%25`` never decoded — see
+  PCT_DECODE_TABLE), applied BEFORE slash collapse and param sorting;
 - path: trailing slashes collapsed away, empty path -> ``/``;
 - query: params split on ``&``, tracking params dropped
   (``utm_*``, ``fbclid=``, ``gclid=``, ``ref=``), the rest SORTED
@@ -110,6 +113,37 @@ URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
 # tracking params dropped during canonicalization (prefix match)
 TRACKING_PREFIXES = ["utm_", "fbclid=", "gclid=", "ref="]
 
+# RFC 3986 §2.3: percent-escapes of UNRESERVED characters are
+# equivalent to the bare character and must decode during
+# canonicalization ('/%7Euser' aliases '/~user'). Each entry packs
+# 'XXc' = two hex digits + the decoded char; both hex spellings
+# (%7E / %7e) are listed when they differ. '%25' is NEVER decoded —
+# decoding it could expose sequences like '%7E' that mean literal
+# text, and a second pass would wrongly decode them.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+PCT_DECODE_TABLE = sorted(
+    {f"{ord(c):02X}{c}" for c in _UNRESERVED}
+    | {f"{ord(c):02x}{c}" for c in _UNRESERVED}
+)
+
+
+def decode_unreserved_escapes(s: Column) -> Column:
+    """Fold of literal replaces over PCT_DECODE_TABLE: '%7E' -> '~'
+    etc. Decoded outputs are unreserved chars, so no pass can create
+    a new escape — the fold is single-decode by construction. Pure
+    expressions (JVM-side), mirrored in the DuckDB oracle."""
+    return F.aggregate(
+        F.array(*[F.lit(e) for e in PCT_DECODE_TABLE]),
+        s,
+        lambda acc, e: F.replace(
+            acc,
+            F.concat(F.lit("%"), e.substr(F.lit(1), F.lit(2))),
+            e.substr(F.lit(3), F.lit(1)),
+        ),
+    )
+
 
 def registered_domain_of(host: Column) -> Column:
     """Public-suffix-aware registered domain of a (already-canonical)
@@ -166,11 +200,19 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         & ~((scheme == "https") & (port == "443"))
     )
     portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
-    path0 = F.regexp_replace(F.regexp_extract(u, URL_RE, 3), r"/+$", "")
+    # unreserved %-escapes decode BEFORE trailing-slash collapse and
+    # query cleaning/sorting, so '%7E' and '~' produce identical
+    # canonical paths and identical param sort keys
+    path0 = F.regexp_replace(
+        decode_unreserved_escapes(F.regexp_extract(u, URL_RE, 3)),
+        r"/+$", "",
+    )
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
     rawq = F.regexp_extract(u, URL_RE, 4)
-    qs = F.when(rawq == "", F.lit("")).otherwise(
-        rawq.substr(F.lit(2), F.length(rawq))
+    qs = decode_unreserved_escapes(
+        F.when(rawq == "", F.lit("")).otherwise(
+            rawq.substr(F.lit(2), F.length(rawq))
+        )
     )
     query = _clean_query(qs)
     canonical = F.concat(scheme, F.lit("://"), host, portpart, path, query)

@@ -86,6 +86,12 @@ CASES = [
      "http://foo.com.au/", "foo.com.au", "foo.com.au", 0),
     # a host that IS a bare suffix registers nothing -> NULL
     ("https://co.uk/x", "https://co.uk/x", "co.uk", None, 1),
+    # unreserved %-escapes decode (both hex cases); %25 and reserved
+    # escapes (%2F) stay encoded
+    ("https://example.com/%7Euser/%62?%79=1",
+     "https://example.com/~user/b?y=1", "example.com", "example.com", 2),
+    ("https://example.com/a%252Fb/%2Fc",
+     "https://example.com/a%252Fb/%2Fc", "example.com", "example.com", 2),
     ("not a url", None, None, None, None),
 ]
 
