@@ -301,7 +301,19 @@ def pagerank_fixed(
             out = r.coalesce(1) if n <= 1_000_000 else r
             out.write.mode("overwrite").parquet(_iter_dir(i + 1))
             r = spark.read.parquet(_iter_dir(i + 1))
-        else:
+        elif (
+            redistribute_dangling
+            or lineage is not None
+            or ((i + 1) % 5 == 0 and i + 1 < iters)
+        ):
+            # lineage cut: the dangling variant runs a per-iteration
+            # scalar action (without a cut each would recompute the
+            # whole prefix — O(iters²)), and per-iteration telemetry
+            # must measure REAL work, not plan construction; otherwise
+            # every 5th iteration suffices — each eager localCheckpoint
+            # is a driver-latency barrier that does NOT shrink with
+            # cores, and it was the Amdahl floor in the graph-job
+            # scaling curve
             r = r.localCheckpoint(eager=True)
         if lineage is not None:
             lineage.record(

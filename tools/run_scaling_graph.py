@@ -1,0 +1,109 @@
+"""Two-parallelism scaling evidence for the SECOND workload shape:
+link-graph extraction + fixed-point PageRank (tools/scaling_graph_job.py)
+— complements the KG-pipeline curve in BENCH/BASELINE.md so the
+two-cluster-size criterion is evidenced on both a map-heavy fused
+pipeline AND a shuffle-bearing graph job.
+
+Reuses run_scaling's zip build, pages table, and spark-submit plumbing;
+writes BENCH/GRAPH_SCALING.md.
+
+Usage: python tools/run_scaling_graph.py [n_pages] [masters...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from run_scaling import build_zip, gen_pages  # noqa: E402
+
+DEFAULT_MASTERS = ["local[1]", "local[4]"]
+HEADLINE = ("local[1]", "local[4]")
+
+
+def submit(master: str, zpath: str, pages_dir: str, n_runs: int = 4) -> dict:
+    cmd = [
+        "spark-submit", "--master", master,
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.files.maxPartitionBytes=1048576",
+        "--conf", "spark.sql.files.openCostInBytes=262144",
+        "--py-files", zpath,
+        os.path.join(ROOT, "tools", "scaling_graph_job.py"),
+        pages_dir, str(n_runs),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"no JSON from {master}: {out.stdout[-2000:]} {out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    masters = sys.argv[2:] or DEFAULT_MASTERS
+    zpath = build_zip()
+    pages_dir = gen_pages(n_pages)
+    results = {}
+    for m in masters:
+        results[m] = submit(m, zpath, pages_dir)
+        print(m, results[m]["runs"], flush=True)
+
+    lo, hi = HEADLINE
+    warm = {m: min(r["runs"][1:]) for m, r in results.items()}
+    pps = {m: results[m]["pages"] / warm[m] for m in results}
+    eff = (pps[hi] / pps[lo]) / 4
+    rows = "\n".join(
+        f"| {m} | {results[m]['pages']:,} | {results[m]['edges']:,} | "
+        f"{results[m]['ranked']:,} | {results[m]['runs']} | {warm[m]:.2f} | "
+        f"{pps[m]:,.0f} |"
+        for m in results
+    )
+    ts = datetime.now(timezone.utc).isoformat()
+    md = f"""# BENCH/GRAPH_SCALING — second-workload scaling evidence
+
+Generated {ts} by tools/run_scaling_graph.py.
+
+Job: link-graph + PageRank chain (pages → anchor extraction → RFC 3986
+resolution → host-pair aggregation → 3 fixed-point PageRank iterations)
+via `spark-submit --py-files dist/pipeline.zip`, same {n_pages:,}-page
+table as BENCH/BASELINE.md, one deterministic cross-host anchor
+appended per page. Unlike the fused KG pipeline (shuffle-free map
+stages), this job is SHUFFLE-BEARING: one host-pair aggregation plus a
+join + integer groupBy-sum per PageRank iteration — the N→4N number
+below shows the shuffle path scales, not just the map path.
+
+| master | pages | host edges | ranked nodes | runs (s) | warm s | pages/sec |
+|---|---|---|---|---|---|---|
+{rows}
+
+## Scaling efficiency (target ≥ 0.8 from N to 4N)
+
+| pair | (throughput₄ₙ / throughputₙ) / 4 |
+|---|---|
+| **{lo} → {hi}** | **{eff:.3f}** |
+
+Same box-noise caveat as BENCH/BASELINE.md: the shared box alternates
+quiet/loud phases; the 1→4 pair has been robust across phases.
+"""
+    out_path = os.path.join(ROOT, "BENCH", "GRAPH_SCALING.md")
+    with open(out_path, "w") as fh:
+        fh.write(md)
+    print(json.dumps({"pages_per_sec": {m: round(v, 1) for m, v in pps.items()},
+                      "scaling_efficiency_n_4n": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
