@@ -313,10 +313,12 @@ def main() -> None:
         "box_noise": (
             "the shared box alternates quiet/loud phases (load 0.9-6.5 "
             "with nothing of ours running; disclosed since round 3) — "
-            "quiet-phase round-4 reference at HEAD: total 57.5s, "
-            "kg_pipeline_warm 2.7, graph_pagerank 4.7 (checkpointed), "
-            "graph_triangles 1.8, cosine_topk 0.70, minhash_dup_pairs "
-            "0.98; loud-phase runs inflate everything 2-3x uniformly"
+            "quiet-phase round-4 reference at HEAD: kg_pipeline_warm "
+            "2.7, graph_pagerank 4.2-5.2 (durable per-iteration "
+            "checkpoints), canonical_components 8.4, graph_triangles "
+            "1.4-1.8, cosine_topk 0.70, ngram_jaccard 1.1-1.4, "
+            "minhash_dup_pairs 0.98; loud-phase runs inflate "
+            "everything 2-3x non-uniformly (FS-heavy queries worst)"
         ),
     }
 
