@@ -56,6 +56,12 @@ def reset_dir_if_input_changed(spark, root: str, input_fp: dict) -> None:
     written to ``{root}/_input.json``; on re-entry a mismatch wipes the
     dir (stale rounds beyond the new run's count would otherwise be
     picked up by a LATER resume) and re-stamps it.
+
+    A NON-EMPTY dir with NO marker is treated as a mismatch too: rounds
+    of unknown provenance (written by a pre-marker release, or a
+    half-wiped dir) must never be trusted by resume, so the dir is
+    wiped before stamping (round-4 ADVICE: stamping over unmarked data
+    would have blessed it silently).
     """
     fs, jroot = fs_for(spark, root)
     fs.mkdirs(jroot)
@@ -63,6 +69,9 @@ def reset_dir_if_input_changed(spark, root: str, input_fp: dict) -> None:
     if fs_exists(spark, marker):
         if fs_read_json(spark, marker) == input_fp:
             return
+        fs.delete(jroot, True)
+        fs.mkdirs(jroot)
+    elif len(fs.listStatus(jroot)) > 0:
         fs.delete(jroot, True)
         fs.mkdirs(jroot)
     fs_write_json(spark, marker, input_fp)

@@ -69,31 +69,31 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """One row: (n_triangles). Degree-ordered wedge join (see module
     docstring for the scale argument).
 
-    ``materialize`` (default): the undirected edge set and the degree
-    table each feed MULTIPLE joins below, and Catalyst does not reuse
-    their exchanges across branches — without a cut, the edge distinct
-    and the degree aggregation would execute ~3x each.
-    ``localCheckpoint(eager)`` runs each exactly once with raw block
-    storage (measured 2.6x faster per call than a columnar
-    ``persist()`` of the same subtrees), the single-row aggregate is
-    computed eagerly, and the checkpointed RDD blocks are then
-    RELEASED explicitly (diffed via the JavaSparkContext
-    persistent-RDD map) — repeated calls in a long-lived driver
-    (service/bench loops) leave ZERO storage behind, where the
-    round-3 variant pinned two checkpointed RDDs per call forever.
+    ``materialize`` (default): shared subtrees feed MULTIPLE join
+    branches below and Catalyst does not reuse exchanges across
+    branches, so without cuts they re-execute per branch.
+    ``localCheckpoint(eager)`` (measured 2.6x faster per call than a
+    columnar ``persist()`` of the same subtrees) cuts exactly TWO
+    subtrees: the undirected edge set (feeds the degree agg + the
+    orient join) and ``oriented`` (feeds o1/o2/closing = THREE
+    branches — the round-4 variant cut und+deg instead and let the
+    und⋈deg⋈deg orient join re-execute 3x, which is where its
+    measured slowdown vs round 3 lived; same corpus quiet-phase:
+    r4 shape 1.29 s, this shape 0.82 s, lazy 1.00 s).
+    The single-row aggregate is computed eagerly and the two
+    checkpointed RDDs are then RELEASED by their captured ids (never
+    by diffing the global persistent-RDD map — a concurrent job's
+    in-flight checkpoint must not be swept; round-4 ADVICE), so
+    repeated calls in a long-lived driver leave ZERO storage behind.
     The returned one-row DataFrame is the already-computed result.
     Pass False for a fully lazy plan (plan inspection; shared
     subtrees then re-execute).
     """
     jsc = edges.sparkSession.sparkContext._jsc
-    if materialize:
-        before = set(jsc.getPersistentRDDs().keySet().toArray())
     und = undirected_edges(edges)
     if materialize:
         und = und.localCheckpoint(eager=True)
     deg = _degrees_of_und(und)
-    if materialize:
-        deg = deg.localCheckpoint(eager=True)
     e = (
         und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
@@ -107,6 +107,8 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
     )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     # wedges src -> {v, w} with rank(v) < rank(w): the closing edge, if
@@ -128,13 +130,25 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     if not materialize:
         return result
     n = result.collect()[0]["n_triangles"]
-    # release the two checkpointed RDDs this call created
+    # release precisely the two RDDs this call checkpointed
     jmap = jsc.getPersistentRDDs()
-    for rid in set(jmap.keySet().toArray()) - before:
-        jmap.get(rid).unpersist()
+    for rid in (_ckpt_rdd_id(und), _ckpt_rdd_id(oriented)):
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist()
     return edges.sparkSession.createDataFrame(
         [(n,)], "n_triangles long"
     )
+
+
+def _ckpt_rdd_id(df: DataFrame) -> int:
+    """SparkContext id of the RDD backing a localCheckpointed
+    DataFrame — its analyzed plan is a LogicalRDD holding exactly the
+    RDD ``localCheckpoint`` persisted, so callers can unpersist
+    precisely the blocks THEIR call pinned and never a concurrent
+    job's in-flight checkpoint (round-4 ADVICE on the global-map
+    diff)."""
+    return df._jdf.queryExecution().analyzed().rdd().id()
 
 
 PR_SCALE = 10**12  # rank mass in integer pico-units: exact, order-free
@@ -242,8 +256,17 @@ def pagerank_fixed(
     n = nodes.count()
     if n == 0:
         # empty edge set (or self-loops only): empty (node, rank) with
-        # the input's node type — not a ZeroDivisionError
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
+        # the input's node type — not a ZeroDivisionError. Built as a
+        # fresh empty DataFrame (NOT derived from nodes) so the helper
+        # caches can be released before returning — the early return
+        # must not leak nodes/outdeg persists (round-4 ADVICE).
+        out = spark.createDataFrame(
+            [], nodes.withColumn("rank", F.lit(0).cast("long")).schema
+        )
+        if checkpoint_dir:
+            nodes.unpersist()
+            outdeg.unpersist()
+        return out
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
     r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     if checkpoint_dir:
