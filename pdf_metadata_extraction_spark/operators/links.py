@@ -68,9 +68,20 @@ from pdf_metadata_extraction_spark.operators.urlnorm import URL_RE
 # <link>, <base>, <area> and commented-out markup, inflating link mass
 # for boilerplate hosts)
 HREF_RE = r'<a\s[^>]*href="([^"]*)"'
-# anchor inner text: the text node up to the first nested tag or the
-# closing </a> — the classic web-KG mention surface
-ANCHOR_TEXT_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)<'
+# anchor inner markup: the FULL <a ...>...</a> span up to the nearest
+# closing tag ((?s) so anchors spanning lines match; non-greedy so
+# adjacent anchors never merge) — round-4 verdict #4: the previous
+# leading-text-node capture ([^<]*) yielded an EMPTY mention for
+# '<a href=x><b>Acme</b> Corp</a>', and logo/span-wrapped anchors are
+# everywhere, so mention surfaces were systematically under-counted.
+# Unclosed anchors don't match (documented contract). Nested tags are
+# stripped AFTER extraction (TAG_STRIP_RE).
+ANCHOR_TEXT_RE = r'(?s)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+# strips markup inside an extracted anchor span; tags are replaced
+# with '' (no space), so '<b>Acme</b>Corp' reads 'AcmeCorp' while
+# '<b>Acme</b> Corp' keeps its space — the browser-rendering-faithful
+# choice for inline tags
+TAG_STRIP_RE = r"<[^>]*>"
 
 HREF_CLASSES = [
     "absolute", "protocol_relative", "root_relative", "query_relative",
@@ -96,9 +107,11 @@ def extract_anchor_texts(
     df: DataFrame, url_col: str = "url", html_col: str = "html_text"
 ) -> DataFrame:
     """One row per closed anchor: (src_url, href, anchor_text) — the
-    anchor's leading text node (up to the first nested tag; documented
-    contract of ANCHOR_TEXT_RE). Two parallel regexp_extract_all
-    passes zipped positionally — group extraction stays JVM-side."""
+    anchor's FULL inner text with nested markup stripped
+    ('<a href=x><b>Acme</b> Corp</a>' -> 'Acme Corp'; ANCHOR_TEXT_RE +
+    TAG_STRIP_RE contracts). Two parallel regexp_extract_all passes
+    zipped positionally, tag strip after the explode — all JVM-side
+    expressions."""
     hrefs = F.regexp_extract_all(
         F.col(html_col), F.lit(ANCHOR_TEXT_RE), F.lit(1)
     )
@@ -110,7 +123,9 @@ def extract_anchor_texts(
         F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor_text"))).alias("z"),
     ).select(
         "src_url", F.col("z.href").alias("href"),
-        F.col("z.anchor_text").alias("anchor_text"),
+        F.regexp_replace(F.col("z.anchor_text"), TAG_STRIP_RE, "").alias(
+            "anchor_text"
+        ),
     )
 
 
