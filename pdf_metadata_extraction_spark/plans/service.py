@@ -43,9 +43,15 @@ def handle_task(
     suggestions_dir: str,
     options_by_id: dict[str, list[tuple[str, str]]] | None = None,
     xml_data: DataFrame | None = None,
+    bm25_index=None,
 ) -> dict:
     """One task → ResultsMessage dict {tenant, task, params, success,
-    error_message, data_url}."""
+    error_message, data_url}.
+
+    ``bm25_index``: an operators.search.Bm25Index held by the CALLER
+    across tasks — ``search`` tasks answer from its persisted postings
+    (built once per corpus, reused by every later query; round-4
+    verdict #7)."""
     tenant = task["tenant"]
     kind = task["task"]
     params = task.get("params") or {}
@@ -84,6 +90,17 @@ def handle_task(
             triples = predict_extraction(spark, model, requests, pages=pages)
             out = os.path.join(suggestions_dir, tenant, extraction_id)
             triples.write.mode("overwrite").parquet(out)
+            base["data_url"] = out
+            return base
+        if kind == "search":
+            assert bm25_index is not None, "search task needs a Bm25Index"
+            out = os.path.join(
+                suggestions_dir, "search", extraction_id or tenant
+            )
+            bm25_index.query(
+                list(params.get("terms") or []),
+                topk=int(params.get("topk") or 10),
+            ).write.mode("overwrite").parquet(out)
             base["data_url"] = out
             return base
         if kind == "extract_paragraphs":

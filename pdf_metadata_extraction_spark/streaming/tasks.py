@@ -30,6 +30,10 @@ TASK_SCHEMA = T.StructType(
                     T.StructField("id", T.StringType(), False),
                     T.StructField("multi_value", T.BooleanType(), True),
                     T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+                    # search tasks (served from the persisted BM25
+                    # postings index): bag-of-words terms + top-k
+                    T.StructField("terms", T.ArrayType(T.StringType()), True),
+                    T.StructField("topk", T.IntegerType(), True),
                 ]
             ),
             True,
@@ -37,7 +41,7 @@ TASK_SCHEMA = T.StructType(
     ]
 )
 
-VALID_TASKS = ("create_model", "suggestions", "extract_paragraphs")
+VALID_TASKS = ("create_model", "suggestions", "extract_paragraphs", "search")
 
 
 def parse_tasks(raw: DataFrame, value_col: str = "value") -> DataFrame:
