@@ -511,3 +511,90 @@ def test_bm25_postings_prune_query_terms(spark):
         postings, doc_lens, ["b"], topk=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "term" in plan and ("IN" in plan or "= b" in plan or "(b)" in plan)
+
+
+def test_bm25_persistent_index_lifecycle(spark, tmp_path):
+    """Round-4 verdict #7: the persisted postings index is built ONCE
+    per corpus and REUSED — a second resolver on the same dir + corpus
+    serves from parquet (no rebuild; _SUCCESS mtimes untouched), a
+    changed corpus wipes and rebuilds (fingerprint guard), and the
+    served results stay bit-equal to the corpus scan."""
+    import os
+
+    from pdf_metadata_extraction_spark.operators.search import (
+        Bm25Index,
+        bm25_rank,
+    )
+
+    rows = [
+        (1, "rareword appears here once amid other text padding words"),
+        (2, "common common common common common nothing else but filler"),
+        (3, "common rareword together in one document of medium length"),
+    ] + [(10 + i, "common filler text block") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx_dir = str(tmp_path / "bm25_idx")
+    terms = ["rareword", "common"]
+
+    ix1 = Bm25Index(df, idx_dir)
+    got1 = [tuple(r) for r in ix1.query(terms, topk=8).collect()]
+    assert ix1.last_built is True
+    scan = [tuple(r) for r in bm25_rank(df, terms, topk=8).collect()]
+    assert got1 == scan
+    mtime = os.path.getmtime(os.path.join(idx_dir, "postings", "_SUCCESS"))
+
+    # same object: frames cached, no re-resolution; fresh resolver on
+    # the same corpus: reuse path, no build job, files untouched
+    assert [tuple(r) for r in ix1.query(terms, topk=8).collect()] == scan
+    ix2 = Bm25Index(df, idx_dir)
+    got2 = [tuple(r) for r in ix2.query(terms, topk=8).collect()]
+    assert ix2.last_built is False
+    assert got2 == scan
+    assert os.path.getmtime(
+        os.path.join(idx_dir, "postings", "_SUCCESS")
+    ) == mtime
+
+    # changed corpus -> fingerprint mismatch -> wipe + rebuild
+    df2 = df.unionByName(
+        spark.createDataFrame([(99, "brand new rareword doc")],
+                              "doc_id long, text string")
+    )
+    ix3 = Bm25Index(df2, idx_dir)
+    got3 = [tuple(r) for r in ix3.query(terms, topk=8).collect()]
+    assert ix3.last_built is True
+    assert got3 == [tuple(r) for r in bm25_rank(df2, terms, topk=8).collect()]
+
+
+def test_service_search_task_uses_persistent_index(spark, tmp_path):
+    """The service loop's ``search`` task answers from the caller-held
+    Bm25Index: first task builds, later tasks (and later handle_task
+    calls) reuse the same frames; results land at data_url."""
+    from pdf_metadata_extraction_spark.operators.search import Bm25Index
+    from pdf_metadata_extraction_spark.plans.service import handle_task
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    ix = Bm25Index(df, str(tmp_path / "svc_idx"))
+    labels = spark.createDataFrame([], "run_name string")
+    kw = dict(labels=labels, requests=labels, pages=None,
+              model_root=str(tmp_path / "models"),
+              suggestions_dir=str(tmp_path / "sugg"), bm25_index=ix)
+    r1 = handle_task(
+        spark,
+        {"tenant": "t", "task": "search",
+         "params": {"id": "q1", "terms": ["beta"], "topk": 5}},
+        **kw,
+    )
+    assert r1["success"] and r1["data_url"]
+    hits = {row["id"] for row in spark.read.parquet(r1["data_url"]).collect()}
+    assert hits == {1, 2}
+    assert ix.last_built is True
+    r2 = handle_task(
+        spark,
+        {"tenant": "t", "task": "search",
+         "params": {"id": "q2", "terms": ["delta"], "topk": 5}},
+        **kw,
+    )
+    hits2 = {row["id"] for row in spark.read.parquet(r2["data_url"]).collect()}
+    assert hits2 == {3}

@@ -86,6 +86,22 @@ CASES = [
      "http://foo.com.au/", "foo.com.au", "foo.com.au", 0),
     # a host that IS a bare suffix registers nothing -> NULL
     ("https://co.uk/x", "https://co.uk/x", "co.uk", None, 1),
+    # three-label registration suffixes group at the FOURTH label
+    # (round-4 verdict #6): k12.ma.us-class (RFC 1480 US localities)
+    ("HTTP://WWW.Lincoln.K12.MA.US/students/",
+     "http://lincoln.k12.ma.us/students", "lincoln.k12.ma.us",
+     "lincoln.k12.ma.us", 1),
+    ("https://portal.hillside.k12.ca.us/a",
+     "https://portal.hillside.k12.ca.us/a", "portal.hillside.k12.ca.us",
+     "hillside.k12.ca.us", 1),
+    ("https://school.nsw.edu.au/x",
+     "https://school.nsw.edu.au/x", "school.nsw.edu.au",
+     "school.nsw.edu.au", 1),
+    # a bare 3-label suffix registers nothing -> NULL
+    ("https://k12.ma.us/", "https://k12.ma.us/", "k12.ma.us", None, 0),
+    # rarer ccTLD 2-label entries added alongside (round-4 verdict #6)
+    ("https://www.firm.co.at/x",
+     "https://firm.co.at/x", "firm.co.at", "firm.co.at", 1),
     # unreserved %-escapes decode (both hex cases); %25 and reserved
     # escapes (%2F) stay encoded
     ("https://example.com/%7Euser/%62?%79=1",
@@ -303,9 +319,11 @@ def test_href_class_counts_partition_all_anchors(spark):
 
 
 def test_anchor_text_extraction(spark):
-    """(src_url, href, anchor_text): leading text node per closed
-    anchor; anchors with nested leading markup yield the pre-tag
-    prefix (documented contract)."""
+    """(src_url, href, anchor_text): FULL inner text per closed anchor
+    with nested markup stripped (round-4 verdict #4 fixture:
+    '<a href=x><b>Acme</b> Corp</a>' must yield 'Acme Corp', not '');
+    multi-line anchors match ((?s)); unclosed anchors don't
+    (documented contract)."""
     from pdf_metadata_extraction_spark.operators.links import (
         extract_anchor_texts,
     )
@@ -313,12 +331,18 @@ def test_anchor_text_extraction(spark):
     rows = [
         ("https://s.com/p",
          '<a href="/a">Alpha Corp</a> <a class="z" href="/b">Beta <b>x</b></a>'
-         '<link href="c.css"><a href="/c"><img src="i.png"></a>'),
+         '<link href="c.css"><a href="/c"><img src="i.png"></a>'
+         '<a href="/d"><b>Acme</b> Corp</a>'
+         '<a href="/e">line1\nline2</a>'
+         '<a href="/f">never closed'),
     ]
     df = spark.createDataFrame(rows, "url string, html_text string")
     got = {(r["href"], r["anchor_text"])
            for r in extract_anchor_texts(df).collect()}
-    assert got == {("/a", "Alpha Corp"), ("/b", "Beta "), ("/c", "")}
+    assert got == {
+        ("/a", "Alpha Corp"), ("/b", "Beta x"), ("/c", ""),
+        ("/d", "Acme Corp"), ("/e", "line1\nline2"),
+    }
 
 
 def test_pagerank_fixed_matches_python_reference(spark):

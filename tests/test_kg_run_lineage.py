@@ -54,6 +54,44 @@ def test_kg_run_checkpoints_and_resume(spark, tmp_path):
     assert total == seg_total[0]["output_rows"]
 
 
+def test_kg_run_quality_gate(spark, tmp_path):
+    """Opt-in quality_gate stage (round-4 verdict #8): low-quality
+    pages and exact-duplicate texts drop BEFORE segmentation; the
+    pages_quality_gate lineage row pins pages-in vs pages-kept and the
+    checkpointed pages_quality stage holds exactly the survivors."""
+    good = ("the spark engine processes a perfectly ordinary paragraph "
+            "of english text with enough words to pass the length gate "
+            "comfortably and a pleasant mean word length overall")
+
+    def page(u, body):
+        return (u, (f"<html><body><p>{body}</p></body></html>").encode())
+
+    rows = [
+        page("https://a.example/1", good),
+        page("https://a.example/2", good),  # exact dup of /1's text
+        page("https://a.example/3", good + " plus a distinct tail"),
+        page("https://a.example/4", "1234 5678"),  # fails the quality gate
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgq")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="q1", quality_gate=True
+    )
+    lineage = spark.read.parquet(f"{work}/lineage").collect()
+    gate = [r for r in lineage if r["stage"] == "pages_quality_gate"]
+    assert gate and gate[0]["input_rows"] == 4
+    assert gate[0]["output_rows"] == 2
+    kept = {
+        r["url"]
+        for r in spark.read.parquet(f"{work}/stages/q1/pages_quality").collect()
+    }
+    assert kept == {"https://a.example/1", "https://a.example/3"}
+    # downstream stages consumed only the kept pages, and the label
+    # present in the kept text still produced edges
+    assert {r["url"] for r in out["segments"].select("url").collect()} <= kept
+    assert out["edges"].count() > 0
+
+
 def test_mega_domain_skew_and_salting(spark):
     pages = generate_pages(spark, 400, partitions=4)
     dom_counts = (
@@ -278,6 +316,54 @@ def test_cc_checkpoint_dir_rejects_stale_input(spark, tmp_path):
     )
     assert reused == fresh
     assert reused != stale
+
+
+def test_ckpt_unmarked_dir_never_trusted(spark, tmp_path):
+    """Round-4 ADVICE (medium): a NON-EMPTY checkpoint dir with no
+    _input.json marker (pre-marker release, half-wiped dir) must be
+    wiped, not silently stamped — resume would otherwise trust rounds
+    of unknown provenance."""
+    import os
+
+    from pdf_metadata_extraction_spark.operators import ckpt
+
+    root = tmp_path / "unmarked"
+    (root / "round_1").mkdir(parents=True)
+    (root / "round_1" / "part-0.parquet").write_text("stale")
+    ckpt.reset_dir_if_input_changed(spark, str(root), {"h": 1, "n": 2})
+    assert not (root / "round_1").exists()  # stale data wiped
+    assert (root / "_input.json").exists()  # stamped after the wipe
+
+    # marked + matching: left intact (the reuse path still works)
+    (root / "round_1").mkdir()
+    (root / "round_1" / "ok").write_text("x")
+    ckpt.reset_dir_if_input_changed(spark, str(root), {"h": 1, "n": 2})
+    assert (root / "round_1" / "ok").exists()
+
+    # marked + mismatching: wiped and re-stamped
+    ckpt.reset_dir_if_input_changed(spark, str(root), {"h": 9, "n": 2})
+    assert not (root / "round_1").exists()
+    assert ckpt.fs_read_json(spark, str(root / "_input.json")) == {
+        "h": 9, "n": 2,
+    }
+    # only the marker (plus Hadoop LocalFS .crc sidecars) remains
+    assert [f for f in os.listdir(root) if not f.endswith(".crc")] == [
+        "_input.json"
+    ]
+
+
+def test_pagerank_empty_graph_releases_caches(spark, tmp_path):
+    """Round-4 ADVICE: the n==0 early return must not leave
+    nodes/outdeg persisted forever in checkpoint_dir mode."""
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    empty = spark.createDataFrame([(7, 7)], "id_a long, id_b long")  # self-loop only
+    out = pagerank_fixed(empty, iters=2, checkpoint_dir=str(tmp_path / "ck"))
+    assert out.count() == 0
+    assert out.schema.simpleString() == "struct<node:bigint,rank:bigint>"
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before
 
 
 def test_pagerank_iteration_telemetry(spark, tmp_path):
