@@ -93,9 +93,22 @@ def main() -> None:
         extras["kg_edges"] = n
 
     timed("kg_pipeline", kg_pipeline)
-    # warm run: fixed costs (python worker pools, first-job spin-up)
-    # amortized — this is the per-row throughput that scales
-    timed("kg_pipeline_warm", kg_pipeline)
+    # warm number = MEDIAN OF 5 runs (round-4 verdict #2): a single
+    # warm sample has ~3x run-to-run spread on this shared box
+    # (1.9-6.7 s observed at one unchanged HEAD), which round-over-
+    # round comparisons misread as drift — the r3->r4 "1.85 -> 2.7"
+    # movement was measurement, not code (the whole kg_pipeline path
+    # was byte-identical between those rounds; BENCH/KG_WARM_DRIFT.md
+    # has the evidence). The median pins the headline; the raw samples
+    # are disclosed alongside.
+    warm_runs = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        kg_pipeline()
+        warm_runs.append(round(time.monotonic() - t0, 3))
+    timings["kg_pipeline_warm"] = sorted(warm_runs)[len(warm_runs) // 2]
+    extras["kg_pipeline_warm_runs"] = warm_runs
+    extras["kg_pipeline_warm_min"] = min(warm_runs)
     extras["kg_pages"] = N_PAGES
     extras["pages_per_sec"] = round(N_PAGES / timings["kg_pipeline"], 1)
     extras["pages_per_sec_warm"] = round(N_PAGES / timings["kg_pipeline_warm"], 1)
@@ -194,6 +207,26 @@ def main() -> None:
         postings.unpersist()
         doc_lens.unpersist()
 
+    # persisted-index lifecycle (round-4 verdict #7): resolving the
+    # SAME corpus against an existing index dir must cost ~fingerprint
+    # only (no build job) — build amortizes to zero across queries and
+    # across driver restarts
+    from pdf_metadata_extraction_spark.operators.search import Bm25Index
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "bench_bm25_idx")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    ix = Bm25Index(bdocs, idx_dir)
+    ix.query(entrymod._BM25_TERMS, topk=15).count()
+    extras["bm25_persist_first_query_sec"] = round(time.monotonic() - t0, 3)
+    assert ix.last_built is True
+    t0 = time.monotonic()
+    ix2 = Bm25Index(bdocs, idx_dir)  # fresh resolver, e.g. new driver
+    ix2.query(entrymod._BM25_TERMS, topk=15).count()
+    extras["bm25_persist_reuse_query_sec"] = round(time.monotonic() - t0, 3)
+    assert ix2.last_built is False
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     # ---- ANN recall vs exact at non-trivial probe settings (round-1
     # verdict: only the brute-force-equivalent setting was checked)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -286,39 +319,51 @@ def main() -> None:
     )
 
     # round-over-round disclosure: intentional workload/durability
-    # deltas vs BENCH_r03 (not regressions — see commit history)
+    # deltas and measurement-method changes (not regressions — see
+    # commit history and BENCH/KG_WARM_DRIFT.md)
     extras["notes"] = {
+        "kg_pipeline_warm": (
+            "now the MEDIAN of 5 warm runs (raw samples in "
+            "kg_pipeline_warm_runs): the r3->r4 1.85->2.7 movement was "
+            "single-sample box noise on a byte-identical pipeline "
+            "(git-diff evidence in BENCH/KG_WARM_DRIFT.md)"
+        ),
         "graph_pagerank,host_pagerank": (
-            "now run with per-iteration reliable FS checkpoints "
-            "(executor-loss-safe, resumable; round-3 verdict #2) — the "
-            "fixed per-iteration write/read overhead dominates at sf0.1; "
-            "graph_pagerank_dangling in this same bench runs WITHOUT a "
-            "checkpoint_dir and isolates the algorithm cost"
+            "per-iteration reliable FS checkpoints (executor-loss-safe, "
+            "resumable) — fixed write/read overhead dominates at sf0.1; "
+            "graph_pagerank_dangling runs WITHOUT a checkpoint_dir and "
+            "isolates the algorithm cost"
         ),
-        "pii_scrub": (
-            "workload grew from 3 to 6 PII classes (IPv6, Luhn-gated "
-            "cards, mod-97 IBANs added): 12 full-text regex/fold passes "
-            "vs 6 in round 3"
+        "graph_*": (
+            "round 5: edge corpus now built with ONE documents scan "
+            "(array-explode) instead of a 3-way union of the same scan; "
+            "triangle_count cuts und+oriented (every shuffle exactly "
+            "once) and releases its two checkpointed RDDs by captured "
+            "id — zero storage left behind, no global-map sweep"
         ),
-        "link_graph_hosts,host_pagerank,url_canonicalize": (
-            "corpus and semantics grew: RFC 3986 resolution of ALL href "
-            "classes (round 3 dropped path/protocol-relative), richer "
-            "7-class synthetic corpus, public-suffix registered_domain"
+        "url_canonicalize,url_dedup,domain_skew_audit": (
+            "round 5: %-escape decode is a single split-on-% fold "
+            "(~40x fewer expression nodes than the r4 128-replace "
+            "fold; truly single-decode for malformed input) and the "
+            "corpus gained k12.ma.us-class 3-label-suffix hosts"
+        ),
+        "link_graph,anchor_*": (
+            "round 5: anchor mentions are the FULL inner text with "
+            "nested tags stripped (r4 captured only the leading text "
+            "node); corpus gained nested-markup anchors and a 3-label "
+            "public-suffix link target (7-way href cycle)"
         ),
         "bm25_topk_indexed": (
-            "includes building the postings index per call; the "
-            "bm25_indexed_query_sec_* extras isolate the per-query cost "
-            "(flat 1x->8x text, while bm25_scan_sec_* grows)"
+            "includes building the postings index per call; "
+            "bm25_indexed_query_sec_* isolates per-query cost and "
+            "bm25_persist_*_sec shows the persisted-index lifecycle "
+            "(reuse ~= fingerprint-only, no rebuild)"
         ),
         "box_noise": (
             "the shared box alternates quiet/loud phases (load 0.9-6.5 "
-            "with nothing of ours running; disclosed since round 3) — "
-            "quiet-phase round-4 reference at HEAD: kg_pipeline_warm "
-            "2.7, graph_pagerank 4.2-5.2 (durable per-iteration "
-            "checkpoints), canonical_components 8.4, graph_triangles "
-            "1.4-1.8, cosine_topk 0.70, ngram_jaccard 1.1-1.4, "
-            "minhash_dup_pairs 0.98; loud-phase runs inflate "
-            "everything 2-3x non-uniformly (FS-heavy queries worst)"
+            "with nothing of ours running; disclosed since round 3); "
+            "loud-phase runs inflate everything 2-3x non-uniformly "
+            "(FS-heavy queries worst) — compare medians, not singles"
         ),
     }
 
