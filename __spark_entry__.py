@@ -784,6 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('<a href="https://app.demo.k12.ca.us/portal">k</a>')
             )
         )
+        # every 3rd page's nav anchor is rel="nofollow" — the hygiene
+        # attribute the follow-only edge set must exclude
+        nav = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('</a><a href="/nav" rel="nofollow">n</a>'),
+        ).otherwise(F.lit('</a><a href="/nav">n</a>'))
         return d.select(
             F.concat(F.lit("https://www.site"), k,
                      F.lit(".example/d"),
@@ -793,7 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(
                 F.lit('<p><a href="https://site'), j,
                 F.lit('.example/x">'), lbl,
-                F.lit('</a><a href="/nav">n</a>'), extra,
+                nav, extra,
                 F.lit('<a href="#top">t</a></p>'),
             ).alias("html_text"),
         )
@@ -829,6 +835,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, iters=3,
             checkpoint_dir=_scratch_dir("hostpr_ck_"),
         )
+
+    def link_graph_follow_only(spark, sf_dir):
+        """Endorsement-only host link graph: anchors whose rel
+        contains the nofollow token are excluded BEFORE resolution —
+        nofollow exists precisely to withhold ranking endorsement, so
+        this is the edge set PageRank-style runs consume (the default
+        link_graph_hosts keeps every edge for completeness audits)."""
+        from pdf_metadata_extraction_spark.operators.links import (
+            host_link_edges,
+        )
+
+        return host_link_edges(
+            _link_corpus(spark, sf_dir), drop_nofollow=True
+        )
+
+    def host_pagerank_weighted(spark, sf_dir):
+        """Weighted host PageRank: the host edges' n_links
+        multiplicities become integer edge weights — a host linking
+        another 500 times endorses it more than one linking once
+        (contribution (rank*w) div total_out_weight, still bit-exact
+        vs the unrolled weighted oracle)."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            pagerank_fixed,
+        )
+        from pdf_metadata_extraction_spark.operators.links import (
+            host_link_edges,
+        )
+
+        edges = host_link_edges(_link_corpus(spark, sf_dir)).select(
+            F.col("src_host").alias("id_a"),
+            F.col("dst_host").alias("id_b"),
+            "n_links",
+        )
+        return pagerank_fixed(edges, iters=3, weight_col="n_links")
 
     def domain_link_graph(spark, sf_dir):
         """Host link graph rolled up to PSL-aware registered domains —
@@ -1155,9 +1195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      row at least every 2 rounds.
     # Round-5 head = the 12 CORRECTNESS_r04-unsampled queries + the 6
     # link/url-corpus queries whose fixtures changed this round (PSL
-    # 3-label hosts, nested-markup anchors, single-pass %-decode) +
-    # the new quality_gate_keep. Round-5 tail (13, all r04-green,
-    # untouched): f1/a3/x5/f5/a1/a2/a4/a5/w1/w2/w4/hourly/j4.
+    # 3-label hosts, nested-markup anchors, nofollow nav anchors,
+    # single-pass %-decode) + the new quality_gate_keep /
+    # link_graph_follow_only / host_pagerank_weighted. Round-5 tail
+    # (15, all r04-green, untouched): f1/a3/x5/f5/a1/a2/a4/a5/w1/w2/
+    # w4/hourly/j4/lsh_ann_topk/lsh_recall_gate.
     return {
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
@@ -1178,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_hosts": link_graph_hosts,
         "host_pagerank": host_pagerank,
         "quality_gate_keep": quality_gate_keep,
+        "link_graph_follow_only": link_graph_follow_only,
+        "host_pagerank_weighted": host_pagerank_weighted,
         # -- middle: r04 driver-green, re-verified as budget allows
         "j3_dict_match": j3_dict_match,
         "j3_fuzzy_match": j3_fuzzy_match,
@@ -1209,10 +1253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_count": skew_salted_count,
         "bm25_topk": bm25_topk,
         "bm25_topk_indexed": bm25_topk_indexed,
-        "lsh_ann_topk": lsh_ann_topk,
-        "lsh_recall_gate": lsh_recall_gate,
         # -- tail (>50): r04-green AND untouched in r05; rotates to
         # the front next round
+        "lsh_ann_topk": lsh_ann_topk,
+        "lsh_recall_gate": lsh_recall_gate,
         "f1_tenancy_filter": f1_tenancy_filter,
         "a3_language_stats": a3_language_stats,
         "x5_json_extract": x5_json_extract,
@@ -1703,7 +1747,7 @@ def _link_corpus_sql() -> str:
     'https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d' || CAST(doc_id % 3 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) AS url,
     '<p><a href="https://site' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.example/x">'
     || ({lbl_wrapped})
-    || '</a><a href="/nav">n</a>'
+    || '</a><a href="/nav"' || CASE WHEN doc_id % 3 = 0 THEN ' rel="nofollow"' ELSE '' END || '>n</a>'
     || CASE
          WHEN doc_id % 7 = 0 THEN '<a href="mailto:x@y.z">m</a>'
          WHEN doc_id % 7 = 1 THEN '<a href="//cdn.example.com/lib.js">c</a>'
@@ -1802,6 +1846,63 @@ WHERE abs_url IS NOT NULL
   AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_url')} <> ''
 GROUP BY 1, 2
 """
+
+
+_ATAG_SQL_RE = r'<a\s[^>]*href="[^"]*"[^>]*>'
+_NOFOLLOW_SQL_RE = r'rel="[^"]*nofollow'
+
+
+def _follow_only_link_graph_sql() -> str:
+    """Mirror of links.host_link_edges(drop_nofollow=True): whole open
+    tags extracted, nofollow tags filtered out, hrefs re-extracted per
+    tag, then the same resolution chain and host rollup."""
+    anchors_body = f"""
+  SELECT src_url,
+         regexp_extract(tag, '{_HREF_SQL_RE}', 1) AS href
+  FROM (
+    SELECT url AS src_url,
+      unnest(regexp_extract_all(html_text, '{_ATAG_SQL_RE}', 0)) AS tag
+    FROM corpus
+  )
+  WHERE NOT regexp_matches(tag, '{_NOFOLLOW_SQL_RE}')"""
+    return f"""
+WITH corpus AS ({_link_corpus_sql()}),
+{_href_resolved_sql(anchors_body)}
+SELECT {_sql_host_of('src_url')} AS src_host,
+       {_sql_host_of('abs_url')} AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM resolved
+WHERE abs_url IS NOT NULL
+  AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_url')} <> ''
+GROUP BY 1, 2
+"""
+
+
+def _host_pagerank_weighted_sql(iters: int = 3, scale: int = 10**12,
+                                damp_num: int = 85,
+                                damp_den: int = 100) -> str:
+    """Weighted composed-pipeline oracle: the host edges carry their
+    anchor multiplicities as integer weights (w = count of resolved
+    anchors per (src, dst) pair, self-loops dropped), then the
+    weighted unrolled fixed-point tail."""
+    return (
+        f"""
+WITH corpus AS ({_link_corpus_sql()}),
+{_href_resolved_sql()}, e AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT {_sql_host_of('src_url')} AS src,
+           {_sql_host_of('abs_url')} AS dst
+    FROM resolved
+    WHERE abs_url IS NOT NULL
+      AND {_sql_host_of('src_url')} <> '' AND {_sql_host_of('abs_url')} <> ''
+  )
+  WHERE src <> dst
+  GROUP BY 1, 2
+),
+"""
+        + _pagerank_tail_sql(iters, scale, damp_num, damp_den,
+                             weighted=True)
+    )
 
 
 def _sql_regdom_of(e: str) -> str:
@@ -1911,21 +2012,30 @@ FROM am JOIN (VALUES {labels_values}) AS o(label)
 
 
 def _pagerank_tail_sql(iters: int, scale: int, damp_num: int,
-                       damp_den: int, dangling: bool = False) -> str:
+                       damp_den: int, dangling: bool = False,
+                       weighted: bool = False) -> str:
     """Unrolled PageRank iterations over a caller-provided CTE
     ``e(src, dst)`` (distinct, no self-loops) — mirror of
     graph.pagerank_fixed's arithmetic (DuckDB `//` = Spark `div` =
     Python `//` on non-negative ints). ``dangling`` mirrors
     redistribute_dangling=True: per iteration the integer sink mass
     (ranks of nodes with no out-edge) is floor-shared (// n) and added
-    to every node's incoming sum before damping."""
+    to every node's incoming sum before damping. ``weighted`` mirrors
+    weight_col: ``e`` must carry an integer ``w`` column; the
+    out-degree becomes sum(w) and each contribution
+    ``(rank * w) // outdeg``."""
+    outdeg_cte = (
+        "outdeg AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY src),"
+        if weighted
+        else "outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),"
+    )
     head = f"""
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
   )
 ),
-outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+{outdeg_cte}
 params AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
 """
@@ -1942,6 +2052,10 @@ r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
         else:
             dang_cte = ""
             sum_expr = "coalesce(sub.s, 0)"
+        contrib = (
+            f"(r{i - 1}.rank * e.w) // outdeg.outdeg" if weighted
+            else f"r{i - 1}.rank // outdeg.outdeg"
+        )
         parts.append(f"""
 , r{i} AS (
   SELECT nodes.node,
@@ -1949,7 +2063,7 @@ r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
       + ({damp_num} * {sum_expr}) // {damp_den} AS rank
   FROM nodes CROSS JOIN params{dang_cte}
   LEFT JOIN (
-    SELECT e.dst, sum(r{i - 1}.rank // outdeg.outdeg) AS s
+    SELECT e.dst, sum({contrib}) AS s
     FROM e
     JOIN r{i - 1} ON r{i - 1}.node = e.src
     JOIN outdeg ON outdeg.src = e.src
@@ -2649,7 +2763,9 @@ sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 
 SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
 """,
         "link_graph_hosts": _link_graph_sql(),
+        "link_graph_follow_only": _follow_only_link_graph_sql(),
         "host_pagerank": _host_pagerank_sql(iters=3),
+        "host_pagerank_weighted": _host_pagerank_weighted_sql(iters=3),
         "href_resolution_audit": _href_audit_sql(),
         "anchor_text_mentions": _anchor_mentions_sql(),
         "domain_link_graph": _domain_link_graph_sql(),

@@ -163,6 +163,7 @@ def pagerank_fixed(
     checkpoint_dir: str | None = None,
     redistribute_dangling: bool = False,
     lineage=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER fixed-point — (node, rank)
     with rank in ``scale`` units (total initial mass = ``scale``).
@@ -201,6 +202,17 @@ def pagerank_fixed(
     node count out, wall ms), exactly like connected components' round
     telemetry: a 100x regression must be attributable to an iteration.
 
+    ``weight_col``: names an integer edge-weight column (e.g. the
+    n_links multiplicity of a host link graph — a host linking another
+    500 times endorses it more than one linking once). Contribution
+    becomes ``(rank * w) div total_out_weight`` per edge; duplicate
+    (src, dst) pairs SUM their weights instead of collapsing to one.
+    Still integer-exact (order-free sums), so the weighted oracle
+    (``host_pagerank_weighted``) stays bit-exact. Overflow bound
+    (documented, not checked per row): rank ≤ scale, so per-edge
+    weight must stay < 2^63/scale — ~9·10^6 at the default pico-unit
+    scale, far above any real link multiplicity.
+
     Scale shape: per iteration one join edges⋈ranks (both keyed by
     node id; outdeg is joined in once, precomputed) and one integer
     groupBy-sum (map-side partial agg) — the classic Pregel/GraphX
@@ -211,19 +223,35 @@ def pagerank_fixed(
     from pdf_metadata_extraction_spark.operators import ckpt
 
     spark = edges.sparkSession
-    e = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col("id_a").alias("src"),
+                F.col("id_b").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        e = (
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
 
     def _iter_dir(i: int) -> str:
         return f"{checkpoint_dir.rstrip('/')}/iter_{i}"
 
     start_iter = 0
     if checkpoint_dir:
+        hash_expr = (
+            "bit_xor(xxhash64(src, dst, w))" if weight_col is not None
+            else "bit_xor(xxhash64(src, dst))"
+        )
         row = e.select(
-            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+            F.expr(hash_expr).alias("h"),
             F.count("*").alias("n"),
         ).collect()[0]
         ckpt.reset_dir_if_input_changed(
@@ -232,6 +260,7 @@ def pagerank_fixed(
                 "h": row["h"] if row["n"] else 0, "n": row["n"], "op": "pr",
                 "damp": [damp_num, damp_den], "scale": scale,
                 "dangling": redistribute_dangling,
+                "weighted": weight_col is not None,
             },
         )
         edir = f"{checkpoint_dir.rstrip('/')}/edges"
@@ -246,7 +275,12 @@ def pagerank_fixed(
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    if weight_col is not None:
+        outdeg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outdeg"))
+    else:
+        outdeg = e.groupBy("src").agg(
+            F.count("*").cast("long").alias("outdeg")
+        )
     if checkpoint_dir:
         nodes = nodes.persist()
         outdeg = outdeg.persist()
@@ -286,10 +320,14 @@ def pagerank_fixed(
             dangling = dangling.localCheckpoint(eager=True)
     for i in range(start_iter, iters):
         t0 = time.monotonic()
+        contrib = (
+            "(rank * w) div outdeg" if weight_col is not None
+            else "rank div outdeg"
+        )
         sums = (
             e.join(r.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
-            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .select("dst", F.expr(contrib).alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("s"))
         )
         extra = 0

@@ -82,6 +82,14 @@ ANCHOR_TEXT_RE = r'(?s)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 # '<b>Acme</b> Corp' keeps its space — the browser-rendering-faithful
 # choice for inline tags
 TAG_STRIP_RE = r"<[^>]*>"
+# the whole <a ...> OPEN tag (closed with '>'), for attribute-level
+# inspection: href position-independent rel detection needs the full
+# tag, not just the href group
+ATAG_RE = r'<a\s[^>]*href="[^"]*"[^>]*>'
+# rel contains the nofollow token (rel="nofollow", rel="ugc nofollow",
+# ...): the link-graph hygiene signal — nofollow edges carry no
+# endorsement, so ranking runs drop them while audits count them
+NOFOLLOW_RE = r'rel="[^"]*nofollow'
 
 HREF_CLASSES = [
     "absolute", "protocol_relative", "root_relative", "query_relative",
@@ -100,6 +108,28 @@ def extract_links(
         F.explode(
             F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
         ).alias("href"),
+    )
+
+
+def extract_links_rel(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_text"
+) -> DataFrame:
+    """One row per CLOSED anchor open-tag: (src_url, href, nofollow).
+
+    Same href contract as extract_links, plus a boolean ``nofollow``
+    (the tag's rel attribute contains the nofollow token — detection
+    runs over the whole open tag, so attribute order doesn't matter).
+    Documented difference from extract_links: the open tag must be
+    '>'-closed (attribute inspection needs the tag's full extent);
+    a truncated trailing '<a href="x' matches extract_links but not
+    this. Pure expressions, map-only."""
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(ATAG_RE), F.lit(0))
+    return df.select(
+        F.col(url_col).alias("src_url"), F.explode(tags).alias("_tag")
+    ).select(
+        "src_url",
+        F.regexp_extract("_tag", HREF_RE, 1).alias("href"),
+        F.col("_tag").rlike(NOFOLLOW_RE).alias("nofollow"),
     )
 
 
@@ -315,7 +345,10 @@ def crawl_frontier(
 
 
 def host_link_edges(
-    df: DataFrame, url_col: str = "url", html_col: str = "html_text"
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+    drop_nofollow: bool = False,
 ) -> DataFrame:
     """(src_host, dst_host, n_links) — the host-level link graph over
     RFC 3986-resolved anchors (absolute, protocol-relative,
@@ -326,8 +359,20 @@ def host_link_edges(
     path-relative link) are kept: they carry the intra-site link mass
     centrality algorithms expect; callers filter
     ``src_host != dst_host`` for the inter-host view.
+
+    ``drop_nofollow``: exclude anchors whose rel contains the nofollow
+    token (extract_links_rel contract) — the endorsement-only edge set
+    ranking runs consume (nofollow exists precisely to withhold
+    PageRank endorsement); the default keeps every edge for
+    completeness audits. Still map-only before the one aggregation.
     """
-    resolved = resolve_hrefs(extract_links(df, url_col, html_col)).where(
+    if drop_nofollow:
+        anchors = extract_links_rel(df, url_col, html_col).where(
+            ~F.col("nofollow")
+        ).select("src_url", "href")
+    else:
+        anchors = extract_links(df, url_col, html_col)
+    resolved = resolve_hrefs(anchors).where(
         F.col("abs_url").isNotNull()
     )
     edges = resolved.select(

@@ -345,6 +345,72 @@ def test_anchor_text_extraction(spark):
     }
 
 
+def test_extract_links_rel_nofollow(spark):
+    """(src_url, href, nofollow): rel detection runs over the whole
+    open tag, so attribute order doesn't matter; rel lists containing
+    the nofollow token count; unclosed open tags don't match
+    (documented contract)."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        extract_links_rel,
+        host_link_edges,
+    )
+
+    rows = [
+        ("https://s.com/p",
+         '<a href="/a">f</a>'
+         '<a href="/b" rel="nofollow">n</a>'
+         '<a rel="nofollow" href="/c">n2</a>'
+         '<a href="/d" rel="ugc nofollow">n3</a>'
+         '<a href="/e" rel="author">f2</a>'
+         '<a href="/f'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    got = {(r["href"], r["nofollow"])
+           for r in extract_links_rel(df).collect()}
+    assert got == {
+        ("/a", False), ("/b", True), ("/c", True), ("/d", True),
+        ("/e", False),
+    }
+    # drop_nofollow edge set keeps only the endorsing anchors
+    follow = {(r["src_host"], r["dst_host"], r["n_links"])
+              for r in host_link_edges(df, drop_nofollow=True).collect()}
+    assert follow == {("s.com", "s.com", 2)}  # /a and /e only
+
+
+def test_pagerank_weighted_matches_python_reference(spark):
+    """Weighted fixed-point PageRank equals an independent pure-Python
+    implementation of the documented arithmetic (contribution
+    (rank*w) // total_out_weight), exactly — and a 3:1 out-weight
+    split ranks the heavy target above the light one."""
+    from pdf_metadata_extraction_spark.operators.graph import pagerank_fixed
+
+    pairs = [(1, 2, 3), (1, 3, 1), (2, 1, 2), (3, 1, 1), (1, 2, 2)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long, w long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixed(edges, iters=5,
+                                   weight_col="w").collect()}
+
+    scale, dn, dd, iters = 10**12, 85, 100, 5
+    w: dict[tuple[int, int], int] = {}
+    for a, b, x in pairs:
+        if a != b:
+            w[(a, b)] = w.get((a, b), 0) + x
+    nodes = sorted({n for e in w for n in e})
+    outw = {}
+    for (a, _b), x in w.items():
+        outw[a] = outw.get(a, 0) + x
+    n = len(nodes)
+    base = ((dd - dn) * scale) // (dd * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        sums = {v: 0 for v in nodes}
+        for (a, b), x in w.items():
+            sums[b] += (r[a] * x) // outw[a]
+        r = {v: base + (dn * sums[v]) // dd for v in nodes}
+    assert got == r
+    assert got[2] > got[3]  # 5:1 aggregated out-weight split from node 1
+
+
 def test_pagerank_fixed_matches_python_reference(spark):
     """Integer fixed-point PageRank equals an independent pure-Python
     implementation of the same documented arithmetic, exactly — and
