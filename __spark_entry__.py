@@ -747,11 +747,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------ link graph
     def _link_corpus(spark, sf_dir):
         """Deterministic synthetic HTML corpus: every href resolution
-        class represented (absolute, root-relative, protocol-relative,
-        path-relative flat AND dot-segment, query-relative, fragment,
-        mailto, userinfo), page paths two segments deep so merge-path
-        resolution is exercised, and the absolute anchor's inner text
-        is an entity label (the anchor-text mention surface)."""
+        class represented (absolute — incl. a 3-label-public-suffix
+        target — root-relative, protocol-relative, path-relative flat
+        AND dot-segment, query-relative, fragment, mailto, userinfo),
+        page paths two segments deep so merge-path resolution is
+        exercised, the absolute anchor's inner text an entity label
+        (every 7th wrapped in nested <b> markup — the full-inner-text
+        extraction case), and every 3rd nav anchor rel="nofollow"
+        (the follow-only edge-set case)."""
         d = _t(spark, sf_dir, "documents").select("doc_id")
         k = (F.col("doc_id") % 20).cast("string")
         j = ((F.col("doc_id") + 7) % 20).cast("string")

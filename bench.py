@@ -363,7 +363,15 @@ def main() -> None:
             "the shared box alternates quiet/loud phases (load 0.9-6.5 "
             "with nothing of ours running; disclosed since round 3); "
             "loud-phase runs inflate everything 2-3x non-uniformly "
-            "(FS-heavy queries worst) — compare medians, not singles"
+            "(FS-heavy queries worst) — compare medians, not singles. "
+            "Round-5 quiet-phase reference at HEAD (best of 3 full "
+            "runs, same day): kg_pipeline_warm median 2.16 / min 1.74 "
+            "(r4 watch item RECOVERED; attribution in "
+            "BENCH/KG_WARM_DRIFT.md), graph_triangles 1.06, "
+            "graph_pagerank 3.32 (durable per-iteration checkpoints), "
+            "host_pagerank 2.81, url_canonicalize 0.94, pii_scrub "
+            "0.93, canonical_components 8.2, cosine_topk 0.75, "
+            "minhash_dup_pairs 0.81, bm25_topk_indexed 1.19"
         ),
     }
 

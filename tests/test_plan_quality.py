@@ -230,7 +230,9 @@ def test_href_resolution_is_map_only(spark):
 
 def test_host_link_edges_single_shuffle(spark):
     """The host link graph is map-only until ONE aggregation on the
-    short (src_host, dst_host) pair key."""
+    short (src_host, dst_host) pair key — in both the full and the
+    nofollow-dropping (follow-only) variants: the rel filter is an
+    expression, not a join."""
     from pdf_metadata_extraction_spark.operators.links import (
         host_link_edges,
     )
@@ -241,3 +243,19 @@ def test_host_link_edges_single_shuffle(spark):
     )
     plan = _plan(host_link_edges(df))
     assert plan.count("Exchange") == 1
+    plan_follow = _plan(host_link_edges(df, drop_nofollow=True))
+    assert plan_follow.count("Exchange") == 1
+
+
+def test_pct_decode_is_map_only(spark):
+    """The single-pass %-escape decode (split-on-% fold + map lookup)
+    stays pure expressions — canonicalization with it inlined must
+    compile to a shuffle-free plan."""
+    from pdf_metadata_extraction_spark.operators.urlnorm import (
+        decode_unreserved_escapes,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("/%7Euser/x",)], "s string")
+    plan = _plan(df.select(decode_unreserved_escapes(F.col("s"))))
+    assert "Exchange" not in plan

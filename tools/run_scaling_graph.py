@@ -98,7 +98,39 @@ below shows the shuffle path scales, not just the map path.
 Same box-noise caveat as BENCH/BASELINE.md: the shared box alternates
 quiet/loud phases; the 1→4 pair has been robust across phases.
 """
+    # measurement history is carried ACROSS regenerations (it is the
+    # record of how this harness found the checkpoint-cadence fix and
+    # of page-count sensitivity — a rewrite must not erase it)
     out_path = os.path.join(ROOT, "BENCH", "GRAPH_SCALING.md")
+    hist_rows: list[str] = []
+    if os.path.exists(out_path):
+        in_hist = False
+        for line in open(out_path):
+            line = line.rstrip("\n")
+            if line.startswith("## Measurement history"):
+                in_hist = True
+            elif in_hist and line.startswith("|") and "config" not in line \
+                    and not line.startswith("|---"):
+                hist_rows.append(line)
+    hist_rows.append(
+        f"| shipped cadence, rerun {ts[:10]} | {n_pages:,} | {eff:.3f} |"
+    )
+    md += f"""
+## Measurement history (how the harness found a real fix)
+
+| config | pages | N→4N efficiency |
+|---|---|---|
+{chr(10).join(hist_rows)}
+
+The first two rows exposed an Amdahl floor: each per-iteration eager
+localCheckpoint is a driver-latency barrier (~6s fixed across 9 jobs at
+the 400k scale) that does not shrink with cores. PageRank's non-durable
+path cuts lineage every 5th iteration only; the durable checkpoint_dir
+path is unchanged. Page-count sensitivity is real and expected: at
+100k pages the job's fixed driver/job-scheduling costs are a larger
+fraction of the wall, so the ratio dips — the shipped evidence uses
+400k pages where compute dominates.
+"""
     with open(out_path, "w") as fh:
         fh.write(md)
     print(json.dumps({"pages_per_sec": {m: round(v, 1) for m, v in pps.items()},
