@@ -2,9 +2,12 @@
 ``binary`` columns + typed metadata, with decode/feature kernels as
 Arrow-batched stages.
 
-Image decode is REAL for container-friendly formats: pure-python
-BMP (24-bit BI_RGB) and binary PPM (P6) decoders need no codec
-libraries. Other codecs (JPEG/PNG/audio/video) raise
+Decode is REAL for every format expressible with the standard library:
+pure-python BMP (24-bit BI_RGB), binary PPM (P6), PNG (stdlib zlib:
+8-bit gray/RGB/gray+alpha/RGBA, all five scanline filters,
+non-interlaced) and RIFF/WAVE PCM audio (stdlib wave: 8/16-bit,
+any channel count) — no codec libraries needed. The remaining codecs
+(JPEG, video containers, palette/16-bit/interlaced PNG) raise
 ``NotImplementedError`` unless ``deterministic_fake=True``, in which
 case a seeded fake decoder produces stable features so the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
@@ -125,6 +128,187 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return raw.reshape(h, w, 3).copy()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type (palette=3 is unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-python PNG decoder (stdlib zlib only) → HxWx3 uint8 RGB.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha) and 6 (RGBA), non-interlaced — the overwhelming
+    majority of web PNGs. Gray expands to RGB; alpha is DROPPED
+    (features describe the stored pixels, not a composite).
+    Palette (type 3), 16-bit and Adam7-interlaced images raise
+    ``NotImplementedError``; malformed streams raise ``ValueError`` —
+    one bad blob fails its row, never the task.
+
+    Scanline un-filtering implements all five RFC 2083 filters; Sub /
+    Average / Paeth have an intra-row byte dependency, so those rows
+    run a per-byte loop (decode IS the honest slow path — it
+    parallelizes per row batch across executors).
+    """
+    import struct
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, n = 8, len(data)
+    w = h = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        pos += 8
+        chunk = data[pos : pos + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += length + 4  # skip CRC
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color} unsupported")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = np.frombuffer(raw, np.uint8, stride, p).astype(np.int32)
+        p += stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: intra-row dependency
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0  # left
+                b = prev[i]                        # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - ch] if i >= ch else 0  # up-left
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if color == 2:
+        return px.copy()
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2).copy()
+    return px[..., :3].copy()  # RGBA: drop alpha
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal RGB PNG encoder (filter 0 rows, stdlib zlib/crc32) —
+    the test/synth counterpart of decode_png."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decoder (stdlib wave) → (float64 samples in
+    [-1, 1], channels averaged to mono, sample_rate). 8-bit unsigned
+    and 16-bit signed PCM; compressed WAVE raises (wave module
+    contract). Malformed streams raise ``ValueError``."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            rate = wf.getframerate()
+            width = wf.getsampwidth()
+            nch = wf.getnchannels()
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error as e:
+        raise ValueError(f"bad WAVE stream: {e}") from None
+    if width == 1:
+        samples = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
+    if nch > 1:
+        samples = samples[: len(samples) - len(samples) % nch]
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """16-bit mono PCM WAVE encoder (test/synth counterpart)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM stats from decoded PCM: duration/rate/rms/peak/
+    zero-crossing rate + 11-bin |amplitude| histogram (deterministic,
+    pure numpy)."""
+    n = len(samples)
+    dur_ms = 1000.0 * n / max(rate, 1)
+    rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+    peak = float(np.max(np.abs(samples))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if n > 1 else 0.0
+    hist, _ = np.histogram(np.abs(samples), bins=11, range=(0.0, 1.0))
+    hist = hist / max(n, 1)
+    return np.concatenate(
+        [[dur_ms, float(rate), rms, peak, zcr], hist]
+    ).astype(np.float32)
+
+
 def _image_features(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM stats from decoded pixels: dims, per-channel mean/std,
     8-bin grayscale histogram (deterministic, pure numpy)."""
@@ -148,10 +332,18 @@ def _real_decode(content: bytes, media_type: str) -> np.ndarray:
         return _image_features(decode_bmp(content))
     if media_type == "image" and content[:2] == b"P6":
         return _image_features(decode_ppm(content))
+    if media_type == "image" and content[:8] == PNG_SIG:
+        return _image_features(decode_png(content))
+    if (
+        media_type == "audio"
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WAVE"
+    ):
+        return _audio_features(*decode_wav(content))
     raise NotImplementedError(
         "this media type/codec needs a decoder library not present in "
-        "this container (BMP and binary PPM decode natively; wire "
-        "Pillow/torchaudio here in production)"
+        "this container (BMP, binary PPM, PNG and PCM WAVE decode "
+        "natively; wire Pillow/torchaudio here in production)"
     )
 
 
