@@ -430,6 +430,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.duplicate_membership(corpus, "doc_id")
 
+    # ------------------------------------------------ dedup: incremental
+    def incremental_dedup(spark, sf_dir):
+        """The daily-crawl-increment shape: a new batch (overlapping
+        the corpus AND containing internal duplicates) classified
+        against the existing corpus hash table — corpus_dup /
+        batch_dup / novel with the min-id survivor rule; the corpus
+        text is never rescanned."""
+        d = _t(spark, sf_dir, "documents")
+        corpus_hashes = d.where("doc_id < 250").select(
+            F.md5(dedup.normalized_text("text")).alias("text_hash")
+        )
+        batch0 = d.where("doc_id >= 200 AND doc_id < 350").select(
+            "doc_id", "text"
+        )
+        batch = batch0.unionByName(
+            batch0.where("doc_id < 280").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        classified, _updated = dedup.incremental_exact(batch, corpus_hashes)
+        return classified
+
+    # ------------------------------------------------ sampling / caps
+    def hash_sample_slice(spark, sf_dir):
+        """Deterministic ~10% hash sample (salted md5 bucket < rate):
+        the eval-holdout primitive — same rows on every run, at any
+        parallelism, on either engine."""
+        from pdf_metadata_extraction_spark.operators.sample import (
+            hash_sample,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+        return hash_sample(d, "doc_id", 100_000, salt="eval:")
+
+    def stratified_domain_cap(spark, sf_dir):
+        """Per-stratum document cap (≤20 per source), picked by
+        md5(id) order — the per-domain cap that stops mega-domains
+        from dominating a training corpus, with a deterministic
+        random-but-stable selection."""
+        from pdf_metadata_extraction_spark.operators.sample import (
+            stratified_cap,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+        return stratified_cap(d, "source", "doc_id", 20)
+
     # ------------------------------------------------ dedup: simhash
     def dedup_simhash(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").where("doc_id < 100")
@@ -1199,10 +1245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 head = the 12 CORRECTNESS_r04-unsampled queries + the 6
     # link/url-corpus queries whose fixtures changed this round (PSL
     # 3-label hosts, nested-markup anchors, nofollow nav anchors,
-    # single-pass %-decode) + the new quality_gate_keep /
-    # link_graph_follow_only / host_pagerank_weighted. Round-5 tail
-    # (15, all r04-green, untouched): f1/a3/x5/f5/a1/a2/a4/a5/w1/w2/
-    # w4/hourly/j4/lsh_ann_topk/lsh_recall_gate.
+    # single-pass %-decode) + the six NEW queries (quality_gate_keep,
+    # link_graph_follow_only, host_pagerank_weighted,
+    # incremental_dedup, hash_sample_slice, stratified_domain_cap).
+    # Round-5 tail (18, all r04-green, untouched): f1/a3/x5/f5/a1/a2/
+    # a4/a5/w1/w2/w4/hourly/j4/lsh_ann_topk/lsh_recall_gate/
+    # skew_salted_count/bm25_topk/bm25_topk_indexed.
     return {
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
@@ -1225,6 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_keep": quality_gate_keep,
         "link_graph_follow_only": link_graph_follow_only,
         "host_pagerank_weighted": host_pagerank_weighted,
+        "incremental_dedup": incremental_dedup,
+        "hash_sample_slice": hash_sample_slice,
+        "stratified_domain_cap": stratified_domain_cap,
         # -- middle: r04 driver-green, re-verified as budget allows
         "j3_dict_match": j3_dict_match,
         "j3_fuzzy_match": j3_fuzzy_match,
@@ -1253,11 +1304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "winnow_fp": winnow_fp,
         "q1_pricing_summary": q1_pricing_summary,
+        # -- tail (>50): r04-green AND untouched in r05; rotates to
+        # the front next round
         "skew_salted_count": skew_salted_count,
         "bm25_topk": bm25_topk,
         "bm25_topk_indexed": bm25_topk_indexed,
-        # -- tail (>50): r04-green AND untouched in r05; rotates to
-        # the front next round
         "lsh_ann_topk": lsh_ann_topk,
         "lsh_recall_gate": lsh_recall_gate,
         "f1_tenancy_filter": f1_tenancy_filter,
@@ -2804,6 +2855,48 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "(PARTITION BY h ORDER BY id) AS rn FROM hashed) WHERE rn = 1) "
         "SELECT qf.* FROM qf JOIN surv ON surv.id = qf.id"
     )
+    # incremental exact dedup: same normalization, same min-id
+    # survivor rule, same three-way classification
+    _NT = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+    out["incremental_dedup"] = f"""
+WITH corpus AS (
+  SELECT {_NT} AS text_hash FROM documents WHERE doc_id < 250
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 350
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id >= 200 AND doc_id < 280
+),
+hashed AS (SELECT doc_id AS id, {_NT} AS text_hash FROM batch),
+r AS (
+  SELECT id, text_hash,
+    text_hash IN (SELECT text_hash FROM corpus) AS in_corpus,
+    row_number() OVER (PARTITION BY text_hash ORDER BY id) AS rn
+  FROM hashed
+)
+SELECT id, text_hash,
+  CASE WHEN in_corpus THEN 'corpus_dup'
+       WHEN rn > 1 THEN 'batch_dup'
+       ELSE 'novel' END AS status
+FROM r
+"""
+    out["hash_sample_slice"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000 < 100000
+"""
+    out["stratified_domain_cap"] = """
+SELECT doc_id, source, pick_rank FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS BIGINT) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= 20
+"""
     out["ivf_ann_topk"] = out["cosine_topk"]
     # sign-LSH is deterministic (md5 hyperplanes) → the oracle mirrors it
     # exactly; the recall gate additionally pins recall@3 ≥ 0.9 vs exact

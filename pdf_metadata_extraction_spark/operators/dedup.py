@@ -75,6 +75,68 @@ def duplicate_membership(df: DataFrame, id_col: str, text_col: str = "text") -> 
     )
 
 
+def incremental_exact(
+    new_docs: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: classify a NEW batch against the
+    EXISTING corpus hash table without rescanning the corpus — the
+    daily-crawl-increment shape (at 10^12 docs, re-running exact dedup
+    over the whole corpus per increment is a non-starter; the
+    ``text_hash`` table is the only corpus state needed, a tiny
+    fraction of the text bytes, and is itself the state this function
+    emits for the NEXT increment).
+
+    ``corpus_hashes``: a (text_hash) relation — e.g. a previous
+    increment's ``updated_hashes`` persisted as parquet/Iceberg.
+
+    Returns ``(classified, updated_hashes)``:
+    - ``classified``: (id, text_hash, status) with status
+      'corpus_dup' (hash already in the corpus), 'batch_dup' (hash new
+      to the corpus but a LOWER id in the same batch holds it — the
+      deterministic min-id survivor used by dedup everywhere else), or
+      'novel' (the batch's survivor for a corpus-new hash);
+    - ``updated_hashes``: corpus ∪ novel hashes.
+
+    Shapes: one join on the 32-char hash (batch ≪ corpus: Spark
+    broadcasts the BATCH side automatically when it fits; the corpus
+    table streams) + one window min within the batch only.
+    """
+    from pyspark.sql import Window
+
+    hashed = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalized_text(text_col)).alias("text_hash"),
+    )
+    known = (
+        corpus_hashes.select("text_hash").distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    joined = hashed.join(known, "text_hash", "left")
+    w = Window.partitionBy("text_hash").orderBy("id")
+    classified = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "id",
+            "text_hash",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("corpus_dup"))
+            .when(F.col("_rn") > 1, F.lit("batch_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )
+    updated = (
+        known.select("text_hash")
+        .unionByName(
+            classified.where(F.col("status") == "novel").select("text_hash")
+        )
+        .distinct()
+    )
+    return classified, updated
+
+
 def _token_words(text_col: str):
     return F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""

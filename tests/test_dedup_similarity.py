@@ -403,6 +403,74 @@ def test_multimodal_real_bmp_ppm_decode(spark):
         mm.extract_media_features(junk).collect()
 
 
+def test_incremental_exact_dedup(spark):
+    """Batch-vs-corpus dedup: corpus hashes never rescan, the batch
+    classifies three ways (corpus_dup / batch_dup / novel with the
+    min-id survivor), and updated_hashes is exactly corpus ∪ novel —
+    the state the NEXT increment consumes."""
+    from pdf_metadata_extraction_spark.operators import dedup
+
+    corpus_docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    corpus_hashes = corpus_docs.select(
+        F.md5(dedup.normalized_text("text")).alias("text_hash")
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   text"),   # normalizes onto corpus hash
+            (11, "gamma text"),     # novel (survivor)
+            (12, "gamma text"),     # batch dup of 11
+            (13, "delta text"),     # novel
+        ],
+        "doc_id long, text string",
+    )
+    classified, updated = dedup.incremental_exact(batch, corpus_hashes)
+    got = {r["id"]: r["status"] for r in classified.collect()}
+    assert got == {10: "corpus_dup", 11: "novel", 12: "batch_dup",
+                   13: "novel"}
+    assert updated.count() == 4  # 2 corpus + 2 novel
+
+    # chaining: re-running the SAME batch against updated_hashes makes
+    # everything a corpus_dup (idempotent increments)
+    again, _ = dedup.incremental_exact(batch, updated)
+    assert {r["status"] for r in again.collect()} == {"corpus_dup"}
+
+
+def test_hash_sample_and_stratified_cap(spark):
+    """hash_sample is deterministic and salt-disjoint; stratified_cap
+    keeps exactly min(cap, stratum size) rows per stratum with a
+    stable md5-ordered pick."""
+    from pdf_metadata_extraction_spark.operators.sample import (
+        hash_sample,
+        stratified_cap,
+    )
+
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("src"),
+    )
+    s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 100_000).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(d, "doc_id", 100_000).collect()}
+    assert s1 == s2 and 120 < len(s1) < 280  # ~10%, deterministic
+    s_salt = {r["doc_id"]
+              for r in hash_sample(d, "doc_id", 100_000, salt="b:").collect()}
+    assert s_salt != s1  # a different salt is a different slice
+    # rate monotonicity: a bigger rate strictly contains a smaller one
+    s_big = {r["doc_id"] for r in hash_sample(d, "doc_id", 300_000).collect()}
+    assert s1 < s_big
+
+    capped = stratified_cap(d, "src", "doc_id", 25)
+    per = {r["src"]: r["n"] for r in
+           capped.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {25}
+    # stable selection across invocations
+    pick1 = sorted(tuple(r) for r in capped.collect())
+    pick2 = sorted(tuple(r)
+                   for r in stratified_cap(d, "src", "doc_id", 25).collect())
+    assert pick1 == pick2
+
+
 def test_multimodal_real_png_wav_decode(spark):
     """Round-5: PNG (stdlib zlib) and PCM WAVE (stdlib wave) decode
     natively — encode->decode roundtrips pixel/sample-exact, every PNG
