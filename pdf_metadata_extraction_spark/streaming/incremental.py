@@ -1,0 +1,89 @@
+"""Streaming incremental dedup against a DURABLE corpus hash table —
+the continuous-ingest face of ``operators/dedup.incremental_exact``.
+
+``streaming/dedup.dedup_stream`` bounds its state by the watermark
+horizon, so duplicates farther apart than the horizon pass through and
+are left to the batch layer. This module closes that gap for the
+pipeline that wants exact ingest-time dedup against EVERYTHING ever
+accepted: each micro-batch classifies its rows against the persisted
+hash table (corpus_dup / batch_dup / novel, min-id survivor) and
+appends ONLY its novel hashes as a new hash-table partition — state
+lives in parquet (Iceberg in production), not the streaming state
+store, so it survives restarts, is unbounded by watermarks, and never
+rewrites old state (append-only parts; at 10^12 accepted pages the
+per-batch write is O(novel), the read is a partition-pruned scan of
+the hash column only).
+
+Failure/replay contract: Structured Streaming may re-run a micro-batch
+after a crash. Both writes are keyed by ``batch_id`` (hive-style
+``batch_id=N`` directories, overwritten whole on re-run), and the
+corpus read EXCLUDES partitions ≥ the current batch_id — a replayed
+batch therefore classifies against exactly the state its first attempt
+saw and overwrites its own outputs: idempotent, no double-counted
+hashes, no self-contamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_incremental_dedup(
+    pages_stream: DataFrame,
+    work_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Start the incremental-dedup sink over a streaming pages frame.
+
+    Layout under ``work_dir``:
+    - ``classified/batch_id=N/`` — (id, text_hash, status) per batch;
+    - ``hashes/batch_id=N/``     — that batch's NOVEL hashes (the
+      append-only corpus hash table; the union of all partitions IS
+      the corpus state);
+    - ``ck/``                    — the stream checkpoint.
+
+    Returns the started StreamingQuery.
+    """
+    from pdf_metadata_extraction_spark.operators import ckpt
+    from pdf_metadata_extraction_spark.operators.dedup import (
+        incremental_exact,
+    )
+
+    root = work_dir.rstrip("/")
+    hash_dir = f"{root}/hashes"
+    out_dir = f"{root}/classified"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        fs, jroot = ckpt.fs_for(sp, hash_dir)
+        has_state = fs.exists(jroot) and len(fs.listStatus(jroot)) > 0
+        if has_state:
+            corpus = (
+                sp.read.parquet(hash_dir)
+                .where(F.col("batch_id") < batch_id)
+                .select("text_hash")
+            )
+        else:
+            corpus = sp.createDataFrame([], "text_hash string")
+        classified, _ = incremental_exact(
+            batch_df, corpus, id_col=id_col, text_col=text_col
+        )
+        classified.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        classified.sparkSession.read.parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        ).where(F.col("status") == "novel").select("text_hash").write.mode(
+            "overwrite"
+        ).parquet(f"{hash_dir}/batch_id={batch_id}")
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{root}/ck")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -185,6 +185,67 @@ def test_windowed_event_counts_watermark_stream(spark, tmp_path):
         assert batch[k] == v
 
 
+def test_streaming_incremental_dedup_durable_state(spark, tmp_path):
+    """Round-5: continuous ingest dedup against a DURABLE corpus hash
+    table — micro-batch N classifies against all hashes accepted by
+    batches < N (no watermark horizon), novel hashes append as a new
+    partition, and the state survives a full stream RESTART (a new
+    query over the same work_dir keeps deduping against everything
+    ever accepted)."""
+    import json
+
+    from pdf_metadata_extraction_spark.streaming.incremental import (
+        run_incremental_dedup,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()),
+         T.StructField("text", T.StringType())]
+    )
+    (feed / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"url": "u1", "text": "alpha page"},
+        {"url": "u2", "text": "ALPHA   page"},   # dup within the batch
+        {"url": "u3", "text": "beta page"},
+    ]))
+    (feed / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"url": "u4", "text": "alpha page"},     # dup of an EARLIER batch
+        {"url": "u5", "text": "gamma page"},
+    ]))
+    work = str(tmp_path / "inc")
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(str(feed))
+        return run_incremental_dedup(stream, work)
+
+    q = start()
+    q.awaitTermination(180)
+    got = {r["id"]: r["status"]
+           for r in spark.read.parquet(f"{work}/classified").collect()}
+    assert got["u1"] == "novel" and got["u2"] == "batch_dup"
+    assert got["u3"] == "novel"
+    assert got["u4"] == "corpus_dup"  # crossed the micro-batch boundary
+    assert got["u5"] == "novel"
+    hashes = spark.read.parquet(f"{work}/hashes")
+    assert hashes.count() == 3  # alpha, beta, gamma — one row per novel
+
+    # restart: a NEW query over the same work_dir sees the old state
+    (feed / "b3.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"url": "u6", "text": "beta page"},      # dup across the restart
+        {"url": "u7", "text": "delta page"},
+    ]))
+    q2 = start()
+    q2.awaitTermination(180)
+    got2 = {r["id"]: r["status"]
+            for r in spark.read.parquet(f"{work}/classified").collect()}
+    assert got2["u6"] == "corpus_dup"
+    assert got2["u7"] == "novel"
+    assert spark.read.parquet(f"{work}/hashes").count() == 4
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps the first page per text hash
     across micro-batches with BOUNDED state (watermark horizon)."""
