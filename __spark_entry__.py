@@ -452,6 +452,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classified, _updated = dedup.incremental_exact(batch, corpus_hashes)
         return classified
 
+    def incremental_lsh_candidates(spark, sf_dir):
+        """Near-dup complement of incremental_dedup: a new batch of
+        PERTURBED pages (head rewritten — high-but-<1 jaccard vs their
+        corpus originals) probed against the PERSISTED corpus band
+        table; corpus shingles/signatures are never recomputed.
+        Returns (new_id, corpus_id) candidates."""
+        from pdf_metadata_extraction_spark.operators.canonicalize import (
+            band_buckets,
+            lsh_membership_candidates,
+            minhash_signature,
+            shingles,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        corpus = d.where("doc_id < 200").select("doc_id", "text")
+        corpus_buckets = band_buckets(
+            minhash_signature(shingles(corpus, "doc_id", "text"), perms=4),
+            perms=4, bands=2,
+        )
+        batch = d.where("doc_id >= 150 AND doc_id < 250").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("zzzz "), F.expr("substr(text, 9)")).alias("text"),
+        )
+        batch_sigs = minhash_signature(
+            shingles(batch, "doc_id", "text"), perms=4
+        )
+        return lsh_membership_candidates(
+            batch_sigs, corpus_buckets, perms=4, bands=2
+        )
+
     # ------------------------------------------------ sampling / caps
     def hash_sample_slice(spark, sf_dir):
         """Deterministic ~10% hash sample (salted md5 bucket < rate):
@@ -1245,12 +1275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 head = the 12 CORRECTNESS_r04-unsampled queries + the 6
     # link/url-corpus queries whose fixtures changed this round (PSL
     # 3-label hosts, nested-markup anchors, nofollow nav anchors,
-    # single-pass %-decode) + the six NEW queries (quality_gate_keep,
-    # link_graph_follow_only, host_pagerank_weighted,
-    # incremental_dedup, hash_sample_slice, stratified_domain_cap).
-    # Round-5 tail (18, all r04-green, untouched): f1/a3/x5/f5/a1/a2/
-    # a4/a5/w1/w2/w4/hourly/j4/lsh_ann_topk/lsh_recall_gate/
-    # skew_salted_count/bm25_topk/bm25_topk_indexed.
+    # single-pass %-decode) + the seven NEW queries (quality_gate_keep,
+    # link_graph_follow_only, host_pagerank_weighted, incremental_dedup,
+    # incremental_lsh_candidates, hash_sample_slice,
+    # stratified_domain_cap). Round-5 tail (19, all r04-green,
+    # untouched): q1/skew_salted_count/bm25_topk/bm25_topk_indexed/
+    # lsh_ann_topk/lsh_recall_gate/f1/a3/x5/f5/a1/a2/a4/a5/w1/w2/w4/
+    # hourly/j4.
     return {
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
@@ -1274,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_follow_only": link_graph_follow_only,
         "host_pagerank_weighted": host_pagerank_weighted,
         "incremental_dedup": incremental_dedup,
+        "incremental_lsh_candidates": incremental_lsh_candidates,
         "hash_sample_slice": hash_sample_slice,
         "stratified_domain_cap": stratified_domain_cap,
         # -- middle: r04 driver-green, re-verified as budget allows
@@ -1303,9 +1335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
         "winnow_fp": winnow_fp,
-        "q1_pricing_summary": q1_pricing_summary,
         # -- tail (>50): r04-green AND untouched in r05; rotates to
         # the front next round
+        "q1_pricing_summary": q1_pricing_summary,
         "skew_salted_count": skew_salted_count,
         "bm25_topk": bm25_topk,
         "bm25_topk_indexed": bm25_topk_indexed,
@@ -2880,6 +2912,24 @@ SELECT id, text_hash,
        WHEN rn > 1 THEN 'batch_dup'
        ELSE 'novel' END AS status
 FROM r
+"""
+    # incremental LSH membership: batch bands vs corpus bands — the
+    # OR of the two band equalities is exactly Spark's exploded
+    # (band, sig) join after distinct (a pair matching both bands is
+    # still one row on each engine)
+    _CORPUS_SQL = "SELECT doc_id, text FROM documents WHERE doc_id < 200"
+    _BATCH_SQL = (
+        "SELECT doc_id + 100000 AS doc_id, "
+        "concat('zzzz ', substr(text, 9)) AS text "
+        "FROM documents WHERE doc_id >= 150 AND doc_id < 250"
+    )
+    out["incremental_lsh_candidates"] = f"""
+WITH csig AS ({_minhash_sig_sql(4, _CORPUS_SQL)}),
+bsig AS ({_minhash_sig_sql(4, _BATCH_SQL)})
+SELECT b.id AS new_id, c.id AS corpus_id
+FROM bsig b JOIN csig c
+  ON (concat(b.mh_0, '|', b.mh_1) = concat(c.mh_0, '|', c.mh_1)
+      OR concat(b.mh_2, '|', b.mh_3) = concat(c.mh_2, '|', c.mh_3))
 """
     out["hash_sample_slice"] = """
 SELECT doc_id, source FROM documents

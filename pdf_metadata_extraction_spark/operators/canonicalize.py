@@ -61,6 +61,64 @@ def minhash_signature(
     return shingles_df.groupBy("id").agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame, perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band, sig) banded bucket rows of a minhash signature table
+    — the join key material of LSH. ALSO the persistable corpus state
+    for incremental membership (lsh_membership_candidates): at scale,
+    store it parquet/Iceberg bucketed by (band, hash(sig)) so the
+    new-batch probe is a co-located join."""
+    rows_per_band = perms // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig")))
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def lsh_membership_candidates(
+    new_signatures: DataFrame,
+    corpus_buckets: DataFrame,
+    perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate NEAR-dup pairs between a NEW batch and the EXISTING
+    corpus — the incremental analogue of lsh_candidate_pairs' self-join
+    (and the near-dup complement of dedup.incremental_exact): the new
+    batch's band buckets join the PERSISTED corpus bucket table on
+    (band, sig); corpus text and shingles are never recomputed, and
+    the corpus state grows by appending the accepted batch's buckets.
+
+    Returns distinct (new_id, corpus_id). ``max_bucket_size`` caps
+    CORPUS-side buckets (boilerplate shells — same rationale and same
+    deliberate-recall-cut contract as lsh_candidate_pairs). Verify
+    candidates with minhash_jaccard / ngram_jaccard_for_pairs exactly
+    as in the batch path.
+    """
+    nb = band_buckets(new_signatures, perms, bands)
+    cb = corpus_buckets
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "sig")
+        cb = (
+            cb.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    return (
+        nb.alias("n")
+        .join(cb.alias("c"), ["band", "sig"])
+        .select(
+            F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     perms: int = DEFAULT_PERMS,
@@ -77,14 +135,7 @@ def lsh_candidate_pairs(
     pipelines; capped buckets are a deliberate recall cut, so log/count
     them (the window count below is one extra shuffle on the same key
     the join shuffles on — AQE coalesces it)."""
-    rows_per_band = perms // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig")))
-    buckets = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = band_buckets(signatures, perms, bands)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "sig")
         buckets = (

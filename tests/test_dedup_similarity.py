@@ -403,6 +403,39 @@ def test_multimodal_real_bmp_ppm_decode(spark):
         mm.extract_media_features(junk).collect()
 
 
+def test_incremental_lsh_membership(spark):
+    """Batch-vs-corpus near-dup candidates: a perturbed copy probes
+    the PERSISTED corpus band table and finds its original; a disjoint
+    new doc finds nothing; corpus shingles are never recomputed (the
+    probe consumes only the bucket rows)."""
+    from pdf_metadata_extraction_spark.operators.canonicalize import (
+        band_buckets,
+        lsh_membership_candidates,
+        minhash_signature,
+        shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "an entirely different corpus document about databases")],
+        "doc_id long, text string",
+    )
+    cb = band_buckets(
+        minhash_signature(shingles(corpus, "doc_id", "text"), perms=4),
+        perms=4, bands=2,
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog AGAIN"),
+         (11, "zzz completely novel content unlike anything before zzz")],
+        "doc_id long, text string",
+    )
+    bs = minhash_signature(shingles(batch, "doc_id", "text"), perms=4)
+    got = {(r["new_id"], r["corpus_id"])
+           for r in lsh_membership_candidates(bs, cb, perms=4, bands=2).collect()}
+    assert (10, 1) in got
+    assert all(n != 11 for n, _ in got)
+
+
 def test_incremental_exact_dedup(spark):
     """Batch-vs-corpus dedup: corpus hashes never rescan, the batch
     classifies three ways (corpus_dup / batch_dup / novel with the
