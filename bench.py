@@ -156,6 +156,10 @@ def main() -> None:
         "anchor_text_mentions", "bm25_topk_indexed",
         "domain_link_graph", "anchor_term_profile", "crawl_frontier_hosts",
         "url_dedup", "quality_filter", "encoding_signals",
+        "quality_gate_keep", "link_graph_follow_only",
+        "host_pagerank_weighted", "incremental_dedup",
+        "incremental_lsh_candidates", "hash_sample_slice",
+        "stratified_domain_cap",
     ]:
         fn = run_query(name)
         fn()
