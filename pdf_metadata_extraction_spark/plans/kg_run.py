@@ -40,6 +40,8 @@ def run_kg_pipeline(
     normalize_urls: bool = False,
     link_graph: bool = False,
     quality_gate: bool = False,
+    domain_cap: int | None = None,
+    export_corpus: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
     DataFrames {segments, linked, edges, nodes} (+ {host_edges,
@@ -59,13 +61,26 @@ def run_kg_pipeline(
     ``pages_quality_gate`` lineage row records pages-in vs pages-kept,
     so the production lineage shows WHAT the gate dropped and why the
     edge counts downstream shrank. Runs after normalize_urls (dedup
-    the fetches first, judge the content second). The gate's extract
-    pass is map-only and separate from the fused segment stage —
-    segments re-tokenize the kept pages; at 10^12 pages you persist
-    the extracted text column (Iceberg) and feed BOTH the gate and a
-    text-input segmenter from it, but coupling the gate into the
-    fused Arrow stage here would entangle two independently-testable
-    stages for a constant-factor win.
+    the fetches first, judge the content second). When the gate (or
+    the corpus export) is on, the extracted text is materialized ONCE
+    as its own ``pages_text`` stage and every consumer reads it — the
+    byte-identity extractor never runs twice per page (the fused
+    segment stage still tokenizes the kept pages for boxes/positions,
+    which text alone cannot supply).
+
+    ``domain_cap``: opt-in per-registered-domain page cap (round-5
+    curation stage): at most N pages per PSL-aware registered domain,
+    selected in md5(url) order (operators.sample.stratified_cap — the
+    standard mega-domain bound for training corpora). Pages whose url
+    yields NO registered domain (dotless hosts, unparseable) pass
+    uncapped — an unattributable page must not share one global
+    NULL-stratum budget. Runs after the quality gate; records a
+    ``pages_domain_cap`` lineage row.
+
+    ``export_corpus``: opt-in final product for a TRAINING-DATA run —
+    the (url, text) corpus of every page that survived all enabled
+    gates, checkpointed as the ``corpus_export`` stage (the table a
+    tokenizer/packing job consumes; Iceberg in production).
 
     ``link_graph``: opt-in web-graph product — RFC 3986-resolved
     anchors lifted to the host-level link graph (``host_edges`` stage)
@@ -102,19 +117,27 @@ def run_kg_pipeline(
             ),
         )
 
-    if quality_gate:
-        from pyspark.sql import Window
-
+    txt = None
+    if quality_gate or export_corpus:
         from pdf_metadata_extraction_spark.operators.extract import (
             extract_text,
         )
+
+        # the byte-identity extractor runs ONCE; the gate and the
+        # corpus export both read this stage
+        txt = lw.checkpoint_stage(
+            "pages_text", extract_text(pages.select("url", "html"))
+        )
+
+    if quality_gate:
+        from pyspark.sql import Window
+
         from pdf_metadata_extraction_spark.operators.textstats import (
             quality_filter,
         )
 
         tq = time.monotonic()
         n_in_q = pages.count()
-        txt = extract_text(pages.select("url", "html"))
         passing = quality_filter(txt, id_col="url", text_col="text").select(
             F.col("id").alias("url")
         )
@@ -142,7 +165,46 @@ def run_kg_pipeline(
             wall_ms=int((time.monotonic() - tq) * 1000),
         )
 
+    if domain_cap is not None:
+        from pdf_metadata_extraction_spark.operators.sample import (
+            stratified_cap,
+        )
+        from pdf_metadata_extraction_spark.operators.urlnorm import (
+            canonicalize_urls,
+        )
+
+        tc = time.monotonic()
+        n_in_c = pages.count()
+        doms = canonicalize_urls(pages.select("url")).select(
+            "url", "registered_domain"
+        )
+        with_dom = doms.where(F.col("registered_domain").isNotNull())
+        kept_dom = stratified_cap(
+            with_dom, "registered_domain", "url", domain_cap
+        ).select("url")
+        # unattributable pages (no registered domain) pass uncapped
+        keep = kept_dom.unionByName(
+            doms.where(F.col("registered_domain").isNull()).select("url")
+        )
+        capped = pages.join(keep, "url", "left_semi")
+        pages = lw.checkpoint_stage(
+            "pages_domain_capped", capped, input_rows=n_in_c,
+            partition_by=(
+                ["url_bucket"] if "url_bucket" in capped.columns else None
+            ),
+        )
+        lw.record(
+            "pages_domain_cap", input_rows=n_in_c,
+            output_rows=pages.count(),
+            wall_ms=int((time.monotonic() - tc) * 1000),
+        )
+
     out_extra: dict[str, DataFrame] = {}
+    if export_corpus:
+        # the (url, text) table a tokenizer/packing job consumes —
+        # texts of pages every enabled gate kept
+        corpus = txt.join(pages.select("url"), "url", "left_semi")
+        out_extra["corpus"] = lw.checkpoint_stage("corpus_export", corpus)
     if link_graph:
         from pdf_metadata_extraction_spark.operators.graph import (
             pagerank_fixed,

@@ -92,6 +92,48 @@ def test_kg_run_quality_gate(spark, tmp_path):
     assert out["edges"].count() > 0
 
 
+def test_kg_run_domain_cap_and_corpus_export(spark, tmp_path):
+    """Round-5 curation stages composed in the runner: the extracted
+    text materializes ONCE (pages_text), the per-registered-domain cap
+    trims the over-represented domain (NULL-domain pages pass
+    uncapped), and corpus_export holds exactly the survivors' (url,
+    text) rows — the table a tokenizer job consumes."""
+    good = ("the spark engine processes a perfectly ordinary paragraph "
+            "of english text with enough words to pass the length gate "
+            "comfortably and a pleasant mean word length overall")
+
+    def page(u, body):
+        return (u, (f"<html><body><p>{body}</p></body></html>").encode())
+
+    rows = [
+        page("https://a.example/1", good + " one"),
+        page("https://a.example/2", good + " two"),
+        page("https://b.example/1", good + " three"),
+        page("https://localhost/x", good + " four"),  # no registered domain
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgc")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="c1",
+        quality_gate=True, domain_cap=1, export_corpus=True,
+    )
+    lineage = {r["stage"]: r for r in
+               spark.read.parquet(f"{work}/lineage").collect()
+               if r["partition_range"] == "all"}
+    assert "pages_text" in lineage and lineage["pages_text"]["output_rows"] == 4
+    assert lineage["pages_quality_gate"]["output_rows"] == 4  # all pass
+    cap_row = lineage["pages_domain_cap"]
+    assert cap_row["input_rows"] == 4 and cap_row["output_rows"] == 3
+    corpus = {r["url"]: r["text"] for r in out["corpus"].collect()}
+    assert len(corpus) == 3
+    # exactly one a.example survivor; b.example and localhost kept
+    a_kept = [u for u in corpus if u.startswith("https://a.example")]
+    assert len(a_kept) == 1
+    assert "https://b.example/1" in corpus
+    assert "https://localhost/x" in corpus
+    assert all("spark engine" in t for t in corpus.values())
+
+
 def test_mega_domain_skew_and_salting(spark):
     pages = generate_pages(spark, 400, partitions=4)
     dom_counts = (
