@@ -777,8 +777,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(".K12.MA.US/students/"))))
             .when(m == 8, F.concat(
                 F.lit("https://WWW.Shop"), k, F.lit(".CO.UK/x")))
-            .when(m == 9, F.concat(
-                F.lit("http://news"), k, F.lit(".com.au/y?b=2&a=1")))
+            # m==9 splits by doc_id%20: ccTLD 2-label suffix and a PSL
+            # wildcard-TLD host ('*.np': registration at the THIRD
+            # label)
+            .when(m == 9, F.when(
+                F.col("doc_id") % 20 == 9,
+                F.concat(F.lit("http://news"), k, F.lit(".com.au/y?b=2&a=1")),
+            ).otherwise(F.concat(
+                F.lit("https://shop"), k, F.lit(".coffee.np/y?b=2&a=1"))))
             .otherwise(F.lit("not a url"))
         )
         return canonicalize_urls(d.withColumn("url", raw)).select(
@@ -1510,6 +1516,16 @@ def _psl3_sql() -> str:
     return ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_3LABEL)
 
 
+def _pslw_sql() -> str:
+    """The PSL wildcard TLDs as a SQL IN-list (mirror of
+    urlnorm.PSL_WILDCARD_TLDS)."""
+    from pdf_metadata_extraction_spark.operators.urlnorm import (
+        PSL_WILDCARD_TLDS,
+    )
+
+    return ", ".join(f"'{s}'" for s in PSL_WILDCARD_TLDS)
+
+
 def _pct_decode_sql(e: str) -> str:
     """Mirror of urlnorm.decode_unreserved_escapes over expression
     ``e``: the same single-pass split-on-'%' left fold — a piece whose
@@ -1575,6 +1591,8 @@ SELECT doc_id,
   CASE WHEN scheme = '' THEN NULL
        WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({_psl3_sql()})
        THEN nullif(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1), '')
+       WHEN regexp_extract(host, '([^.]+)$', 1) IN ({_pslw_sql()})
+       THEN nullif(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1), '')
        WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({_psl2_sql()})
        THEN nullif(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1), '')
        ELSE nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') END AS registered_domain,
@@ -1600,7 +1618,7 @@ WITH raw AS (
       WHEN doc_id % 10 = 6 THEN 'http://user:pw@example' || CAST(doc_id % 50 AS VARCHAR) || '.net/q'
       WHEN doc_id % 10 = 7 THEN CASE WHEN doc_id % 20 = 7 THEN 'https://localhost:8080/x' ELSE 'HTTP://WWW.Lincoln' || CAST(doc_id % 50 AS VARCHAR) || '.K12.MA.US/students/' END
       WHEN doc_id % 10 = 8 THEN 'https://WWW.Shop' || CAST(doc_id % 50 AS VARCHAR) || '.CO.UK/x'
-      WHEN doc_id % 10 = 9 THEN 'http://news' || CAST(doc_id % 50 AS VARCHAR) || '.com.au/y?b=2&a=1'
+      WHEN doc_id % 10 = 9 THEN CASE WHEN doc_id % 20 = 9 THEN 'http://news' || CAST(doc_id % 50 AS VARCHAR) || '.com.au/y?b=2&a=1' ELSE 'https://shop' || CAST(doc_id % 50 AS VARCHAR) || '.coffee.np/y?b=2&a=1' END
       ELSE 'not a url'
     END AS url
   FROM documents
@@ -1993,13 +2011,16 @@ WITH corpus AS ({_link_corpus_sql()}),
 
 def _sql_regdom_of(e: str) -> str:
     """DuckDB mirror of urlnorm.registered_domain_of over host
-    expression ``e`` (PSL-aware, longest suffix first, NULL for bare
-    suffixes/dotless)."""
+    expression ``e`` (PSL-aware, longest suffix first — explicit
+    3-label, wildcard TLD, 2-label — NULL for bare suffixes/
+    dotless)."""
+    l1 = f"regexp_extract({e}, '([^.]+)$', 1)"
     l2 = f"regexp_extract({e}, '([^.]+\\.[^.]+)$', 1)"
     l3 = f"regexp_extract({e}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
     l4 = f"regexp_extract({e}, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)"
     return (
         f"CASE WHEN {l3} IN ({_psl3_sql()}) THEN nullif({l4}, '') "
+        f"WHEN {l1} IN ({_pslw_sql()}) THEN nullif({l3}, '') "
         f"WHEN {l2} IN ({_psl2_sql()}) THEN nullif({l3}, '') "
         f"ELSE nullif({l2}, '') END"
     )

@@ -33,18 +33,22 @@ when the host's last THREE labels are a registration suffix
 (``k12.ma.us``-class — PUBLIC_SUFFIXES_3LABEL: the RFC 1480 US
 locality registries and the Australian per-state edu/gov registries),
 the registered domain is the last FOUR labels
-(``lincoln.k12.ma.us``); else when the last two labels are one
-(``co.uk``, ``com.au``, ... — PUBLIC_SUFFIXES_2LABEL, a compact
-embedded subset of the public-suffix list covering the major and
-rarer ccTLD second-level registries), the last THREE
-(``example.co.uk``); otherwise the last two (``example.com``).
-Hosts that ARE a bare suffix, and dotless hosts (localhost, bare
-intranet names), get NULL, never ``''`` — a '' group would silently
-merge them all under one per-domain key. The full PSL's
-wildcard/exception rules remain out of scope (documented
-approximation); the subsets fix the .co.uk- and .k12.ma.us-class
-grouping that skew audits and per-registered-domain policies (crawl
-budgets, dedup scopes) hit constantly.
+(``lincoln.k12.ma.us``); else when the TLD is a PSL WILDCARD TLD
+(``*.np``-class — PSL_WILDCARD_TLDS: every two-label name under it is
+a suffix), the last THREE (``shop.coffee.np``; a bare two-label host
+under such a TLD is itself a suffix → NULL); else when the last two
+labels are an explicit suffix (``co.uk``, ``com.au``, ... —
+PUBLIC_SUFFIXES_2LABEL, a compact embedded subset of the
+public-suffix list covering the major and rarer ccTLD second-level
+registries), the last THREE (``example.co.uk``); otherwise the last
+two (``example.com``). Hosts that ARE a bare suffix, and dotless
+hosts (localhost, bare intranet names), get NULL, never ``''`` — a
+'' group would silently merge them all under one per-domain key.
+The PSL's exception rules (``!www.ck``) are moot here (the leading
+``www.`` strip precedes registered_domain — documented
+approximation); the subsets fix the .co.uk-, .k12.ma.us- and
+.np-class grouping that skew audits and per-registered-domain
+policies (crawl budgets, dedup scopes) hit constantly.
 """
 
 from __future__ import annotations
@@ -166,6 +170,18 @@ PUBLIC_SUFFIXES_3LABEL = (
     ]
 )
 
+# PSL WILDCARD TLDs ('*.np'-class): EVERY two-label name directly
+# under these TLDs is a registration suffix, so registration happens
+# at the THIRD label ('shop.coffee.np' registers under 'coffee.np';
+# the two-label 'coffee.np' itself is a bare suffix -> NULL). Checked
+# after the explicit 3-label list and before the 2-label list.
+# Documented approximation: the PSL's '!www.ck' exception is moot here
+# because canonicalization strips a leading 'www.' from every host
+# before registered_domain runs.
+PSL_WILDCARD_TLDS = [
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg", "ye",
+]
+
 # one regex, four groups: scheme, host[:port], path, ?query (fragment
 # ignored by omission). RE2-compatible (no lookaround/backrefs) so the
 # DuckDB oracle runs the same pattern.
@@ -233,6 +249,7 @@ def registered_domain_of(host: Column) -> Column:
     bare suffixes and dotless hosts -> NULL (module docstring). Pure
     expressions — reused by canonicalize_urls and the domain-level
     link-graph rollup."""
+    last1 = F.regexp_extract(host, r"([^.]+)$", 1)
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     last4 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
@@ -240,6 +257,7 @@ def registered_domain_of(host: Column) -> Column:
         F.when(
             last3.isin(PUBLIC_SUFFIXES_3LABEL), F.nullif(last4, F.lit(""))
         )
+        .when(last1.isin(PSL_WILDCARD_TLDS), F.nullif(last3, F.lit("")))
         .when(last2.isin(PUBLIC_SUFFIXES_2LABEL), F.nullif(last3, F.lit("")))
         .otherwise(F.nullif(last2, F.lit("")))
     )

@@ -102,6 +102,14 @@ CASES = [
     # rarer ccTLD 2-label entries added alongside (round-4 verdict #6)
     ("https://www.firm.co.at/x",
      "https://firm.co.at/x", "firm.co.at", "firm.co.at", 1),
+    # PSL wildcard TLDs (*.np-class): EVERY 2-label name under them is
+    # a suffix — 3-label hosts register at the third label, and a bare
+    # 2-label host IS a suffix -> NULL
+    ("https://shop.coffee.np/y",
+     "https://shop.coffee.np/y", "shop.coffee.np", "shop.coffee.np", 1),
+    ("http://coffee.np/", "http://coffee.np/", "coffee.np", None, 0),
+    ("https://a.b.energy.mm/x",
+     "https://a.b.energy.mm/x", "a.b.energy.mm", "b.energy.mm", 1),
     # unreserved %-escapes decode (both hex cases); %25 and reserved
     # escapes (%2F) stay encoded
     ("https://example.com/%7Euser/%62?%79=1",
