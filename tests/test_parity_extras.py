@@ -196,6 +196,52 @@ def test_fuzzy_dictionary_matching():
     assert match_options("the spark engine", [("1", "Spark")], True, fuzzy=False) == []
 
 
+def test_upsert_table_merge_semantics_partition_scoped(spark, tmp_path):
+    """MERGE-by-key stand-in (Iceberg MERGE INTO semantics on the
+    parquet layout): matching keys replace, new keys insert, and —
+    the scale property — partitions the increment does not touch are
+    neither read-modified nor rewritten (their files' mtimes are
+    byte-for-byte untouched)."""
+    import os
+    import time
+
+    from pdf_metadata_extraction_spark.sources.io import upsert_table
+
+    path = str(tmp_path / "edges")
+    base = spark.createDataFrame(
+        [("k1", 0, "v1"), ("k2", 0, "v2"), ("k3", 1, "v3")],
+        "key string, bucket int, val string",
+    )
+    upsert_table(base, "edges", path, ["key"], "bucket")
+    b1_files = {
+        f: os.path.getmtime(os.path.join(path, "bucket=1", f))
+        for f in os.listdir(os.path.join(path, "bucket=1"))
+        if f.endswith(".parquet")
+    }
+    time.sleep(1.1)  # mtime resolution guard
+
+    inc = spark.createDataFrame(
+        [("k2", 0, "v2_new"),   # matched -> update
+         ("k9", 0, "v9"),       # not matched -> insert (existing part)
+         ("k5", 2, "v5")],      # not matched -> insert (NEW partition)
+        "key string, bucket int, val string",
+    )
+    upsert_table(inc, "edges", path, ["key"], "bucket")
+    got = {r["key"]: (r["bucket"], r["val"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {
+        "k1": (0, "v1"), "k2": (0, "v2_new"), "k3": (1, "v3"),
+        "k9": (0, "v9"), "k5": (2, "v5"),
+    }
+    # bucket=1 was untouched by the increment: same files, same mtimes
+    b1_after = {
+        f: os.path.getmtime(os.path.join(path, "bucket=1", f))
+        for f in os.listdir(os.path.join(path, "bucket=1"))
+        if f.endswith(".parquet")
+    }
+    assert b1_after == b1_files
+
+
 def test_write_table_iceberg_branch_routing(spark, monkeypatch):
     """The writeTo (Iceberg) branch had zero coverage — no Iceberg
     runtime in the sandbox, so pin the routing contract: catalog-present
