@@ -159,7 +159,8 @@ def main() -> None:
         "quality_gate_keep", "link_graph_follow_only",
         "host_pagerank_weighted", "incremental_dedup",
         "incremental_lsh_candidates", "hash_sample_slice",
-        "stratified_domain_cap",
+        "stratified_domain_cap", "decontam_overlap", "boilerplate_ngrams",
+        "boilerplate_doc_frac", "unigram_ce", "tfidf_topk", "dup_span_pairs",
     ]:
         fn = run_query(name)
         fn()

@@ -412,6 +412,51 @@ def winnow_fingerprints(
     )
 
 
+def shared_span_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 50,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN candidates from winnowing
+    fingerprints: (id_a, id_b, n_shared) for every ordered doc pair
+    sharing >= ``min_shared`` fingerprints.
+
+    This is the corpus-level consumer of ``winnow_fingerprints`` — the
+    substring-granular analogue of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    whole-document dedup misses a page that quotes 300 words of
+    another page; a shared winnow fingerprint certifies a shared run
+    of length >= w + k - 1 regardless of the rest of the documents.
+
+    Scale shape: the self-join shuffles on uniform 60-bit fp keys;
+    a fingerprint held by K docs emits K(K-1)/2 pairs, so
+    ``max_docs_per_fp`` drops corpus-stopword spans (boilerplate
+    shared by thousands of pages — the LSH family's mega-bucket cap,
+    same rationale: those spans are boilerplate.py's job, not pair
+    evidence) before the quadratic step. Pair counts aggregate with
+    map-side partials on the (id_a, id_b) composite key.
+
+    Input is the (id, fp) output of ``winnow_fingerprints`` (already
+    distinct per doc). Output order-free; ``id_a < id_b``.
+    """
+    eligible = (
+        fps.groupBy("fp")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_fp))
+        .select("fp")
+    )
+    live = fps.join(eligible, "fp", "left_semi")
+    a = live.select("fp", F.col("id").alias("id_a"))
+    b = live.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text plus a
     64-bit prefix as a join-friendly integer."""

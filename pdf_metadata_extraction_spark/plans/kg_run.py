@@ -40,6 +40,7 @@ def run_kg_pipeline(
     normalize_urls: bool = False,
     link_graph: bool = False,
     quality_gate: bool = False,
+    decontam_eval: DataFrame | None = None,
     domain_cap: int | None = None,
     export_corpus: bool = False,
 ) -> dict[str, DataFrame]:
@@ -67,6 +68,16 @@ def run_kg_pipeline(
     byte-identity extractor never runs twice per page (the fused
     segment stage still tokenizes the kept pages for boxes/positions,
     which text alone cannot supply).
+
+    ``decontam_eval``: opt-in benchmark decontamination (round-5) — a
+    (url, text) DataFrame of evaluation-suite documents; pages whose
+    extracted text is >= 50% 7-gram-covered by the eval set are
+    dropped (operators.decontam.contamination — eval grams broadcast,
+    corpus side map-only). Runs after the quality gate (don't spend
+    the n-gram join on pages quality already rejected) and before the
+    domain cap; records a ``pages_decontam_gate`` lineage row and
+    checkpoints the kept pages as ``pages_decontam``. Reuses the
+    once-materialized ``pages_text`` stage.
 
     ``domain_cap``: opt-in per-registered-domain page cap (round-5
     curation stage): at most N pages per PSL-aware registered domain,
@@ -118,7 +129,7 @@ def run_kg_pipeline(
         )
 
     txt = None
-    if quality_gate or export_corpus:
+    if quality_gate or export_corpus or decontam_eval is not None:
         from pdf_metadata_extraction_spark.operators.extract import (
             extract_text,
         )
@@ -163,6 +174,35 @@ def run_kg_pipeline(
             "pages_quality_gate", input_rows=n_in_q,
             output_rows=pages.count(),
             wall_ms=int((time.monotonic() - tq) * 1000),
+        )
+
+    if decontam_eval is not None:
+        from pdf_metadata_extraction_spark.operators.decontam import (
+            contamination,
+        )
+
+        td = time.monotonic()
+        n_in_d = pages.count()
+        # only judge pages still alive after the earlier gates
+        live_txt = txt.join(pages.select("url"), "url", "left_semi")
+        clean = (
+            contamination(
+                live_txt, decontam_eval, id_col="url", text_col="text"
+            )
+            .where(F.col("contaminated") == 0)
+            .select("url")
+        )
+        decon = pages.join(clean, "url", "left_semi")
+        pages = lw.checkpoint_stage(
+            "pages_decontam", decon, input_rows=n_in_d,
+            partition_by=(
+                ["url_bucket"] if "url_bucket" in decon.columns else None
+            ),
+        )
+        lw.record(
+            "pages_decontam_gate", input_rows=n_in_d,
+            output_rows=pages.count(),
+            wall_ms=int((time.monotonic() - td) * 1000),
         )
 
     if domain_cap is not None:

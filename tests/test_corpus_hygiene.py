@@ -1,0 +1,224 @@
+"""Corpus-hygiene operators: decontamination, boilerplate detection,
+unigram-LM cross-entropy, TF-IDF top-terms.
+
+Crafted fixtures pin the semantics (who is contaminated, which grams
+are boilerplate, exact integer micro-nat costs); the cross-engine
+value contract is carried by the oracle registry
+(`__spark_entry__.oracle_sql` — decontam_overlap, boilerplate_ngrams,
+boilerplate_doc_frac, unigram_ce, tfidf_topk).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_metadata_extraction_spark.operators.boilerplate import (
+    boilerplate_fraction,
+    boilerplate_ngrams,
+)
+from pdf_metadata_extraction_spark.operators.corpus_lm import (
+    doc_cross_entropy,
+    tfidf_top_terms,
+    unigram_lm,
+)
+from pdf_metadata_extraction_spark.operators.decontam import (
+    contamination,
+    eval_ngram_set,
+    word_ngram_col,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# ---------------------------------------------------------------- decontam
+
+
+def test_word_ngrams_order_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    out = (
+        df.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias(
+                "_w"
+            ),
+        )
+        .select("doc_id", word_ngram_col("_w", 3).alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0]["g"] == ["a b c", "b c d"]  # order-preserving, overlapping
+    assert out[1]["g"] == []  # shorter than n: explicit empty, no sequence(1,0) trap
+
+
+def test_contamination_flags_verbatim_benchmark_copy(spark):
+    bench = _docs(spark, [(100, "eval", "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # verbatim copy of the benchmark sentence → 100% contaminated
+            (1, "s", "the quick brown fox jumps over the lazy dog"),
+            # clean doc, same vocabulary but different order → no 7-gram hit
+            (2, "s", "dog lazy the over jumps fox brown quick the extra words here"),
+            # too short for any 7-gram → zeros, NOT flagged
+            (3, "s", "tiny doc"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination(
+            corpus, bench, n=7, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert rows[1]["contaminated"] == 1 and rows[1]["contam_frac"] == 1.0
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_hit"] == 3
+    assert rows[2]["contaminated"] == 0 and rows[2]["n_hit"] == 0
+    assert rows[3]["n_grams"] == 0 and rows[3]["contaminated"] == 0
+    assert rows[3]["contam_frac"] == 0.0
+
+
+def test_contamination_threshold_is_integer_exact(spark):
+    # 2 hits of 4 grams = exactly 50% — integer rule n_hit*2 >= n_grams
+    # flags it; 1 of 4 does not
+    bench = _docs(spark, [(100, "e", "w1 w2 w3 w4 w5 w6 w7 w8")])
+    corpus = _docs(
+        spark,
+        [
+            # grams: [w1..w7],[w2..w8],[w3..w9],[w4..w10]; first two hit
+            (1, "s", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        ],
+    )
+    r = contamination(corpus, bench, n=7, threshold_num=1, threshold_den=2).collect()[0]
+    assert (r["n_grams"], r["n_hit"]) == (4, 2)
+    assert r["contaminated"] == 1
+
+
+def test_eval_ngram_set_is_distinct(spark):
+    bench = _docs(
+        spark, [(1, "e", "a b c a b c a b c")]  # "a b c" windows repeat
+    )
+    grams = eval_ngram_set(bench, n=3).collect()
+    assert len(grams) == len({g["gram"] for g in grams})
+
+
+# ---------------------------------------------------------------- boilerplate
+
+
+_FOOTER = "subscribe to our newsletter today"
+
+
+def test_boilerplate_detects_shared_footer_within_source(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "siteA", "unique article one " + _FOOTER),
+            (2, "siteA", "another unique piece " + _FOOTER),
+            (3, "siteA", "third totally different body " + _FOOTER),
+            # same footer on ANOTHER site: votes are per-source
+            (4, "siteB", "cross site page " + _FOOTER),
+        ],
+    )
+    bp = boilerplate_ngrams(docs, n=5, min_docs=3).collect()
+    assert {(r["source"], r["gram"], r["n_docs"]) for r in bp} == {
+        ("siteA", _FOOTER, 3)
+    }
+
+
+def test_boilerplate_doc_votes_once_despite_repetition(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", _FOOTER + " " + _FOOTER),  # doc repeats its own footer
+            (2, "s", "body text then " + _FOOTER),
+        ],
+    )
+    bp = {r["gram"]: r["n_docs"] for r in boilerplate_ngrams(docs, n=5, min_docs=2).collect()}
+    assert bp[_FOOTER] == 2  # 2 docs, not 3 occurrences
+
+
+def test_boilerplate_fraction_counts_slots(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", _FOOTER),  # 1 gram, boilerplate → frac 1.0
+            (2, "s", "one two three four five six " + _FOOTER),
+            (3, "s", "short"),  # no 5-grams → zeros
+        ],
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_fraction(docs, n=5, min_docs=2).collect()}
+    assert rows[1]["boiler_frac"] == 1.0
+    assert rows[2]["n_boiler"] == 1 and rows[2]["n_grams"] == 7
+    assert rows[2]["boiler_frac"] == round(1 / 7, 6)
+    assert rows[3]["n_grams"] == 0 and rows[3]["boiler_frac"] == 0.0
+
+
+# ---------------------------------------------------------------- unigram CE
+
+
+def test_unigram_lm_costs_are_integer_micronats(spark):
+    # corpus: "a a a b" → total 4, p(a)=3/4, p(b)=1/4
+    docs = _docs(spark, [(1, "s", "a a a b")])
+    lm = {r["word"]: r for r in unigram_lm(docs).collect()}
+    assert lm["a"]["cost_micro"] == round(round(math.log(4 / 3), 6) * 1e6)
+    assert lm["b"]["cost_micro"] == round(round(math.log(4), 6) * 1e6)
+
+
+def test_doc_cross_entropy_orders_docs_by_surprisal(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "the the the the the the the the"),  # all-stopword doc
+            (2, "s", "the the the the rare1 rare2 rare3 rare4"),  # diverging doc
+            (3, "s", ""),  # empty → zeros
+        ],
+    )
+    rows = {r["doc_id"]: r for r in doc_cross_entropy(docs).collect()}
+    assert rows[1]["avg_nats"] < rows[2]["avg_nats"]
+    assert rows[3]["n_tokens"] == 0 and rows[3]["ce_total_micro"] == 0
+    assert rows[3]["avg_nats"] == 0.0
+    # exact integer check on doc 1: p(the)=12/16 → 8 tokens × cost(12/16)
+    cost_the = round(round(math.log(16 / 12), 6) * 1e6)
+    assert rows[1]["ce_total_micro"] == 8 * cost_the
+
+
+def test_tfidf_top_terms_rank_and_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "common zebra zebra apple"),
+            (2, "s", "common other words here"),
+        ],
+    )
+    rows = tfidf_top_terms(docs, k=2).where("doc_id = 1").orderBy("rnk").collect()
+    # zebra: tf=2 × idf(ln2) beats apple tf=1; 'common' in every doc → idf 0
+    assert [r["word"] for r in rows] == ["zebra", "apple"]
+    assert all(r["score_micro"] > 0 for r in rows)
+    idf2 = round(round(math.log(2), 6) * 1e6)
+    assert rows[0]["score_micro"] == 2 * idf2
+    assert rows[1]["score_micro"] == 1 * idf2
+
+
+def test_tfidf_word_in_every_doc_scores_zero(spark):
+    docs = _docs(spark, [(1, "s", "common"), (2, "s", "common")])
+    rows = tfidf_top_terms(docs, k=1).collect()
+    assert all(r["score_micro"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------- plan shape
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    """The corpus side must stay shuffle-free until its own groupBy:
+    the eval n-gram set joins as a broadcast hash join."""
+    docs = _docs(spark, [(i, "s", f"w{i} " * 10) for i in range(20)])
+    plan = (
+        contamination(docs, docs.limit(2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -134,6 +134,50 @@ def test_kg_run_domain_cap_and_corpus_export(spark, tmp_path):
     assert all("spark engine" in t for t in corpus.values())
 
 
+def test_kg_run_decontam_gate(spark, tmp_path):
+    """Opt-in benchmark decontamination in the runner: a page whose
+    extracted text is a verbatim eval-suite copy drops before
+    segmentation; the pages_decontam_gate lineage row pins in/kept and
+    pages_text still materializes exactly once."""
+    good = ("the spark engine processes a perfectly ordinary paragraph "
+            "of english text with enough words to pass the length gate "
+            "comfortably and a pleasant mean word length overall")
+    leaked = ("this exact benchmark prompt sentence must never appear "
+              "inside the training corpus after the decontamination "
+              "stage has run to completion")
+
+    def page(u, body):
+        return (u, (f"<html><body><p>{body}</p></body></html>").encode())
+
+    rows = [
+        page("https://a.example/1", good + " one"),
+        page("https://a.example/2", leaked),  # verbatim eval copy
+        page("https://a.example/3", good + " three"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    eval_df = spark.createDataFrame(
+        [("eval://1", leaked)], "url string, text string"
+    )
+    work = str(tmp_path / "kgd")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="d1",
+        decontam_eval=eval_df, export_corpus=True,
+    )
+    lineage = {r["stage"]: r for r in
+               spark.read.parquet(f"{work}/lineage").collect()
+               if r["partition_range"] == "all"}
+    assert lineage["pages_text"]["output_rows"] == 3  # extractor ran once
+    gate = lineage["pages_decontam_gate"]
+    assert gate["input_rows"] == 3 and gate["output_rows"] == 2
+    kept = {
+        r["url"]
+        for r in spark.read.parquet(f"{work}/stages/d1/pages_decontam").collect()
+    }
+    assert kept == {"https://a.example/1", "https://a.example/3"}
+    corpus = {r["url"] for r in out["corpus"].collect()}
+    assert corpus == kept
+
+
 def test_mega_domain_skew_and_salting(spark):
     pages = generate_pages(spark, 400, partitions=4)
     dom_counts = (
