@@ -1328,9 +1328,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
+    # ------------------------------------------------ line-level dedup
+    def line_dedup_clean(spark, sf_dir):
+        """CCNet duplicated-line removal over a line-structured view of
+        the documents table: body text is chunked into 12-word lines
+        (the synthetic corpus has no newlines) and every doc gains a
+        per-source footer line; digit-folded normalization makes all
+        footers one template line, which the operator strips while
+        rebuilding body text in order."""
+        from pdf_metadata_extraction_spark.operators.boilerplate import (
+            drop_duplicated_lines,
+        )
+
+        d = _t(spark, sf_dir, "documents").where("doc_id < 300")
+        lined = d.select(
+            "doc_id",
+            F.expr(
+                "concat("
+                " array_join("
+                "  transform(sequence(1, (size(split(text, ' ')) + 11) div 12),"
+                "            i -> array_join(slice(split(text, ' '),"
+                "                                  (i-1)*12 + 1, 12), ' ')),"
+                "  '\\n'),"
+                " '\\nfooter of ', source)"
+            ).alias("text"),
+        )
+        return drop_duplicated_lines(lined, min_docs=2)
+
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 75. Policy (re-applied every round):
+    # queries; the registry holds 76. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1340,9 +1367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the six NEW corpus-hygiene queries
+    # Round-5 head = the seven NEW corpus-hygiene queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
-    # unigram_ce, tfidf_topk, dup_span_pairs) + the 12 CORRECTNESS_r04-unsampled
+    # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean) + the 12 CORRECTNESS_r04-unsampled
     # queries + the 6 link/url-corpus queries whose fixtures changed
     # this round (PSL 3-label hosts, nested-markup anchors, nofollow
     # nav anchors, single-pass %-decode) + the seven earlier round-5
@@ -1362,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ce": unigram_ce,
         "tfidf_topk": tfidf_topk,
         "dup_span_pairs": dup_span_pairs,
+        "line_dedup_clean": line_dedup_clean,
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
         "pii_scrub": pii_scrub,
@@ -3152,6 +3180,47 @@ FROM ranked WHERE rnk <= 3
         "FROM live a JOIN live b ON a.fp = b.fp AND a.id < b.id\n"
         "GROUP BY 1, 2 HAVING count(*) >= 20"
     )
+    # line dedup: the 12-word chunking + footer injection mirrored, then
+    # the same hash → per-doc-distinct count → anti-join → positional
+    # rebuild chain as drop_duplicated_lines (digit-fold normalization)
+    out["line_dedup_clean"] = """
+WITH src AS (
+  SELECT doc_id,
+    concat(
+      array_to_string(
+        list_transform(range(1, (len(string_split(text, ' ')) + 11) // 12 + 1),
+          i -> array_to_string(string_split(text, ' ')[(i-1)*12+1 : (i-1)*12+12], ' ')),
+        chr(10)),
+      chr(10), 'footer of ', source) AS text
+  FROM documents WHERE doc_id < 300),
+lines AS (
+  SELECT doc_id,
+    unnest([struct_pack(pos := i, line := ls[i])
+            FOR i IN generate_series(1, len(ls))]) AS u
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src)),
+hashed AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line,
+    CAST(concat('0x', substr(md5(
+      regexp_replace(lower(trim(u.line)), '[0-9]', '0', 'g')), 1, 15))
+      AS BIGINT) AS lh
+  FROM lines),
+dup AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM hashed)
+        GROUP BY lh HAVING count(*) >= 2),
+kept AS (SELECT h.doc_id, h.pos, h.line FROM hashed h
+         LEFT JOIN dup d USING (lh) WHERE d.lh IS NULL),
+reb AS (SELECT doc_id,
+    array_to_string(list_transform(
+      list_sort(list(struct_pack(pos := pos, line := line))),
+      s -> s.line), chr(10)) AS text_clean,
+    CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM hashed GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean, t.n_lines,
+  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
     out["ivf_ann_topk"] = out["cosine_topk"]
     # sign-LSH is deterministic (md5 hyperplanes) → the oracle mirrors it
     # exactly; the recall gate additionally pins recall@3 ≥ 0.9 vs exact

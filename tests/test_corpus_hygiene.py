@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pdf_metadata_extraction_spark.operators.boilerplate import (
     boilerplate_fraction,
     boilerplate_ngrams,
+    drop_duplicated_lines,
 )
 from pdf_metadata_extraction_spark.operators.corpus_lm import (
     doc_cross_entropy,
@@ -154,6 +155,42 @@ def test_boilerplate_fraction_counts_slots(spark):
     assert rows[2]["n_boiler"] == 1 and rows[2]["n_grams"] == 7
     assert rows[2]["boiler_frac"] == round(1 / 7, 6)
     assert rows[3]["n_grams"] == 0 and rows[3]["boiler_frac"] == 0.0
+
+
+def test_line_dedup_strips_templates_and_folds_digits(spark):
+    """CCNet line removal: the digit-folded normalization treats
+    'Page 1 of 7' and 'Page 3 of 9' as one template line; unique body
+    lines survive in original order; an all-template doc comes back
+    empty (not missing)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique article one\nPage 1 of 7\ncopyright acme corp"),
+            (2, "another body here\nPage 3 of 9\ncopyright acme corp"),
+            (3, "totally unique\nno template"),
+            (4, "copyright acme corp"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in drop_duplicated_lines(docs, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "unique article one"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_dropped"]) == (3, 1, 2)
+    assert out[2]["text_clean"] == "another body here"
+    assert out[3]["text_clean"] == "totally unique\nno template"
+    assert out[3]["n_dropped"] == 0
+    assert out[4]["n_kept"] == 0 and out[4]["text_clean"] == ""
+
+
+def test_line_dedup_preserves_order_of_kept_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta\nshared line\ngamma"),
+            (2, "shared line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in drop_duplicated_lines(docs, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "alpha\nbeta\ngamma"
+    assert out[1]["n_dropped"] == 2  # both occurrences of the shared line
 
 
 # ---------------------------------------------------------------- unigram CE
