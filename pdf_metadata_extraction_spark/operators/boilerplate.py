@@ -78,6 +78,34 @@ def boilerplate_ngrams(
     )
 
 
+def line_hash_col(line_col: str):
+    """64-bit hash of the CCNet-normalized line: lowercase, trim,
+    digits folded to ``0``, md5 15-hex-prefix → BIGINT (the repo's
+    cross-engine deterministic hash recipe)."""
+    norm = F.regexp_replace(F.lower(F.trim(line_col)), "[0-9]", "0")
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def duplicated_line_hashes(
+    lines: DataFrame, id_col: str, line_col: str, min_docs: int
+) -> DataFrame:
+    """Hashes of normalized lines occurring in >= ``min_docs`` distinct
+    documents: one ``lh`` column.  Votes are deduped per (doc, hash)
+    BEFORE the count, so a doc repeating its own footer still votes
+    once.  Works on any already-exploded (doc, line) frame — raw text
+    lines or pipeline segments alike."""
+    return (
+        lines.select(
+            F.col(id_col).alias("_id"), line_hash_col(line_col).alias("lh")
+        )
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .where(F.col("_n") >= min_docs)
+        .select("lh")
+    )
+
+
 def drop_duplicated_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,22 +133,11 @@ def drop_duplicated_lines(
     first.  Reassembly is ONE groupBy on the doc key with a positional
     struct sort inside the row.
     """
-    norm = F.regexp_replace(F.lower(F.trim("line")), "[0-9]", "0")
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn(
-        "lh",
-        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"),
-    )
-    dup = (
-        lines.select("id", "lh")
-        .distinct()
-        .groupBy("lh")
-        .agg(F.count("*").cast("long").alias("_n"))
-        .where(F.col("_n") >= min_docs)
-        .select("lh")
-    )
+    ).withColumn("lh", line_hash_col("line"))
+    dup = duplicated_line_hashes(lines, "id", "line", min_docs)
     kept = lines.join(dup, "lh", "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(

@@ -42,6 +42,7 @@ def run_kg_pipeline(
     quality_gate: bool = False,
     decontam_eval: DataFrame | None = None,
     domain_cap: int | None = None,
+    segment_dedup: int | None = None,
     export_corpus: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
@@ -87,6 +88,17 @@ def run_kg_pipeline(
     uncapped — an unattributable page must not share one global
     NULL-stratum budget. Runs after the quality gate; records a
     ``pages_domain_cap`` lineage row.
+
+    ``segment_dedup``: opt-in boilerplate-segment gate (round-5) — a
+    segment whose CCNet-normalized text (lowercase, trimmed, digits
+    folded) recurs across >= ``segment_dedup`` distinct pages is
+    template text (nav bar, cookie banner, footer) and is dropped
+    BEFORE entity linking, so boilerplate never emits mention triples.
+    The kept segments are their own checkpointed ``segments_kept``
+    stage and a ``segments_boiler_gate`` lineage row records segments
+    in/kept.  This gates the KG product only; the corpus export keeps
+    full page text (boilerplate.drop_duplicated_lines is the
+    text-level tool).
 
     ``export_corpus``: opt-in final product for a TRAINING-DATA run —
     the (url, text) corpus of every page that survived all enabled
@@ -278,6 +290,32 @@ def run_kg_pipeline(
     # the same layout (SURVEY.md §7.3 #4)
     segs = with_salt(segs, "url", n_salt)
     segs = lw.checkpoint_stage("segments", segs, partition_by=["salt"])
+
+    if segment_dedup is not None:
+        from pdf_metadata_extraction_spark.operators.boilerplate import (
+            duplicated_line_hashes,
+            line_hash_col,
+        )
+
+        ts = time.monotonic()
+        n_in_s = segs.count()
+        dup = duplicated_line_hashes(
+            segs, "url", "text", min_docs=segment_dedup
+        )
+        kept = (
+            segs.withColumn("lh", line_hash_col("text"))
+            .join(dup, "lh", "left_anti")
+            .drop("lh")
+        )
+        segs = lw.checkpoint_stage(
+            "segments_kept", kept, input_rows=n_in_s,
+            partition_by=["salt"],
+        )
+        lw.record(
+            "segments_boiler_gate", input_rows=n_in_s,
+            output_rows=segs.count(),
+            wall_ms=int((time.monotonic() - ts) * 1000),
+        )
 
     linked = link_options(segs, options).where(F.size("values") > 0)
     linked = lw.checkpoint_stage("linked", linked, partition_by=["salt"])

@@ -178,6 +178,47 @@ def test_kg_run_decontam_gate(spark, tmp_path):
     assert corpus == kept
 
 
+def test_kg_run_segment_boiler_gate(spark, tmp_path):
+    """Opt-in segment_dedup: a footer segment recurring across pages
+    (CCNet-normalized, so differing years still match) is dropped
+    BEFORE entity linking — boilerplate text emits no mention triples —
+    while unique body segments still link; lineage pins segments
+    in/kept."""
+    def page(u, body, year):
+        return (u, (
+            f"<html><body><p>{body}</p>"
+            f"<p>copyright resolution {year} all rights reserved</p>"
+            "</body></html>"
+        ).encode())
+
+    rows = [
+        page("https://a.example/1", "the spark engine body one", 2023),
+        page("https://a.example/2", "a different spark body two", 2024),
+        page("https://a.example/3", "third unique spark body", 2025),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgs")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="s1", segment_dedup=2
+    )
+    lineage = {r["stage"]: r for r in
+               spark.read.parquet(f"{work}/lineage").collect()
+               if r["partition_range"] == "all"}
+    gate = lineage["segments_boiler_gate"]
+    assert gate["input_rows"] == 6 and gate["output_rows"] == 3
+    # obj carries the option_id: "0" = spark (body), "3" = resolution
+    # (the footer's dictionary term)
+    objs = {r["obj"] for r in out["edges"].collect()}
+    assert "0" in objs       # body segments still link
+    assert "3" not in objs   # footer never reached the linker
+
+    # control: without the gate the footer DOES emit the triple
+    out2 = run_kg_pipeline(
+        spark, pages, _options(spark), str(tmp_path / "kgs2"), run_id="s2"
+    )
+    assert "3" in {r["obj"] for r in out2["edges"].collect()}
+
+
 def test_mega_domain_skew_and_salting(spark):
     pages = generate_pages(spark, 400, partitions=4)
     dom_counts = (
