@@ -1355,9 +1355,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return drop_duplicated_lines(lined, min_docs=2)
 
+    # ------------------------------------------------ sequence packing
+    def packed_sequences(spark, sf_dir):
+        """GPT-style training-sequence placement table: documents
+        concatenated in deterministic (md5, id) order, chunked at 128
+        tokens; the global offsets come from the distributed two-pass
+        prefix sum (never a single-partition global window)."""
+        from pdf_metadata_extraction_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        return pack_sequences(
+            _t(spark, sf_dir, "documents"), seq_len=128, num_ranges=8
+        )
+
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 76. Policy (re-applied every round):
+    # queries; the registry holds 77. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1367,9 +1381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the seven NEW corpus-hygiene queries
+    # Round-5 head = the eight NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
-    # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean) + the 12 CORRECTNESS_r04-unsampled
+    # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
+    # packed_sequences) + the 12 CORRECTNESS_r04-unsampled
     # queries + the 6 link/url-corpus queries whose fixtures changed
     # this round (PSL 3-label hosts, nested-markup anchors, nofollow
     # nav anchors, single-pass %-decode) + the seven earlier round-5
@@ -1390,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": tfidf_topk,
         "dup_span_pairs": dup_span_pairs,
         "line_dedup_clean": line_dedup_clean,
+        "packed_sequences": packed_sequences,
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
         "pii_scrub": pii_scrub,
@@ -3220,6 +3236,33 @@ SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean, t.n_lines,
   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
   CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+    # sequence packing: the oracle uses the plain global-window cumsum
+    # (fine in one DuckDB process); the Spark side must produce the
+    # IDENTICAL offsets from its distributed two-pass prefix sum
+    out["packed_sequences"] = """
+WITH counts AS (
+  SELECT doc_id AS id,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+offs AS (
+  SELECT id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (
+      ORDER BY md5(CAST(id AS VARCHAR)), id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM counts),
+live AS (SELECT * FROM offs WHERE n_tokens > 0),
+pieces AS (
+  SELECT id, off, n_tokens,
+    unnest(range(off // 128, (off + n_tokens - 1) // 128 + 1)) AS seq_id
+  FROM live)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, id AS doc_id,
+  CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS tok_start_in_doc,
+  CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS start_in_seq,
+  CAST(least(off + n_tokens, seq_id * 128 + 128)
+       - greatest(off, seq_id * 128) AS BIGINT) AS n_piece
+FROM pieces
 """
     out["ivf_ann_topk"] = out["cosine_topk"]
     # sign-LSH is deterministic (md5 hyperplanes) → the oracle mirrors it
