@@ -1355,6 +1355,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return drop_duplicated_lines(lined, min_docs=2)
 
+    # ------------------------------------------------ CE quality tiers
+    def ce_quality_tiers(spark, sf_dir):
+        """CCNet perplexity-tier split (head/middle/tail) by corpus
+        unigram cross-entropy; rank from the distributed two-pass
+        global_rank, tier by exact integer arithmetic."""
+        from pdf_metadata_extraction_spark.operators.corpus_lm import (
+            ce_quality_tiers as tiers,
+        )
+
+        return tiers(_t(spark, sf_dir, "documents"), n_tiles=3)
+
     # ------------------------------------------------ sequence packing
     def packed_sequences(spark, sf_dir):
         """GPT-style training-sequence placement table: documents
@@ -1371,7 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 77. Policy (re-applied every round):
+    # queries; the registry holds 78. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1381,10 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the eight NEW corpus-hygiene/packing queries
+    # Round-5 head = the nine NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
-    # packed_sequences) + the 12 CORRECTNESS_r04-unsampled
+    # packed_sequences, ce_quality_tiers) + the 12 CORRECTNESS_r04-unsampled
     # queries + the 6 link/url-corpus queries whose fixtures changed
     # this round (PSL 3-label hosts, nested-markup anchors, nofollow
     # nav anchors, single-pass %-decode) + the seven earlier round-5
@@ -1406,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_pairs": dup_span_pairs,
         "line_dedup_clean": line_dedup_clean,
         "packed_sequences": packed_sequences,
+        "ce_quality_tiers": ce_quality_tiers,
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
         "pii_scrub": pii_scrub,
@@ -3264,6 +3276,16 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id, id AS doc_id,
        - greatest(off, seq_id * 128) AS BIGINT) AS n_piece
 FROM pieces
 """
+    # CE tiers: the unigram-CE CTE reused verbatim, then the plain
+    # global row_number the Spark side must reproduce distributed
+    out["ce_quality_tiers"] = (
+        "WITH ce AS (" + out["unigram_ce"] + "),\n"
+        "r AS (SELECT doc_id, avg_nats,\n"
+        "        row_number() OVER (ORDER BY avg_nats, doc_id) AS rn,\n"
+        "        count(*) OVER () AS n FROM ce)\n"
+        "SELECT doc_id, avg_nats,\n"
+        "  CAST((rn - 1) * 3 // n + 1 AS INT) AS tier FROM r"
+    )
     out["ivf_ann_topk"] = out["cosine_topk"]
     # sign-LSH is deterministic (md5 hyperplanes) → the oracle mirrors it
     # exactly; the recall gate additionally pins recall@3 ≥ 0.9 vs exact

@@ -161,7 +161,7 @@ def main() -> None:
         "incremental_lsh_candidates", "hash_sample_slice",
         "stratified_domain_cap", "decontam_overlap", "boilerplate_ngrams",
         "boilerplate_doc_frac", "unigram_ce", "tfidf_topk", "dup_span_pairs",
-        "line_dedup_clean", "packed_sequences",
+        "line_dedup_clean", "packed_sequences", "ce_quality_tiers",
     ]:
         fn = run_query(name)
         fn()

@@ -116,6 +116,39 @@ def doc_cross_entropy(
     )
 
 
+def ce_quality_tiers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tiles: int = 3,
+) -> DataFrame:
+    """CCNet's perplexity-tier split (head/middle/tail, Wenzek et al.
+    2020 §4.3) on the corpus's own unigram cross-entropy: documents
+    ranked by (avg_nats, id) — a total order — and bucketed into
+    ``n_tiles`` tiers by exact integer arithmetic
+    ``tier = (rank-1) * n_tiles div total + 1`` (tier 1 = lowest
+    surprisal = head).  The rank comes from the distributed two-pass
+    ``global_rank`` (range partition + broadcast prefixes), never a
+    single-task global window; total rides in as a broadcast one-row
+    count.  Output: (id, avg_nats, tier)."""
+    from pdf_metadata_extraction_spark.operators.packing import global_rank
+
+    ce = doc_cross_entropy(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "avg_nats"
+    )
+    ranked = global_rank(ce, ["avg_nats", "id"])
+    total = ce.agg(F.count("*").cast("long").alias("_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("id").alias(id_col),
+        "avg_nats",
+        (
+            F.expr("(rnk - 1) * %d div _total" % n_tiles) + F.lit(1)
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -115,6 +115,49 @@ def with_global_offsets(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    num_ranges: int = 32,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """1-based dense global rank over a TOTAL order (``order_cols``
+    must be tie-free), computed with the same two-pass discipline as
+    ``with_global_offsets`` — range partition on the order key,
+    per-range row counts collected (rows == num_ranges), broadcast
+    prefixes, intra-range ``row_number`` — never a single-task global
+    window.  The result is independent of ``num_ranges`` and input
+    layout for the same reason the offsets are."""
+    keyed = df.repartitionByRange(num_ranges, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["_n"]
+        for r in keyed.groupBy("_pid")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pref_df = F.broadcast(
+        keyed.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in prefix.items()],
+            "_pid int, _prefix long",
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        keyed.join(pref_df, "_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_prefix") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_pid", "_prefix")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

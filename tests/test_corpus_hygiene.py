@@ -19,6 +19,7 @@ from pdf_metadata_extraction_spark.operators.boilerplate import (
     drop_duplicated_lines,
 )
 from pdf_metadata_extraction_spark.operators.corpus_lm import (
+    ce_quality_tiers,
     doc_cross_entropy,
     tfidf_top_terms,
     unigram_lm,
@@ -220,6 +221,25 @@ def test_doc_cross_entropy_orders_docs_by_surprisal(spark):
     # exact integer check on doc 1: p(the)=12/16 → 8 tokens × cost(12/16)
     cost_the = round(round(math.log(16 / 12), 6) * 1e6)
     assert rows[1]["ce_total_micro"] == 8 * cost_the
+
+
+def test_ce_quality_tiers_head_middle_tail(spark):
+    """CCNet tier split: repetitive low-surprisal docs land in tier 1
+    (head), diverging docs in the top tier; tiers partition the corpus
+    into near-equal integer buckets."""
+    docs = _docs(
+        spark,
+        [(i, "s", "the common words appear here again " * 3) for i in range(4)]
+        + [(10, "s", "zxq gibberish unrepeatable tokenstream wqz")]
+        + [(11, "s", "the common words appear here again rare1")],
+    )
+    rows = {r["doc_id"]: r for r in ce_quality_tiers(docs, n_tiles=3).collect()}
+    assert len(rows) == 6
+    assert rows[10]["tier"] == 3          # highest surprisal → tail
+    assert all(rows[i]["tier"] == 1 for i in range(2))  # head = lowest CE
+    from collections import Counter
+    sizes = Counter(r["tier"] for r in rows.values())
+    assert sizes == {1: 2, 2: 2, 3: 2}
 
 
 def test_tfidf_top_terms_rank_and_tiebreak(spark):
