@@ -44,6 +44,7 @@ def run_kg_pipeline(
     domain_cap: int | None = None,
     segment_dedup: int | None = None,
     export_corpus: bool = False,
+    pack_seq_len: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
     DataFrames {segments, linked, edges, nodes} (+ {host_edges,
@@ -104,6 +105,15 @@ def run_kg_pipeline(
     the (url, text) corpus of every page that survived all enabled
     gates, checkpointed as the ``corpus_export`` stage (the table a
     tokenizer/packing job consumes; Iceberg in production).
+
+    ``pack_seq_len``: opt-in training-sequence manifest (round-5,
+    requires ``export_corpus``) — the exported corpus is packed
+    GPT-style (operators.packing.pack_sequences: deterministic md5
+    order, distributed two-pass prefix sum) into ``pack_seq_len``-token
+    sequences; the placement table checkpoints as the
+    ``sequence_manifest`` stage and a ``sequence_packing`` lineage row
+    records corpus-docs-in vs sequences-out, completing the
+    crawl → gates → corpus → tokenizer-feed lineage end-to-end.
 
     ``link_graph``: opt-in web-graph product — RFC 3986-resolved
     anchors lifted to the host-level link graph (``host_edges`` stage)
@@ -257,6 +267,26 @@ def run_kg_pipeline(
         # texts of pages every enabled gate kept
         corpus = txt.join(pages.select("url"), "url", "left_semi")
         out_extra["corpus"] = lw.checkpoint_stage("corpus_export", corpus)
+        if pack_seq_len is not None:
+            from pdf_metadata_extraction_spark.operators.packing import (
+                pack_sequences,
+            )
+
+            tp = time.monotonic()
+            manifest = pack_sequences(
+                out_extra["corpus"], pack_seq_len,
+                id_col="url", text_col="text",
+            )
+            out_extra["sequences"] = lw.checkpoint_stage(
+                "sequence_manifest", manifest
+            )
+            lw.record(
+                "sequence_packing",
+                input_rows=out_extra["corpus"].count(),
+                output_rows=out_extra["sequences"]
+                .select("seq_id").distinct().count(),
+                wall_ms=int((time.monotonic() - tp) * 1000),
+            )
     if link_graph:
         from pdf_metadata_extraction_spark.operators.graph import (
             pagerank_fixed,

@@ -178,6 +178,41 @@ def test_kg_run_decontam_gate(spark, tmp_path):
     assert corpus == kept
 
 
+def test_kg_run_sequence_manifest(spark, tmp_path):
+    """Opt-in pack_seq_len: the exported corpus gains a checkpointed
+    sequence_manifest stage whose pieces tile every corpus doc exactly;
+    the sequence_packing lineage row records docs-in vs sequences-out."""
+    def page(u, body):
+        return (u, (f"<html><body><p>{body}</p></body></html>").encode())
+
+    rows = [
+        page("https://a.example/1", "spark two three four five"),
+        page("https://a.example/2", "six seven eight"),
+        page("https://a.example/3", "nine ten"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgp")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="p1",
+        export_corpus=True, pack_seq_len=4,
+    )
+    man = out["sequences"].collect()
+    assert sum(p["n_piece"] for p in man) == 10  # every token placed
+    # 10 tokens at L=4 → sequences 0,1 full (4 tokens), 2 holds 2
+    per_seq = {}
+    for p in man:
+        per_seq[p["seq_id"]] = per_seq.get(p["seq_id"], 0) + p["n_piece"]
+    assert per_seq[0] == 4 and per_seq[1] == 4 and per_seq[2] == 2
+    lineage = {r["stage"]: r for r in
+               spark.read.parquet(f"{work}/lineage").collect()
+               if r["partition_range"] == "all"}
+    pk = lineage["sequence_packing"]
+    assert pk["input_rows"] == 3 and pk["output_rows"] == 3
+    # the manifest stage is on disk and resumable like any other stage
+    disk = spark.read.parquet(f"{work}/stages/p1/sequence_manifest")
+    assert disk.count() == len(man)
+
+
 def test_kg_run_segment_boiler_gate(spark, tmp_path):
     """Opt-in segment_dedup: a footer segment recurring across pages
     (CCNet-normalized, so differing years still match) is dropped
