@@ -1299,6 +1299,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold_den=2,
         )
 
+    def decontam_scrubbed(spark, sf_dir):
+        """Span-level decontamination surgery (Lee et al. 2022
+        discipline applied to benchmark overlap): tokens covered by an
+        eval-colliding 7-gram are removed and the rest of the document
+        is rebuilt in order — the page survives, the quote does not."""
+        from pdf_metadata_extraction_spark.operators.decontam import (
+            scrub_contaminated_spans,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        return scrub_contaminated_spans(
+            d.where(f"NOT ({_EVAL_PRED})").where("doc_id < 200"),
+            d.where(_EVAL_PRED),
+            n=7,
+        )
+
     # ------------------------------------------------ boilerplate
     def boilerplate_ngrams(spark, sf_dir):
         from pdf_metadata_extraction_spark.operators.boilerplate import (
@@ -1382,7 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 78. Policy (re-applied every round):
+    # queries; the registry holds 79. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1392,10 +1408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the nine NEW corpus-hygiene/packing queries
+    # Round-5 head = the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
-    # packed_sequences, ce_quality_tiers) + the 12 CORRECTNESS_r04-unsampled
+    # packed_sequences, ce_quality_tiers, decontam_scrubbed) + the 12 CORRECTNESS_r04-unsampled
     # queries + the 6 link/url-corpus queries whose fixtures changed
     # this round (PSL 3-label hosts, nested-markup anchors, nofollow
     # nav anchors, single-pass %-decode) + the seven earlier round-5
@@ -1418,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_clean": line_dedup_clean,
         "packed_sequences": packed_sequences,
         "ce_quality_tiers": ce_quality_tiers,
+        "decontam_scrubbed": decontam_scrubbed,
         # -- head: unsampled in r04 and/or changed in r05
         "pages_roundtrip": pages_roundtrip,
         "pii_scrub": pii_scrub,
@@ -3129,6 +3146,45 @@ SELECT t.doc_id,
     AS contaminated
 FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
 WHERE NOT t.is_ev
+"""
+    # span surgery: eval grams as in decontam_overlap; hit grams expand
+    # to member token positions; kept tokens rebuild positionally
+    out["decontam_scrubbed"] = f"""
+WITH toks0 AS (SELECT doc_id, {_WSQL} AS w, {_EV_SQL} AS is_ev FROM documents),
+corpus AS (SELECT doc_id, w FROM toks0 WHERE NOT is_ev AND doc_id < 200),
+evg AS (SELECT DISTINCT gram FROM (
+  SELECT unnest(CASE WHEN len(w) >= 7
+    THEN list_transform(range(1, len(w)-5), i -> array_to_string(w[i:i+6], ' '))
+    ELSE [] END) AS gram
+  FROM toks0 WHERE is_ev)),
+grams AS (SELECT doc_id,
+  unnest(CASE WHEN len(w) >= 7
+    THEN list_transform(range(1, len(w)-5),
+         i -> struct_pack(s := i, gram := array_to_string(w[i:i+6], ' ')))
+    ELSE [] END) AS g
+  FROM corpus),
+hits AS (SELECT gr.doc_id, gr.g.s AS s FROM grams gr
+         JOIN evg ON gr.g.gram = evg.gram),
+covered AS (SELECT DISTINCT doc_id, pos FROM
+  (SELECT doc_id, unnest(range(s, s + 7)) AS pos FROM hits)),
+tokpos AS (SELECT doc_id,
+  unnest(list_transform(range(1, len(w) + 1),
+         i -> struct_pack(pos := i, word := w[i]))) AS t
+  FROM corpus),
+kept AS (SELECT tp.doc_id, tp.t.pos AS pos, tp.t.word AS word
+         FROM tokpos tp LEFT JOIN covered c
+           ON tp.doc_id = c.doc_id AND tp.t.pos = c.pos
+         WHERE c.pos IS NULL),
+reb AS (SELECT doc_id,
+    array_to_string(list_transform(
+      list_sort(list(struct_pack(pos := pos, word := word))),
+      s -> s.word), ' ') AS text_clean,
+    CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM corpus)
+SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean, t.n_tokens,
+  CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
 """
     _GRAMS4_SQL = f"""
 toks AS (SELECT doc_id, source, {_WSQL} AS w FROM documents),

@@ -162,6 +162,7 @@ def main() -> None:
         "stratified_domain_cap", "decontam_overlap", "boilerplate_ngrams",
         "boilerplate_doc_frac", "unigram_ce", "tfidf_topk", "dup_span_pairs",
         "line_dedup_clean", "packed_sequences", "ce_quality_tiers",
+        "decontam_scrubbed",
     ]:
         fn = run_query(name)
         fn()

@@ -83,6 +83,80 @@ def eval_ngram_set(
     )
 
 
+def scrub_contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 7,
+) -> DataFrame:
+    """Span-level decontamination surgery: instead of dropping a
+    contaminated document wholesale, remove exactly the tokens covered
+    by any eval-colliding n-gram and rebuild the rest in order (the
+    removal discipline of Lee et al. 2022's exact-substring dedup,
+    aimed at benchmark overlap: a 10k-word page quoting one benchmark
+    question loses 7 tokens' worth of span, not the page).
+
+    Returns (id, text_clean, n_tokens, n_removed) — one row per corpus
+    doc; docs shorter than ``n`` words are untouched.
+
+    Scale shape: the eval gram set joins broadcast exactly as in
+    ``contamination``; hit grams explode to their ``n`` member token
+    positions (map-side), the kept-token anti-join runs on narrow
+    (id, pos) pairs, and the rebuild is ONE groupBy on the doc key
+    with an in-row positional sort — the same reassembly discipline as
+    boilerplate.drop_duplicated_lines.
+    """
+    toks = _tokens(corpus, id_col, text_col).select(
+        "id", F.posexplode_outer("_w").alias("pos0", "word")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "word")
+    grams = (
+        _tokens(corpus, id_col, text_col)
+        .select("id", F.posexplode(word_ngram_col("_w", n)).alias("gpos0", "gram"))
+        .select("id", (F.col("gpos0") + 1).alias("start"), "gram")
+    )
+    ev = F.broadcast(eval_ngram_set(eval_df, id_col, text_col, n))
+    covered = (
+        grams.join(ev, "gram", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.where(F.col("word").isNotNull()).join(
+        covered, ["id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = (
+        toks.groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("word").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 def contamination(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -27,6 +27,7 @@ from pdf_metadata_extraction_spark.operators.corpus_lm import (
 from pdf_metadata_extraction_spark.operators.decontam import (
     contamination,
     eval_ngram_set,
+    scrub_contaminated_spans,
     word_ngram_col,
 )
 
@@ -105,6 +106,39 @@ def test_eval_ngram_set_is_distinct(spark):
     )
     grams = eval_ngram_set(bench, n=3).collect()
     assert len(grams) == len({g["gram"] for g in grams})
+
+
+def test_scrub_removes_only_the_quoted_span(spark):
+    """A doc quoting a 7-word benchmark sentence mid-text loses exactly
+    the covered tokens; prose on both sides survives in order."""
+    bench = _docs(spark, [(100, "e", "q1 q2 q3 q4 q5 q6 q7")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "s", "intro words here q1 q2 q3 q4 q5 q6 q7 closing words after"),
+            (2, "s", "completely clean document with no benchmark overlap at all"),
+            (3, "s", "tiny doc"),  # shorter than n → untouched
+        ],
+    )
+    rows = {r["doc_id"]: r for r in
+            scrub_contaminated_spans(corpus, bench, n=7).collect()}
+    assert rows[1]["text_clean"] == "intro words here closing words after"
+    assert rows[1]["n_removed"] == 7
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["text_clean"].startswith("completely clean")
+    assert rows[3]["n_removed"] == 0 and rows[3]["text_clean"] == "tiny doc"
+
+
+def test_scrub_overlapping_hits_cover_union_not_sum(spark):
+    """Two overlapping hit grams cover the UNION of their positions
+    (distinct), not 2n tokens: an 8-token verbatim quote removes 8."""
+    bench = _docs(spark, [(100, "e", "q1 q2 q3 q4 q5 q6 q7 q8")])
+    corpus = _docs(
+        spark, [(1, "s", "a b c q1 q2 q3 q4 q5 q6 q7 q8 x y z")]
+    )
+    r = scrub_contaminated_spans(corpus, bench, n=7).collect()[0]
+    assert r["n_removed"] == 8
+    assert r["text_clean"] == "a b c x y z"
 
 
 # ---------------------------------------------------------------- boilerplate
