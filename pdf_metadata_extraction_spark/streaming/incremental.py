@@ -87,3 +87,63 @@ def run_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_decontam_gate(
+    pages_stream: DataFrame,
+    eval_df: DataFrame,
+    work_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    n: int = 7,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    available_now: bool = True,
+):
+    """Streaming benchmark-decontamination gate: every micro-batch is
+    judged against a STATIC eval suite and split into ``kept/`` and
+    ``dropped/`` parquet sinks (dropped rows carry their contam_frac
+    for audit).
+
+    The eval n-gram set is derived ONCE at start and persisted — each
+    batch pays only the broadcast join (operators/decontam: eval side
+    broadcast, batch side map-only), not the gram derivation. Both
+    sinks are ``batch_id``-keyed hive partitions overwritten whole on
+    replay — the same idempotent re-run contract as the incremental
+    dedup sink above.
+
+    Layout: ``{work_dir}/kept/batch_id=N/`` (id, text),
+    ``{work_dir}/dropped/batch_id=N/`` (id, contam_frac).
+    """
+    from pdf_metadata_extraction_spark.operators.decontam import (
+        contamination,
+        eval_ngram_set,
+    )
+
+    root = work_dir.rstrip("/")
+    ev = eval_ngram_set(eval_df, id_col, text_col, n).persist()
+    ev.count()  # eager: fill the cache before the first batch races it
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rep = contamination(
+            batch_df, None, id_col=id_col, text_col=text_col, n=n,
+            threshold_num=threshold_num, threshold_den=threshold_den,
+            eval_grams=ev,
+        ).select(id_col, "contam_frac", "contaminated")
+        judged = batch_df.select(id_col, text_col).join(rep, id_col)
+        judged.where(F.col("contaminated") == 0).select(
+            id_col, text_col
+        ).write.mode("overwrite").parquet(f"{root}/kept/batch_id={batch_id}")
+        judged.where(F.col("contaminated") == 1).select(
+            id_col, "contam_frac"
+        ).write.mode("overwrite").parquet(
+            f"{root}/dropped/batch_id={batch_id}"
+        )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{root}/ck")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

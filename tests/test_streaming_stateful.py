@@ -246,6 +246,51 @@ def test_streaming_incremental_dedup_durable_state(spark, tmp_path):
     assert spark.read.parquet(f"{work}/hashes").count() == 4
 
 
+def test_streaming_decontam_gate(spark, tmp_path):
+    """Round-5: the benchmark-decontamination gate as a streaming sink —
+    a verbatim eval copy arriving in any micro-batch lands in dropped/
+    with its contam_frac; clean pages land in kept/; the eval gram set
+    is static across batches."""
+    import json
+
+    from pdf_metadata_extraction_spark.streaming.incremental import (
+        run_decontam_gate,
+    )
+
+    leaked = ("this exact benchmark prompt sentence must never appear "
+              "inside the training corpus at all")
+    clean = ("a perfectly ordinary page of prose with enough words to "
+             "carry several n grams of its own")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()),
+         T.StructField("text", T.StringType())]
+    )
+    (feed / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"url": "u1", "text": clean},
+        {"url": "u2", "text": leaked},
+    ]))
+    (feed / "b2.jsonl").write_text(json.dumps(
+        {"url": "u3", "text": clean + " with a distinct tail"}
+    ))
+    eval_df = spark.createDataFrame(
+        [("e1", leaked)], "url string, text string"
+    )
+    work = str(tmp_path / "gate")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed))
+    q = run_decontam_gate(stream, eval_df, work)
+    q.awaitTermination(180)
+
+    kept = {r["url"] for r in spark.read.parquet(f"{work}/kept").collect()}
+    dropped = {r["url"]: r["contam_frac"]
+               for r in spark.read.parquet(f"{work}/dropped").collect()}
+    assert kept == {"u1", "u3"}
+    assert set(dropped) == {"u2"} and dropped["u2"] == 1.0
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps the first page per text hash
     across micro-batches with BOUNDED state (watermark horizon)."""
