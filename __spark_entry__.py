@@ -396,6 +396,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("label").alias("obj"),
         )
 
+    # ------------------------------------------------ knowledge fusion
+    def kg_fused_triples(spark, sf_dir):
+        """Conflicting-triple resolution (operators/fusion.fuse_edges):
+        every doc mentioning an entity asserts (entity, 'lang', its own
+        lang) — different docs disagree, fusion picks the majority lang
+        per entity by one-vote-per-source with a deterministic
+        tie-break, and reports support / competitors / confidence."""
+        from pdf_metadata_extraction_spark.operators.fusion import fuse_edges
+
+        d = _docs_norm(_t(spark, sf_dir, "documents"))
+        labels = spark.createDataFrame(
+            [(l,) for l in _ENTITY_LABELS], "label string"
+        )
+        edges = d.join(
+            F.broadcast(labels),
+            F.instr(
+                F.col("_norm"), F.concat(F.lit(" "), F.col("label"), F.lit(" "))
+            ) > 0,
+        ).select(
+            F.col("label").alias("subj"),
+            F.lit("lang").alias("pred"),
+            F.col("lang").alias("obj"),
+            F.col("doc_id").alias("provenance_url"),
+        )
+        return fuse_edges(edges)
+
+    # ------------------------------------------------ co-occurrence PMI
+    def entity_cooccurrence_pmi(spark, sf_dir):
+        """Edge discovery (operators/fusion.cooccurrence_pmi): entities
+        co-mentioned on one document more often than chance — pairs
+        generated row-locally from each doc's sorted mention set (no
+        mention⨝mention self-join), PMI in 6dp-rounded nats."""
+        from pdf_metadata_extraction_spark.operators.fusion import (
+            cooccurrence_pmi,
+        )
+
+        d = _docs_norm(_t(spark, sf_dir, "documents"))
+        labels = spark.createDataFrame(
+            [(l,) for l in _ENTITY_LABELS], "label string"
+        )
+        mentions = d.join(
+            F.broadcast(labels),
+            F.instr(
+                F.col("_norm"), F.concat(F.lit(" "), F.col("label"), F.lit(" "))
+            ) > 0,
+        ).select("doc_id", "label")
+        return cooccurrence_pmi(mentions, doc_col="doc_id", ent_col="label")
+
     # ------------------------------------------------ J4 positional zip
     def j4_zip_join(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
@@ -1398,7 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 79. Policy (re-applied every round):
+    # queries; the registry holds 81. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1408,7 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the ten NEW corpus-hygiene/packing queries
+    # Round-5 head = the two NEW fusion queries (kg_fused_triples,
+    # entity_cooccurrence_pmi) + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
     # packed_sequences, ce_quality_tiers, decontam_scrubbed) + the 12 CORRECTNESS_r04-unsampled
@@ -1418,13 +1467,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW queries (quality_gate_keep, link_graph_follow_only,
     # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
-    # stratified_domain_cap). Round-5 tail (25, all r04-green,
-    # untouched): quality_scores/quality_filter/encoding_signals/
-    # token_count/doc_fingerprint/winnow_fp/q1/skew_salted_count/
-    # bm25_topk/bm25_topk_indexed/lsh_ann_topk/lsh_recall_gate/f1/a3/
-    # x5/f5/a1/a2/a4/a5/w1/w2/w4/hourly/j4.
+    # stratified_domain_cap). Round-5 tail (>50, all r04-green,
+    # untouched): cosine_topk/ivf_ann_topk/embedding_near_dup/
+    # emb_entity_link/lang_id/lang_id_ngram/quality_scores/
+    # quality_filter/encoding_signals/token_count/doc_fingerprint/
+    # winnow_fp/q1/skew_salted_count/bm25_topk/bm25_topk_indexed/
+    # lsh_ann_topk/lsh_recall_gate/f1/a3/x5/f5/a1/a2/a4/a5/w1/w2/w4/
+    # hourly/j4.
     return {
         # -- head: NEW this round (never driver-sampled)
+        "kg_fused_triples": kg_fused_triples,
+        "entity_cooccurrence_pmi": entity_cooccurrence_pmi,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -2719,6 +2772,59 @@ FROM (SELECT doc_id, concat(' ', lower(regexp_replace(text, '\\s+', ' ', 'g')), 
       FROM documents) d
 JOIN (VALUES {labels_values}) AS o(label)
   ON position(concat(' ', o.label, ' ') IN d._norm) > 0
+""",
+        "kg_fused_triples": f"""
+WITH votes AS (
+  SELECT DISTINCT label AS subj, 'lang' AS pred, lang AS obj, doc_id AS src
+  FROM (SELECT doc_id, lang,
+               concat(' ', lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS _norm
+        FROM documents) d
+  JOIN (VALUES {labels_values}) AS o(label)
+    ON position(concat(' ', o.label, ' ') IN d._norm) > 0
+  WHERE lang IS NOT NULL
+), sup AS (
+  SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS support
+  FROM votes GROUP BY 1, 2, 3
+), tot AS (
+  SELECT subj, pred, CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+  FROM votes GROUP BY 1, 2
+), w AS (
+  SELECT subj, pred, obj, support,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY support DESC, obj) AS rn,
+         CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT) AS n_objs
+  FROM sup
+)
+SELECT w.subj, w.pred, w.obj, w.support, w.n_objs, t.n_sources,
+       round(w.support / t.n_sources, 6) AS confidence
+FROM w JOIN tot t ON w.subj = t.subj AND w.pred = t.pred
+WHERE w.rn = 1
+""",
+        "entity_cooccurrence_pmi": f"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, label
+  FROM (SELECT doc_id,
+               concat(' ', lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS _norm
+        FROM documents) d
+  JOIN (VALUES {labels_values}) AS o(label)
+    ON position(concat(' ', o.label, ' ') IN d._norm) > 0
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM mentions
+), ec AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_ent FROM mentions GROUP BY 1
+), pairs AS (
+  SELECT a.label AS ent_a, b.label AS ent_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT p.ent_a, p.ent_b, p.n_pair, ca.n_ent AS n_a, cb.n_ent AS n_b,
+       nd.n_docs,
+       round(ln((p.n_pair * nd.n_docs) / (ca.n_ent * cb.n_ent)), 6) AS pmi
+FROM pairs p
+JOIN ec ca ON ca.label = p.ent_a
+JOIN ec cb ON cb.label = p.ent_b
+CROSS JOIN nd
 """,
         "j4_zip_join": """
 WITH en AS (SELECT doc_id AS en_doc, row_number() OVER (ORDER BY doc_id) AS position

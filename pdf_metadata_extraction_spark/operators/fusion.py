@@ -1,0 +1,176 @@
+"""Knowledge fusion: conflicting-triple resolution + co-occurrence PMI.
+
+The extraction layer emits one (subj, pred, obj) assertion per source
+page (triples.py; reference analogue: one Suggestion per sample,
+/root/reference/src/tests/test_app.py:565-587). At corpus scale the
+same (subj, pred) carries CONFLICTING objects — different pages assert
+different values — so a knowledge graph needs a fusion step that picks
+one canonical object per (subj, pred) with an auditable confidence
+(Dong et al., "Knowledge Vault" / "From Data Fusion to Knowledge
+Fusion", VLDB 2014: truth-finding by source-vote majority is the
+baseline every weighted scheme is measured against).
+
+Scale shape: everything is narrow (subj, pred, obj, src) rows through
+hash aggregations with map-side partials — no windows, no driver
+loops. The winner per (subj, pred) is a single ``min(struct(-support,
+obj))`` aggregate (max support, lexicographically-smallest object on
+ties: a total order, so re-runs and re-partitionings pick the same
+winner), NOT a row_number window (which would sort whole partitions).
+
+``cooccurrence_pmi`` is the sibling edge-DISCOVERY step: entities
+co-mentioned on one page more often than chance (positive PMI) are
+candidate relation edges (Church & Hanks 1990). Pairs are generated
+row-locally from each page's sorted distinct mention set (array
+expressions — no self-join of the mention table with itself, which at
+10^12 pages would shuffle the whole table twice); only the (a, b) pair
+counts — quadratic only in the PER-PAGE mention count — reach the
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fuse_edges", "cooccurrence_pmi"]
+
+
+def fuse_edges(
+    edges: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    src: str = "provenance_url",
+) -> DataFrame:
+    """One canonical object per (subj, pred) by source-vote majority.
+
+    - one vote per SOURCE per assertion (a page repeating the same
+      claim five times still counts once): votes = distinct
+      (subj, pred, obj, src);
+    - ``support`` = number of sources asserting the winning object;
+    - winner = max support, ties broken by smallest obj (total order —
+      deterministic under any partitioning);
+    - ``n_objs`` = how many distinct objects competed;
+    - ``n_sources`` = distinct sources asserting ANYTHING for the
+      (subj, pred) — so ``confidence`` = support / n_sources is the
+      fraction of sources that back the winner (≤ 1.0; sources may
+      assert several objects).
+
+    Returns (subj, pred, obj, support, n_objs, n_sources, confidence)
+    with counts as BIGINT and confidence rounded to 6dp (cross-engine
+    stable: one IEEE division of two exact integers, then round).
+    """
+    votes = edges.select(subj, pred, obj, src).where(
+        F.col(obj).isNotNull() & F.col(src).isNotNull()
+    ).distinct()
+    support = votes.groupBy(subj, pred, obj).agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    # winner via a single aggregate: min over (-support, obj) is
+    # (max support, then min obj) — no window, no per-group sort
+    winner = support.groupBy(subj, pred).agg(
+        F.min(
+            F.struct((-F.col("support")).alias("neg"), F.col(obj).alias("o"))
+        ).alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n_objs"),
+    ).select(
+        subj, pred,
+        F.col("w.o").alias(obj),
+        (-F.col("w.neg")).cast("long").alias("support"),
+        "n_objs",
+    )
+    totals = votes.groupBy(subj, pred).agg(
+        F.countDistinct(src).cast("long").alias("n_sources")
+    )
+    return winner.join(totals, [subj, pred]).select(
+        subj, pred, obj, "support", "n_objs", "n_sources",
+        F.round(F.col("support") / F.col("n_sources"), 6).alias("confidence"),
+    )
+
+
+def cooccurrence_pmi(
+    mentions: DataFrame,
+    doc_col: str = "doc_id",
+    ent_col: str = "label",
+    min_pairs: int = 1,
+    max_per_doc: int | None = None,
+) -> DataFrame:
+    """Pointwise mutual information over per-document entity co-mentions.
+
+    ``mentions``: one row per (document, entity) observation (dups
+    fine — votes are per document). For entities a < b (lexicographic):
+
+        pmi(a, b) = ln( n_pair * n_docs / (n_a * n_b) )
+
+    with n_docs = documents carrying ≥1 mention, n_a = documents
+    mentioning a. All counts are exact BIGINTs; the quotient is ONE
+    IEEE division and the ln is rounded to 6dp (cross-engine: ln may
+    differ 1 ulp between engines, 6dp absorbs it — same discipline as
+    corpus_lm).
+
+    Pair generation is row-local: each document's sorted distinct
+    entity array expands to its (i < j) combinations with nested array
+    ``transform``s, so the only shuffles are the per-doc set agg and
+    the (a, b) count — never a mention ⨝ mention self-join.
+
+    ``max_per_doc`` bounds the row-local expansion: a page with k
+    distinct mentions emits C(k, 2) pair structs IN ONE ROW, so at
+    web scale an entity-stuffed page (k ~ 10⁴ → 5·10⁷ structs) must
+    be capped. The cap keeps the lexicographically-first N mentions
+    of the SORTED set — deterministic under any partitioning. Counts
+    (n_ent, n_docs) are computed on the capped sets too, so the PMI
+    stays self-consistent. None (default) = uncapped, exact.
+    """
+    m = mentions.select(
+        F.col(doc_col).alias("_doc"), F.col(ent_col).alias("_ent")
+    ).where(F.col(ent_col).isNotNull())
+    ents = F.sort_array(F.collect_set("_ent"))
+    if max_per_doc is not None:
+        ents = F.slice(ents, 1, max_per_doc)
+    per_doc = m.groupBy("_doc").agg(ents.alias("_ents"))
+    n_docs = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ent_counts = per_doc.select(F.explode("_ents").alias("_ent")).groupBy(
+        "_ent"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ent"))
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ents",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "_ents", i + 2,
+                            F.greatest(
+                                F.size("_ents") - (i + 1), F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).groupBy(
+        F.col("p.a").alias("ent_a"), F.col("p.b").alias("ent_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pair")).where(
+        F.col("n_pair") >= min_pairs
+    )
+    # entity marginals are corpus-vocabulary-sized (≪ pages) → broadcast
+    ca = F.broadcast(ent_counts.select(
+        F.col("_ent").alias("ent_a"), F.col("n_ent").alias("n_a")
+    ))
+    cb = F.broadcast(ent_counts.select(
+        F.col("_ent").alias("ent_b"), F.col("n_ent").alias("n_b")
+    ))
+    return pairs.join(ca, "ent_a").join(cb, "ent_b").crossJoin(
+        F.broadcast(n_docs)  # one-row corpus stat
+    ).select(
+        "ent_a", "ent_b", "n_pair", "n_a", "n_b", "n_docs",
+        F.round(
+            F.log(
+                (F.col("n_pair") * F.col("n_docs"))
+                / (F.col("n_a") * F.col("n_b"))
+            ), 6
+        ).alias("pmi"),
+    )

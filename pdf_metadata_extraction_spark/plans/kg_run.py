@@ -45,6 +45,7 @@ def run_kg_pipeline(
     segment_dedup: int | None = None,
     export_corpus: bool = False,
     pack_seq_len: int | None = None,
+    fuse: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
     DataFrames {segments, linked, edges, nodes} (+ {host_edges,
@@ -114,6 +115,15 @@ def run_kg_pipeline(
     ``sequence_manifest`` stage and a ``sequence_packing`` lineage row
     records corpus-docs-in vs sequences-out, completing the
     crawl → gates → corpus → tokenizer-feed lineage end-to-end.
+
+    ``fuse``: opt-in knowledge fusion (round-5) — the conflict-
+    resolution step between extraction and the graph-facing tables:
+    one canonical object per (subj, pred) by one-vote-per-source
+    majority with a deterministic tie-break
+    (operators.fusion.fuse_edges), checkpointed as ``edges_fused``
+    with an ``edges_fusion`` lineage row (assertions in → fused facts
+    out). ``edges``/``edges_dedup`` keep every assertion; the fused
+    table is the contradictions-resolved view serving layers read.
 
     ``link_graph``: opt-in web-graph product — RFC 3986-resolved
     anchors lifted to the host-level link graph (``host_edges`` stage)
@@ -367,6 +377,25 @@ def run_kg_pipeline(
     edges_dedup = lw.checkpoint_stage(
         "edges_dedup", edges.dropDuplicates(["subj", "pred", "obj"])
     )
+
+    if fuse:
+        # knowledge fusion: ONE object per (subj, pred) by source-vote
+        # majority with deterministic tie-break (operators/fusion.py) —
+        # the conflict-resolution step between extraction and the
+        # graph-facing tables; `edges_fusion` lineage records how many
+        # provenance-level assertions collapsed into fused facts
+        from pdf_metadata_extraction_spark.operators.fusion import (
+            fuse_edges as _fuse_edges,
+        )
+
+        ts = time.monotonic()
+        n_in_f = edges.count()
+        fused = lw.checkpoint_stage("edges_fused", _fuse_edges(edges))
+        out_extra["edges_fused"] = fused
+        lw.record(
+            "edges_fusion", input_rows=n_in_f, output_rows=fused.count(),
+            wall_ms=int((time.monotonic() - ts) * 1000),
+        )
 
     # canonicalize object surface forms (obj strings) → nodes table
     surface = edges.select(F.col("obj").alias("id")).distinct().withColumn(

@@ -1,0 +1,148 @@
+"""Knowledge fusion (operators/fusion.py): conflicting-triple
+resolution by source-vote majority, and co-occurrence PMI edge
+discovery. Hand-computed expectations throughout."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_metadata_extraction_spark.operators.fusion import (
+    cooccurrence_pmi,
+    fuse_edges,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, provenance_url string"
+    )
+
+
+def test_fuse_majority_and_counts(spark):
+    # acme/hq: p1+p2 say berlin, p3 says munich -> berlin, support 2 of 3
+    out = fuse_edges(_edges(spark, [
+        ("acme", "hq", "berlin", "p1"),
+        ("acme", "hq", "berlin", "p2"),
+        ("acme", "hq", "munich", "p3"),
+    ])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.subj, r.pred, r.obj) == ("acme", "hq", "berlin")
+    assert r.support == 2 and r.n_objs == 2 and r.n_sources == 3
+    assert r.confidence == round(2 / 3, 6)
+
+
+def test_fuse_one_vote_per_source(spark):
+    # p1 repeating "munich" five times is still ONE vote; p2+p3 win
+    rows = [("acme", "hq", "munich", "p1")] * 5 + [
+        ("acme", "hq", "berlin", "p2"),
+        ("acme", "hq", "berlin", "p3"),
+    ]
+    r = fuse_edges(_edges(spark, rows)).collect()[0]
+    assert r.obj == "berlin" and r.support == 2 and r.n_sources == 3
+
+
+def test_fuse_tie_breaks_to_smallest_obj(spark):
+    r = fuse_edges(_edges(spark, [
+        ("acme", "hq", "munich", "p1"),
+        ("acme", "hq", "berlin", "p2"),
+    ])).collect()[0]
+    assert r.obj == "berlin" and r.support == 1 and r.n_objs == 2
+
+
+def test_fuse_sources_asserting_multiple_objects(spark):
+    # p1 asserts BOTH objs: n_sources = 2 (not 3), winner support = 2
+    r = fuse_edges(_edges(spark, [
+        ("acme", "hq", "berlin", "p1"),
+        ("acme", "hq", "munich", "p1"),
+        ("acme", "hq", "berlin", "p2"),
+    ])).collect()[0]
+    assert r.obj == "berlin" and r.support == 2
+    assert r.n_sources == 2 and r.confidence == 1.0
+
+
+def test_fuse_groups_independent(spark):
+    out = {
+        (r.subj, r.pred): r.obj
+        for r in fuse_edges(_edges(spark, [
+            ("acme", "hq", "berlin", "p1"),
+            ("acme", "ceo", "ada", "p1"),
+            ("globex", "hq", "tokyo", "p2"),
+        ])).collect()
+    }
+    assert out == {
+        ("acme", "hq"): "berlin",
+        ("acme", "ceo"): "ada",
+        ("globex", "hq"): "tokyo",
+    }
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, label string")
+
+
+def test_pmi_hand_computed(spark):
+    # 4 docs; a+b together in 2, a alone in 1, b alone in 1
+    # n_a = 3, n_b = 3, n_ab = 2, N = 4 -> pmi = ln(2*4/(3*3))
+    m = _mentions(spark, [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"),
+    ])
+    out = cooccurrence_pmi(m).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ent_a, r.ent_b) == ("a", "b")
+    assert (r.n_pair, r.n_a, r.n_b, r.n_docs) == (2, 3, 3, 4)
+    assert r.pmi == round(math.log(2 * 4 / (3 * 3)), 6)
+
+
+def test_pmi_pairs_are_ordered_and_deduped(spark):
+    # duplicate mention rows collapse; pairs come out a < b once per doc
+    m = _mentions(spark, [
+        (1, "z"), (1, "a"), (1, "a"), (1, "m"),
+    ])
+    out = {(r.ent_a, r.ent_b): r.n_pair for r in cooccurrence_pmi(m).collect()}
+    assert out == {("a", "m"): 1, ("a", "z"): 1, ("m", "z"): 1}
+
+
+def test_pmi_min_pairs_filter(spark):
+    m = _mentions(spark, [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+    ])
+    out = {(r.ent_a, r.ent_b) for r in cooccurrence_pmi(m, min_pairs=2).collect()}
+    assert out == {("a", "b")}
+
+
+def test_pmi_negative_for_anticorrelated(spark):
+    # a and b co-occur once but each appears in most docs -> pmi < 0
+    rows = [(i, "a") for i in range(1, 9)] + [(i, "b") for i in range(8, 16)]
+    out = cooccurrence_pmi(_mentions(spark, rows)).collect()
+    assert len(out) == 1 and out[0].pmi < 0
+
+
+def test_fusion_plans_have_no_per_group_sort_window(spark):
+    """The fusion winner must be a hash aggregate (min over struct),
+    never a row_number window; PMI pair generation must not self-join
+    the mention table (its only joins are the broadcast marginals)."""
+    plan = fuse_edges(_edges(spark, [
+        ("a", "p", "x", "s1")
+    ]))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    m = _mentions(spark, [(1, "a"), (1, "b")])
+    pplan = cooccurrence_pmi(m)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in pplan
+    assert "Window" not in pplan
+
+
+def test_pmi_max_per_doc_cap_is_deterministic(spark):
+    # cap keeps the lexicographically-first 2 of the sorted set:
+    # doc 1 {a,b,z} capped to {a,b} -> only (a,b) pair survives
+    m = _mentions(spark, [(1, "z"), (1, "b"), (1, "a")])
+    out = cooccurrence_pmi(m, max_per_doc=2).collect()
+    assert {(r.ent_a, r.ent_b) for r in out} == {("a", "b")}
+    # marginals are computed on the capped set too (z not counted)
+    assert out[0].n_a == 1 and out[0].n_b == 1 and out[0].n_docs == 1
