@@ -1133,6 +1133,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_histogram(_graph_edges(spark, sf_dir))
 
+    def graph_link_prediction(spark, sf_dir):
+        """KG completion (operators/graph.link_prediction): score
+        non-adjacent pairs by common neighbors + integer-micro
+        Adamic-Adar over the same deterministic edge set — wedges
+        expanded row-locally per center, hub centers capped."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            link_prediction,
+        )
+
+        return link_prediction(_graph_edges(spark, sf_dir))
+
     def graph_pagerank(spark, sf_dir):
         """Fixed-point integer PageRank (5 iterations) on the same
         deterministic edge set — order-free integer sums make the
@@ -1446,7 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 81. Policy (re-applied every round):
+    # queries; the registry holds 82. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1456,8 +1467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the two NEW fusion queries (kg_fused_triples,
-    # entity_cooccurrence_pmi) + the ten NEW corpus-hygiene/packing queries
+    # Round-5 head = the three NEW fusion/link-prediction queries
+    # (kg_fused_triples, entity_cooccurrence_pmi, graph_link_prediction)
+    # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
     # packed_sequences, ce_quality_tiers, decontam_scrubbed) + the 12 CORRECTNESS_r04-unsampled
@@ -1478,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- head: NEW this round (never driver-sampled)
         "kg_fused_triples": kg_fused_triples,
         "entity_cooccurrence_pmi": entity_cooccurrence_pmi,
+        "graph_link_prediction": graph_link_prediction,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -2424,10 +2437,12 @@ WITH corpus AS ({_link_corpus_sql()}),
     )
 
 
-def _graph_sql(triangles: bool) -> str:
+def _graph_sql(triangles: bool = False, link_pred: bool = False) -> str:
     """Shared deterministic edge set (mirror of _graph_edges); triangle
     count via the a<b<c three-way self-join (integer-exact), degree
-    histogram via the two-direction union count."""
+    histogram via the two-direction union count, link prediction via
+    the center-wedge self-join with integer-micro Adamic-Adar weights
+    (mirror of graph.link_prediction)."""
     base = """
 WITH d AS (SELECT doc_id FROM documents),
 e AS (
@@ -2448,6 +2463,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM und e1
 JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+    if link_pred:
+        return base + """
+, adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und
+),
+dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+cent AS (
+  SELECT adj.node, adj.nbr, dg.deg
+  FROM adj JOIN dg ON dg.node = adj.node
+  WHERE dg.deg <= 64
+),
+wed AS (
+  SELECT c1.nbr AS id_a, c2.nbr AS id_b,
+         CAST(floor(1000000.0 / round(ln(CAST(c1.deg AS DOUBLE)), 6)) AS BIGINT) AS w
+  FROM cent c1 JOIN cent c2 ON c1.node = c2.node AND c1.nbr < c2.nbr
+),
+sc AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w) AS BIGINT) AS aa_micro
+  FROM wed GROUP BY 1, 2
+)
+SELECT sc.id_a, sc.id_b, sc.n_common, sc.aa_micro
+FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = sc.id_a AND und.b = sc.id_b)
 """
     return base + """
 , deg AS (
@@ -3131,7 +3172,8 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "anchor_term_profile": _anchor_term_profile_sql(),
         "crawl_frontier_hosts": _crawl_frontier_sql(),
         "graph_triangles": _graph_sql(triangles=True),
-        "graph_degree_hist": _graph_sql(triangles=False),
+        "graph_degree_hist": _graph_sql(),
+        "graph_link_prediction": _graph_sql(link_pred=True),
         "graph_pagerank": _pagerank_sql(iters=5),
         "graph_pagerank_dangling": _pagerank_sql(iters=5, dangling=True),
         "pii_scrub": _pii_sql(),

@@ -32,7 +32,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuse_edges", "cooccurrence_pmi"]
+__all__ = ["fuse_edges", "cooccurrence_pmi", "ordered_pairs"]
+
+
+def ordered_pairs(arr):
+    """All (i < j) combinations of a SORTED array column as an array of
+    (a, b) structs — row-local, no self-join. Shared by co-occurrence
+    PMI and graph link prediction; quadratic in the ARRAY length only,
+    so callers bound the array (max_per_doc / max_center_degree)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(
+                    arr, i + 2,
+                    F.greatest(F.size(arr) - (i + 1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
 
 
 def fuse_edges(
@@ -135,22 +154,7 @@ def cooccurrence_pmi(
         "_ent"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_ent"))
     pairs = per_doc.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "_ents",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            "_ents", i + 2,
-                            F.greatest(
-                                F.size("_ents") - (i + 1), F.lit(0)
-                            ),
-                        ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(ordered_pairs(F.col("_ents"))).alias("p")
     ).groupBy(
         F.col("p.a").alias("ent_a"), F.col("p.b").alias("ent_b")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pair")).where(

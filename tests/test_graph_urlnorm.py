@@ -788,3 +788,61 @@ def test_href_resolution_cross_engine_fuzz(spark):
     assert len(got) == len(want)
     bad = [(g, w) for g, w in zip(got, want) if g != w]
     assert not bad, (len(bad), bad[:5])
+
+
+# ---------------------------------------------------------- link prediction
+AA2 = 1442695  # floor(1e6 / round(ln(2), 6)): a degree-2 shared neighbor
+
+
+def test_link_prediction_path_and_square(spark):
+    from pdf_metadata_extraction_spark.operators.graph import link_prediction
+
+    # path 1-2-3: predict (1,3) through the single degree-2 center
+    out = link_prediction(_edges(spark, [(1, 2), (2, 3)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b, r.n_common, r.aa_micro) == (1, 3, 1, AA2)
+
+    # square 1-2-3-4-1: (1,3) and (2,4) each via TWO degree-2 centers
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.aa_micro)
+        for r in link_prediction(_edges(spark, sq)).collect()
+    }
+    assert got == {(1, 3): (2, 2 * AA2), (2, 4): (2, 2 * AA2)}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from pdf_metadata_extraction_spark.operators.graph import link_prediction
+
+    # triangle: every wedge pair is already adjacent -> nothing predicted
+    k3 = [(1, 2), (2, 3), (1, 3)]
+    assert link_prediction(_edges(spark, k3)).count() == 0
+
+
+def test_link_prediction_hub_cap(spark):
+    from pdf_metadata_extraction_spark.operators.graph import link_prediction
+
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    # default cap: the degree-5 hub predicts all its leaf pairs except
+    # the already-adjacent (1,2)
+    got = {(r.id_a, r.id_b) for r in link_prediction(_edges(spark, star)).collect()}
+    assert got == {(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5),
+                   (3, 4), (3, 5), (4, 5)}
+    # cap at 4: the hub center drops; remaining wedges ((0,2) via 1,
+    # (0,1) via 2) are all adjacent -> empty
+    assert link_prediction(
+        _edges(spark, star), max_center_degree=4
+    ).count() == 0
+
+
+def test_link_prediction_min_common_and_direction_invariance(spark):
+    from pdf_metadata_extraction_spark.operators.graph import link_prediction
+
+    # square with duplicated/reversed edges: und collapses them
+    sq = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 1)] + [(2, 5)]
+    out = {
+        (r.id_a, r.id_b): r.n_common
+        for r in link_prediction(_edges(spark, sq), min_common=2).collect()
+    }
+    assert out == {(1, 3): 2, (2, 4): 2}  # (1,5)/(3,5) have n_common=1
