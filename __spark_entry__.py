@@ -1144,6 +1144,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return link_prediction(_graph_edges(spark, sf_dir))
 
+    def graph_communities(spark, sf_dir):
+        """Deterministic synchronous LPA (3 iterations) — an ITERATIVE
+        community-detection algorithm that is still bit-exactly
+        oracle-checkable because every step is a total-ordered
+        mode-with-min-tie-break (the oracle unrolls the iterations as
+        chained CTEs, like the PageRank oracle)."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            lpa_communities,
+        )
+
+        return lpa_communities(_graph_edges(spark, sf_dir), iters=3)
+
     def graph_pagerank(spark, sf_dir):
         """Fixed-point integer PageRank (5 iterations) on the same
         deterministic edge set — order-free integer sums make the
@@ -1457,7 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 82. Policy (re-applied every round):
+    # queries; the registry holds 83. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1467,8 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the three NEW fusion/link-prediction queries
-    # (kg_fused_triples, entity_cooccurrence_pmi, graph_link_prediction)
+    # Round-5 head = the four NEW fusion/link-prediction/community
+    # queries (kg_fused_triples, entity_cooccurrence_pmi,
+    # graph_link_prediction, graph_communities)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1491,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fused_triples": kg_fused_triples,
         "entity_cooccurrence_pmi": entity_cooccurrence_pmi,
         "graph_link_prediction": graph_link_prediction,
+        "graph_communities": graph_communities,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -2437,12 +2451,14 @@ WITH corpus AS ({_link_corpus_sql()}),
     )
 
 
-def _graph_sql(triangles: bool = False, link_pred: bool = False) -> str:
+def _graph_sql(mode: str = "degrees") -> str:
     """Shared deterministic edge set (mirror of _graph_edges); triangle
     count via the a<b<c three-way self-join (integer-exact), degree
     histogram via the two-direction union count, link prediction via
     the center-wedge self-join with integer-micro Adamic-Adar weights
-    (mirror of graph.link_prediction)."""
+    (mirror of graph.link_prediction), LPA communities via 3 unrolled
+    mode-with-min-tie-break iterations (mirror of
+    graph.lpa_communities)."""
     base = """
 WITH d AS (SELECT doc_id FROM documents),
 e AS (
@@ -2457,14 +2473,44 @@ und AS (
   FROM e WHERE id_a <> id_b
 )
 """
-    if triangles:
+    if mode == "triangles":
         return base + """
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM und e1
 JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """
-    if link_pred:
+    if mode == "lpa":
+        steps = []
+        for i in range(3):
+            prev = f"l{i}"
+            steps.append(f"""
+nl{i + 1} AS (
+  SELECT adj.node, {prev}.label FROM adj JOIN {prev} ON {prev}.node = adj.nbr
+),
+c{i + 1} AS (
+  SELECT node, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM nl{i + 1} GROUP BY 1, 2
+),
+l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c{i + 1}
+  ) WHERE rn = 1
+)""")
+        return base + """
+, adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM adj),""" + ",".join(
+            steps
+        ) + """
+SELECT node, label AS community FROM l3
+"""
+    if mode == "link_pred":
         return base + """
 , adj AS (
   SELECT a AS node, b AS nbr FROM und
@@ -3171,9 +3217,10 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "domain_link_graph": _domain_link_graph_sql(),
         "anchor_term_profile": _anchor_term_profile_sql(),
         "crawl_frontier_hosts": _crawl_frontier_sql(),
-        "graph_triangles": _graph_sql(triangles=True),
+        "graph_triangles": _graph_sql("triangles"),
         "graph_degree_hist": _graph_sql(),
-        "graph_link_prediction": _graph_sql(link_pred=True),
+        "graph_link_prediction": _graph_sql("link_pred"),
+        "graph_communities": _graph_sql("lpa"),
         "graph_pagerank": _pagerank_sql(iters=5),
         "graph_pagerank_dangling": _pagerank_sql(iters=5, dangling=True),
         "pii_scrub": _pii_sql(),

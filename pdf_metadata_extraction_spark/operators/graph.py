@@ -128,6 +128,55 @@ def link_prediction(
     )
 
 
+def lpa_communities(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection over the canonical undirected graph,
+    the standard QA probe on a canonicalized KG (a "community" that
+    spans two unrelated entity clusters usually means canonicalization
+    over-merged; one entity split across communities means it
+    under-merged).
+
+    Each node starts as its own label; every iteration it adopts the
+    most frequent label among its NEIGHBORS, ties broken by the
+    smallest label — a total order, so a fixed iteration count is
+    bit-deterministic under any partitioning (and therefore fully
+    oracle-checkable, unlike async/randomized LPA).
+
+    Scale shape per iteration: one equi-join of the adjacency against
+    the current (node, label) table + one (node, label) count with
+    map-side partials + the winner as a single
+    ``min(struct(-cnt, label))`` aggregate — the same no-window trick
+    as fusion.fuse_edges; everything is narrow integer rows. Hot
+    nodes (mega-hubs) are hot JOIN keys — AQE skew-split applies; no
+    per-node neighbor array is ever materialized.
+
+    Returns (node, community) in the caller's node-id type (long
+    doc-ids or string hosts — the tie-break total order covers both).
+    """
+    und = undirected_edges(edges)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = counts.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("n"), F.col("label").alias("l"))
+            ).alias("w")
+        ).select("node", F.col("w.l").alias("label"))
+    # keep the caller's id type (long doc-ids, string hosts — the
+    # min-struct tie-break is total-ordered for both)
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """One row: (n_triangles). Degree-ordered wedge join (see module
     docstring for the scale argument).

@@ -846,3 +846,37 @@ def test_link_prediction_min_common_and_direction_invariance(spark):
         for r in link_prediction(_edges(spark, sq), min_common=2).collect()
     }
     assert out == {(1, 3): 2, (2, 4): 2}  # (1,5)/(3,5) have n_common=1
+
+
+# ---------------------------------------------------------- LPA communities
+def test_lpa_two_triangles_bridge(spark):
+    from pdf_metadata_extraction_spark.operators.graph import lpa_communities
+
+    # two triangles joined by one bridge: 3 sync iterations separate them
+    # (hand-traced: mode-with-min-tie-break at every step)
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = {
+        r.node: r.community
+        for r in lpa_communities(_edges(spark, edges), iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_deterministic_and_string_ids(spark):
+    from pdf_metadata_extraction_spark.operators.graph import lpa_communities
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "id_a string, id_b string"
+    )
+    one = sorted(tuple(r) for r in lpa_communities(e, iters=3).collect())
+    two = sorted(tuple(r) for r in lpa_communities(e, iters=3).collect())
+    assert one == two == [("a", "a"), ("b", "a"), ("c", "a")]
+
+
+def test_lpa_plan_has_no_window(spark):
+    from pdf_metadata_extraction_spark.operators.graph import lpa_communities
+
+    plan = lpa_communities(
+        _edges(spark, [(1, 2), (2, 3)]), iters=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
