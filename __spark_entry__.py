@@ -1351,6 +1351,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("url").cast("long").alias("doc_id"), "text"
         )
 
+    # ------------------------------------------------ JSON-LD channel
+    def jsonld_extract(spark, sf_dir):
+        """Structured-data extraction (operators/structured.py) under
+        the oracle harness: wrap each document in HTML carrying a
+        schema.org JSON-LD island built from its own columns, extract
+        triples with the real operator, and let the oracle recompute
+        the expected triples in pure SQL — a full value-hash gate on
+        the regexp island lift + JSON path probes. Capped at 500 docs
+        (identity-style query; always cheap enough to sample)."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.structured import (
+            jsonld_triples,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+
+        def to_pages(batches):
+            for pdf in batches:
+                src = pdf["source"].fillna("unk")
+                lng = pdf["lang"].fillna("und")
+                html = [
+                    (
+                        '<html><head><script type="application/ld+json">'
+                        '{"@context":"https://schema.org","@type":"Article",'
+                        '"headline":"doc %d from %s","inLanguage":"%s",'
+                        '"author":{"@type":"Person","name":"Ann %s"}}'
+                        "</script></head><body><p>x</p></body></html>" % (i, s, l, s)
+                    ).encode()
+                    for i, s, l in zip(pdf["doc_id"], src, lng)
+                ]
+                yield pd.DataFrame(
+                    {"url": pdf["doc_id"].astype("int64").astype(str), "html": html}
+                )
+
+        pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+        return jsonld_triples(
+            pages, props=("headline", "inLanguage", "author.name")
+        ).select(F.col("subj").cast("long").alias("doc_id"), "pred", "obj")
+
     # ------------------------------------------------ decontamination
     # Eval set = deterministic 1/20 hash slice of doc_ids (stands in
     # for the benchmark suite); corpus = the rest.  7-gram collision
@@ -1469,7 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 83. Policy (re-applied every round):
+    # queries; the registry holds 84. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1479,9 +1519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the four NEW fusion/link-prediction/community
-    # queries (kg_fused_triples, entity_cooccurrence_pmi,
-    # graph_link_prediction, graph_communities)
+    # Round-5 head = the five NEW fusion/link-prediction/community/
+    # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
+    # graph_link_prediction, graph_communities, jsonld_extract)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1505,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence_pmi": entity_cooccurrence_pmi,
         "graph_link_prediction": graph_link_prediction,
         "graph_communities": graph_communities,
+        "jsonld_extract": jsonld_extract,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3163,6 +3204,20 @@ FROM hs
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "pages_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 200",
+        "jsonld_extract": """
+WITH d AS (
+  SELECT doc_id, coalesce(source, 'unk') AS s, coalesce(lang, 'und') AS l
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id, 'rdf:type' AS pred, 'Article' AS obj FROM d
+UNION ALL
+SELECT doc_id, 'jsonld:headline',
+       concat('doc ', CAST(doc_id AS VARCHAR), ' from ', s) FROM d
+UNION ALL
+SELECT doc_id, 'jsonld:inLanguage', l FROM d
+UNION ALL
+SELECT doc_id, 'jsonld:author.name', concat('Ann ', s) FROM d
+""",
         # the salted two-phase count must be indistinguishable from a
         # plain GROUP BY — the salt is an execution detail
         "skew_salted_count": (

@@ -60,9 +60,32 @@ def main() -> None:
 
     from pdf_metadata_extraction_spark.plans.pipeline import segments_from_pages
 
-    pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{N_PAGES}")
+    # cache key includes a fingerprint of the GENERATOR source so a
+    # changed corpus definition (e.g. round-5's JSON-LD islands) can
+    # never be masked by a stale /tmp cache; older-fingerprint dirs for
+    # the same page count are removed (no /tmp accumulation)
+    import hashlib
+
+    import pdf_metadata_extraction_spark.sources.pages_synth as _ps
+
+    gen_fp = hashlib.md5(open(_ps.__file__, "rb").read()).hexdigest()[:8]
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_{N_PAGES}_{gen_fp}"
+    )
 
     def pages_synth():
+        import glob
+        import shutil as _sh
+
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"bench_pages_{N_PAGES}_*")
+        ):
+            if stale != pages_dir:
+                _sh.rmtree(stale, ignore_errors=True)
+        _sh.rmtree(
+            os.path.join(tempfile.gettempdir(), f"bench_pages_{N_PAGES}"),
+            ignore_errors=True,
+        )  # pre-fingerprint layout
         if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
             generate_pages(spark, N_PAGES).repartition("url_bucket").write.mode(
                 "overwrite"
@@ -401,6 +424,15 @@ def main() -> None:
             "bm25_indexed_query_sec_* isolates per-query cost and "
             "bm25_persist_*_sec shows the persisted-index lifecycle "
             "(reuse ~= fingerprint-only, no rebuild)"
+        ),
+        "kg_run_curated_s": (
+            "round 5: NEW extras-only section — the fully-curated "
+            "production run (url dedup + quality gate + decontam + "
+            "domain cap + boilerplate-segment gate + corpus export + "
+            "sequence packing, ~22 checkpointed stages on a 2,000-page "
+            "slice). Its wall is dominated by fixed per-stage job "
+            "latency, not data (the gates keep <2% of the synthetic "
+            "slice); per-stage attribution in curated_stage_wall_ms"
         ),
         "box_noise": (
             "the shared box alternates quiet/loud phases (load 0.9-6.5 "

@@ -1,0 +1,102 @@
+"""Structured-data (JSON-LD) extraction from HTML — the web-native KG
+source alongside free-text mention extraction.
+
+A large fraction of real Common-Crawl pages carry schema.org JSON-LD
+islands (``<script type="application/ld+json">…</script>``); Web Data
+Commons builds its entire public KG from exactly this channel. The
+reference extracts metadata from document text/layout; this module is
+the structured sibling: publisher-asserted (subj, pred, obj) triples
+that need no model, only parsing — and at corpus scale they are the
+highest-precision edges the graph gets.
+
+Scale shape: everything is MAP-ONLY expressions — one regexp over the
+page bytes to lift the script islands, then ``get_json_object`` path
+probes per requested property (JVM Jackson, no Python). No shuffle, no
+UDF; the stage fuses into the ingest scan's codegen like the other
+page-side extractors (links, urlnorm).
+
+Scope (documented, tested): the root of each island must be a JSON
+OBJECT — the overwhelmingly common shape. Array-rooted islands
+(``[{…},{…}]``) and ``@graph`` containers yield no rows (path probes
+return NULL on a non-object root); malformed JSON likewise degrades to
+zero rows for that island, never an error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_jsonld_blocks", "jsonld_triples", "DEFAULT_JSONLD_PROPS"]
+
+# case-insensitive, DOTALL; tolerates single/double-quoted and unquoted
+# attribute order around type=application/ld+json
+JSONLD_BLOCK_RE = (
+    r"(?is)<script[^>]*type\s*=\s*[\"']?application/ld\+json[\"']?[^>]*>"
+    r"(.*?)</script>"
+)
+
+DEFAULT_JSONLD_PROPS = (
+    "headline",
+    "name",
+    "datePublished",
+    "inLanguage",
+    "author.name",
+    "publisher.name",
+)
+
+
+def extract_jsonld_blocks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, block_idx, json) — one row per JSON-LD script island, in
+    document order. Map-only: binary → string cast + one
+    regexp_extract_all + posexplode."""
+    html_str = F.col(html_col).cast("string")
+    blocks = F.regexp_extract_all(html_str, F.lit(JSONLD_BLOCK_RE), F.lit(1))
+    return pages.where(F.col(html_col).isNotNull()).select(
+        F.col(url_col).alias("url"),
+        F.posexplode(blocks).alias("block_idx", "json"),
+    )
+
+
+def jsonld_triples(
+    pages: DataFrame,
+    props: tuple[str, ...] = DEFAULT_JSONLD_PROPS,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Publisher-asserted triples from every JSON-LD island:
+    (subj = page url, pred, obj, block_idx) with pred ∈
+    {``rdf:type``} ∪ {``jsonld:<prop>`` for scalar-string props}.
+
+    Dotted props (``author.name``) follow nested objects; properties
+    absent from an island (or non-scalar at the probed path —
+    get_json_object returns the JSON text of objects/arrays, which we
+    keep only for scalars by requiring no leading '{'/'[') emit no row.
+    """
+    b = extract_jsonld_blocks(pages, url_col=url_col, html_col=html_col)
+    probes = [("rdf:type", "$['@type']")] + [
+        (f"jsonld:{p}", "$." + p) for p in props
+    ]
+    tarr = F.array(*[
+        F.struct(
+            F.lit(pred).alias("pred"),
+            F.get_json_object(F.col("json"), path).alias("obj"),
+        )
+        for pred, path in probes
+    ])
+    return (
+        b.select("url", "block_idx", F.explode(tarr).alias("t"))
+        .select(
+            F.col("url").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            "block_idx",
+        )
+        .where(
+            F.col("obj").isNotNull()
+            & ~F.col("obj").startswith("{")
+            & ~F.col("obj").startswith("[")
+        )
+    )

@@ -46,6 +46,7 @@ def run_kg_pipeline(
     export_corpus: bool = False,
     pack_seq_len: int | None = None,
     fuse: bool = False,
+    jsonld: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
     DataFrames {segments, linked, edges, nodes} (+ {host_edges,
@@ -124,6 +125,14 @@ def run_kg_pipeline(
     with an ``edges_fusion`` lineage row (assertions in → fused facts
     out). ``edges``/``edges_dedup`` keep every assertion; the fused
     table is the contradictions-resolved view serving layers read.
+
+    ``jsonld``: opt-in structured-data channel (round-5) — schema.org
+    JSON-LD islands lifted from the (post-gate) pages as
+    publisher-asserted triples (operators.structured.jsonld_triples,
+    map-only), checkpointed as ``edges_jsonld`` with a
+    ``jsonld_extraction`` lineage row. The highest-precision edge
+    source a web corpus offers, complementing the mention-derived
+    ``edges``.
 
     ``link_graph``: opt-in web-graph product — RFC 3986-resolved
     anchors lifted to the host-level link graph (``host_edges`` stage)
@@ -377,6 +386,22 @@ def run_kg_pipeline(
     edges_dedup = lw.checkpoint_stage(
         "edges_dedup", edges.dropDuplicates(["subj", "pred", "obj"])
     )
+
+    if jsonld:
+        # structured-data channel: publisher-asserted triples from the
+        # JSON-LD islands of the pages that survived the gates
+        from pdf_metadata_extraction_spark.operators.structured import (
+            jsonld_triples,
+        )
+
+        ts = time.monotonic()
+        ej = lw.checkpoint_stage("edges_jsonld", jsonld_triples(pages))
+        out_extra["edges_jsonld"] = ej
+        lw.record(
+            "jsonld_extraction", input_rows=pages.count(),
+            output_rows=ej.count(),
+            wall_ms=int((time.monotonic() - ts) * 1000),
+        )
 
     if fuse:
         # knowledge fusion: ONE object per (subj, pred) by source-vote

@@ -62,14 +62,19 @@ class LineageWriter:
         """
         path = self.stage_path(stage)
         marker = os.path.join(path, "_SUCCESS")
+        # read back with the EXPLICIT schema: an empty stage output (a
+        # legitimate result of aggressive gates — zero matches, all
+        # pages dropped) writes no part files, and schema INFERENCE on
+        # such a dir throws UNABLE_TO_INFER_SCHEMA; the plan's schema
+        # is authoritative either way (and skipping inference is free)
         if os.path.exists(marker):
-            return self.spark.read.parquet(path)
+            return self.spark.read.schema(df.schema).parquet(path)
         t0 = time.monotonic()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        out = self.spark.read.parquet(path)
+        out = self.spark.read.schema(df.schema).parquet(path)
         wall_ms = int((time.monotonic() - t0) * 1000)
         out_rows = out.count()
         self.record(

@@ -93,14 +93,40 @@ def synth_blocks(doc_id: int) -> list[tuple[str, str]]:
     return blocks
 
 
+def jsonld_island(doc_id: int, title: str) -> str | None:
+    """Deterministic schema.org JSON-LD island for ~1/3 of synthetic
+    docs (the web-native structured-data channel operators/structured.py
+    extracts). Lives in <head> inside <script> — the extractor strips
+    both, so the golden ``text`` column is untouched."""
+    import json as _json
+
+    if _h(f"{doc_id}:ld") % 3 != 0:
+        return None
+    author = _ENTITIES[_h(f"{doc_id}:lda") % len(_ENTITIES)]
+    date = (_EPOCH + timedelta(days=_h(f"{doc_id}:ldd") % 365)).strftime(
+        "%Y-%m-%d"
+    )
+    return (
+        '{"@context":"https://schema.org","@type":"Article",'
+        f'"headline":{_json.dumps(title)},'
+        f'"datePublished":"{date}",'
+        f'"author":{{"@type":"Person","name":{_json.dumps(author)}}}}}'
+    )
+
+
 def blocks_to_html(doc_id: int, blocks: list[tuple[str, str]]) -> bytes:
     """Messy-but-valid HTML around the content blocks (boilerplate included)."""
     nav = f'<nav><a href="/">Home</a> <a href="/{doc_id % 7}">Cat {doc_id % 7}</a></nav>'
+    ld = jsonld_island(doc_id, blocks[0][1])
     parts = [
         "<!doctype html><html><head>",
         f"<title>doc {doc_id}</title>",
         "<style>body{margin:0}</style>",
         '<script>var tracker="x";</script>',
+        (
+            f'<script type="application/ld+json">{ld}</script>'
+            if ld is not None else ""
+        ),
         "</head><body>",
         f"<header><span>Example Site &mdash; issue {doc_id % 100}</span></header>",
         nav,

@@ -632,3 +632,23 @@ def test_kg_run_fusion_stage(spark, tmp_path):
     lineage = spark.read.parquet(f"{work}/lineage").collect()
     fl = [r for r in lineage if r["stage"] == "edges_fusion"]
     assert fl and fl[0]["input_rows"] >= fl[0]["output_rows"] > 0
+
+
+def test_checkpoint_stage_empty_output_roundtrips(spark, tmp_path):
+    """An aggressive gate can legitimately empty a stage; the
+    checkpoint must round-trip the EMPTY table (explicit schema — no
+    parquet inference on a part-file-less dir) and record a 0-row
+    lineage entry, both on first write and on marker-reuse resume."""
+    from pdf_metadata_extraction_spark.plans.lineage import LineageWriter
+
+    lw = LineageWriter(spark, str(tmp_path / "w"), "e1")
+    empty = spark.createDataFrame([], "url string, n long, salt int")
+    out = lw.checkpoint_stage("gate_out", empty, partition_by=["salt"])
+    assert out.count() == 0
+    assert out.schema == empty.schema
+    # resume path (marker exists) reads the same empty stage
+    again = lw.checkpoint_stage("gate_out", empty)
+    assert again.count() == 0 and again.schema == empty.schema
+    lineage = spark.read.parquet(str(tmp_path / "w" / "lineage")).collect()
+    rows = [r for r in lineage if r["stage"] == "gate_out"]
+    assert rows and rows[0]["output_rows"] == 0

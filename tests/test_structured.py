@@ -1,0 +1,144 @@
+"""JSON-LD structured-data extraction (operators/structured.py):
+island lifting, path probes, honest degradation, and the synthetic
+corpus + KG-runner composition."""
+
+from pdf_metadata_extraction_spark.operators.structured import (
+    extract_jsonld_blocks,
+    jsonld_triples,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode() if isinstance(h, str) else h) for u, h in rows],
+        "url string, html binary",
+    )
+
+
+GOOD = (
+    '{"@context":"https://schema.org","@type":"Article",'
+    '"headline":"Hello KG","datePublished":"2021-03-04",'
+    '"author":{"@type":"Person","name":"Ada L"}}'
+)
+
+
+def test_jsonld_island_attribute_variants(spark):
+    # double quotes, single quotes, extra attrs, uppercase TYPE, and
+    # surrounding whitespace/newlines inside the island
+    variants = [
+        f'<script type="application/ld+json">{GOOD}</script>',
+        f"<script type='application/ld+json'>{GOOD}</script>",
+        f'<script async type="application/ld+json" id="x">\n{GOOD}\n</script>',
+        f'<SCRIPT TYPE="application/LD+JSON">{GOOD}</SCRIPT>',
+    ]
+    rows = [(f"u{i}", f"<html><head>{v}</head><body></body></html>")
+            for i, v in enumerate(variants)]
+    out = extract_jsonld_blocks(_pages(spark, rows)).collect()
+    assert len(out) == 4
+    assert all(r.json.strip() == GOOD for r in out)
+
+
+def test_jsonld_triples_values_and_nesting(spark):
+    out = jsonld_triples(_pages(spark, [
+        ("u", f'<html><script type="application/ld+json">{GOOD}</script></html>'),
+    ])).collect()
+    got = {(r.pred): r.obj for r in out}
+    assert got == {
+        "rdf:type": "Article",
+        "jsonld:headline": "Hello KG",
+        "jsonld:datePublished": "2021-03-04",
+        "jsonld:author.name": "Ada L",
+    }
+    assert all(r.block_idx == 0 for r in out)
+
+
+def test_jsonld_degrades_to_zero_rows(spark):
+    # plain <script> (no type), malformed JSON, array-rooted island,
+    # null html: none of them error, none of them emit triples
+    rows = [
+        ("plain", "<html><script>var x=1;</script></html>"),
+        ("broken", '<html><script type="application/ld+json">{"a": </script></html>'),
+        ("array", '<html><script type="application/ld+json">'
+                  '[{"@type":"Article","name":"in array"}]</script></html>'),
+    ]
+    df = _pages(spark, rows)
+    assert jsonld_triples(df).count() == 0
+    nulls = spark.createDataFrame([("n", None)], "url string, html binary")
+    assert jsonld_triples(nulls).count() == 0
+
+
+def test_jsonld_non_scalar_probes_filtered(spark):
+    # "name" resolves to an OBJECT here; the scalar filter drops it but
+    # keeps the scalar probes of the same island
+    island = '{"@type":"Org","name":{"legal":"Acme Inc"},"headline":"t"}'
+    out = jsonld_triples(_pages(spark, [
+        ("u", f'<html><script type="application/ld+json">{island}</script></html>'),
+    ])).collect()
+    got = {r.pred: r.obj for r in out}
+    assert got == {"rdf:type": "Org", "jsonld:headline": "t"}
+
+
+def test_jsonld_multiple_islands_indexed(spark):
+    h = (
+        '<html><script type="application/ld+json">{"@type":"A"}</script>'
+        '<p>x</p><script type="application/ld+json">{"@type":"B"}</script></html>'
+    )
+    out = jsonld_triples(_pages(spark, [("u", h)])).collect()
+    got = {(r.block_idx, r.pred): r.obj for r in out}
+    assert got == {(0, "rdf:type"): "A", (1, "rdf:type"): "B"}
+
+
+def test_synth_corpus_carries_jsonld_and_text_is_unchanged(spark):
+    from pdf_metadata_extraction_spark.operators.extract import (
+        extract_text_of_bytes,
+    )
+    from pdf_metadata_extraction_spark.sources.pages_synth import (
+        generate_pages,
+        jsonld_island,
+        row_for_doc,
+        synth_blocks,
+    )
+
+    pages = generate_pages(spark, 40)
+    trips = jsonld_triples(pages)
+    rows = trips.collect()
+    assert rows, "synthetic corpus carries no JSON-LD"
+    # exactly the docs whose deterministic island function fires
+    with_ld = {r.subj for r in rows}
+    expect = set()
+    for d in range(6, 40):  # 0..5 are fixture docs (pdf2xml, no HTML head)
+        row = row_for_doc(d)
+        if jsonld_island(d, synth_blocks(d)[0][1]) is not None:
+            expect.add(row["url"])
+        # the golden text invariant survives the island injection
+        assert extract_text_of_bytes(row["html"]) == row["text"]
+    assert with_ld == expect
+    # headline mirrors the page title (blocks[0])
+    by_url = {(r.subj, r.pred): r.obj for r in rows}
+    some = next(iter(expect))
+    did = int(some.rsplit("/", 1)[1])
+    assert by_url[(some, "jsonld:headline")] == synth_blocks(did)[0][1]
+
+
+def test_kg_run_jsonld_stage(spark, tmp_path):
+    from pdf_metadata_extraction_spark.plans.kg_run import run_kg_pipeline
+    from pdf_metadata_extraction_spark.sources.pages_synth import generate_pages
+
+    # a dictionary with ZERO corpus matches: the mention channel comes
+    # up empty (which every stage must survive — the empty-checkpoint
+    # contract) while the structured channel still yields triples
+    opts = spark.createDataFrame(
+        [("mentions", "1", "zzz-no-such-token", True)],
+        "extraction_name string, option_id string, label string, multi_value boolean",
+    )
+    pages = generate_pages(spark, 30, partitions=2).select("url", "html")
+    work = str(tmp_path / "kgj")
+    out = run_kg_pipeline(spark, pages, opts, work, run_id="j1", jsonld=True)
+    assert out["edges"].count() == 0
+    got = out["edges_jsonld"].collect()
+    assert got and all(r.pred.startswith(("rdf:", "jsonld:")) for r in got)
+    disk = spark.read.parquet(f"{work}/stages/j1/edges_jsonld").count()
+    assert disk == len(got)
+    lineage = spark.read.parquet(f"{work}/lineage").collect()
+    jl = [r for r in lineage if r["stage"] == "jsonld_extraction"]
+    assert jl and jl[0]["input_rows"] == 30 and jl[0]["output_rows"] == len(got)
