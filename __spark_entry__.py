@@ -1391,6 +1391,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages, props=("headline", "inLanguage", "author.name")
         ).select(F.col("subj").cast("long").alias("doc_id"), "pred", "obj")
 
+    # ------------------------------------------------ OpenGraph metas
+    def og_meta_extract(spark, sf_dir):
+        """OpenGraph/<meta> channel (operators/structured.meta_triples)
+        under the oracle harness: pages built from documents columns
+        carry property-first AND content-first meta tags plus an
+        unrequested one; the oracle recomputes the kept triples in
+        SQL. Capped at 500 docs."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.structured import (
+            meta_triples,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+
+        def to_pages(batches):
+            for pdf in batches:
+                src = pdf["source"].fillna("unk")
+                lng = pdf["lang"].fillna("und")
+                html = [
+                    (
+                        '<html><head>'
+                        '<meta property="og:title" content="doc %d" />'
+                        '<meta content="%s" property="og:locale" />'
+                        '<meta name="twitter:title" content="t %s" />'
+                        '<meta property="og:unrequested" content="x" />'
+                        "</head><body><p>y</p></body></html>" % (i, l, s)
+                    ).encode()
+                    for i, s, l in zip(pdf["doc_id"], src, lng)
+                ]
+                yield pd.DataFrame(
+                    {"url": pdf["doc_id"].astype("int64").astype(str), "html": html}
+                )
+
+        pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+        return meta_triples(
+            pages, props=("og:title", "og:locale", "twitter:title")
+        ).select(F.col("subj").cast("long").alias("doc_id"), "pred", "obj")
+
     # ------------------------------------------------ decontamination
     # Eval set = deterministic 1/20 hash slice of doc_ids (stands in
     # for the benchmark suite); corpus = the rest.  7-gram collision
@@ -1509,7 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 84. Policy (re-applied every round):
+    # queries; the registry holds 85. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1519,10 +1558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the five NEW fusion/link-prediction/community/
+    # Round-5 head = the six NEW fusion/link-prediction/community/
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
-    # graph_link_prediction, graph_communities, jsonld_extract)
-    # + the ten NEW corpus-hygiene/packing queries
+    # graph_link_prediction, graph_communities, jsonld_extract,
+    # og_meta_extract) + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
     # packed_sequences, ce_quality_tiers, decontam_scrubbed) + the 12 CORRECTNESS_r04-unsampled
@@ -1546,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": graph_link_prediction,
         "graph_communities": graph_communities,
         "jsonld_extract": jsonld_extract,
+        "og_meta_extract": og_meta_extract,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3217,6 +3257,18 @@ UNION ALL
 SELECT doc_id, 'jsonld:inLanguage', l FROM d
 UNION ALL
 SELECT doc_id, 'jsonld:author.name', concat('Ann ', s) FROM d
+""",
+        "og_meta_extract": """
+WITH d AS (
+  SELECT doc_id, coalesce(source, 'unk') AS s, coalesce(lang, 'und') AS l
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id, 'meta:og:title' AS pred,
+       concat('doc ', CAST(doc_id AS VARCHAR)) AS obj FROM d
+UNION ALL
+SELECT doc_id, 'meta:og:locale', l FROM d
+UNION ALL
+SELECT doc_id, 'meta:twitter:title', concat('t ', s) FROM d
 """,
         # the salted two-phase count must be indistinguishable from a
         # plain GROUP BY — the salt is an execution detail

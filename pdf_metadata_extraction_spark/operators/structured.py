@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_jsonld_blocks", "jsonld_triples", "DEFAULT_JSONLD_PROPS"]
+__all__ = [
+    "extract_jsonld_blocks",
+    "jsonld_triples",
+    "meta_triples",
+    "DEFAULT_JSONLD_PROPS",
+    "DEFAULT_META_PROPS",
+]
 
 # case-insensitive, DOTALL; tolerates single/double-quoted and unquoted
 # attribute order around type=application/ld+json
@@ -57,6 +63,81 @@ def extract_jsonld_blocks(
     return pages.where(F.col(html_col).isNotNull()).select(
         F.col(url_col).alias("url"),
         F.posexplode(blocks).alias("block_idx", "json"),
+    )
+
+
+DEFAULT_META_PROPS = (
+    "og:title",
+    "og:type",
+    "og:url",
+    "og:site_name",
+    "og:locale",
+    "article:published_time",
+    "twitter:title",
+)
+
+# one <meta …> open tag; property/name first or content first — both
+# orders occur in the wild, so two passes (group 1 = key, group 2 = val
+# in pass A; reversed in pass B)
+_META_PK_RE = (
+    r"(?is)<meta\s[^>]*?(?:property|name)\s*=\s*[\"']([^\"']+)[\"']"
+    r"[^>]*?content\s*=\s*[\"']([^\"']*)[\"'][^>]*>"
+)
+_META_KP_RE = (
+    r"(?is)<meta\s[^>]*?content\s*=\s*[\"']([^\"']*)[\"']"
+    r"[^>]*?(?:property|name)\s*=\s*[\"']([^\"']+)[\"'][^>]*>"
+)
+
+
+def meta_triples(
+    pages: DataFrame,
+    props: tuple[str, ...] = DEFAULT_META_PROPS,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """OpenGraph / named-``<meta>`` triples: (subj = page url,
+    pred = ``meta:<property>``, obj = content) for the requested
+    properties — the other ubiquitous structured channel next to
+    JSON-LD (og:* tags outnumber JSON-LD islands on real crawls).
+
+    Map-only like the JSON-LD path: two regexp_extract_all passes (one
+    per attribute order, since ``content`` may precede ``property``),
+    zipped key/value arrays, filtered to ``props``. When a property
+    occurs more than once, the first occurrence wins, pass-major
+    (property-first tags, document order, then content-first tags) —
+    a deterministic total order, so re-runs and re-partitionings agree.
+    """
+    html_str = F.col(html_col).cast("string")
+    keys = F.concat(
+        F.regexp_extract_all(html_str, F.lit(_META_PK_RE), F.lit(1)),
+        F.regexp_extract_all(html_str, F.lit(_META_KP_RE), F.lit(2)),
+    )
+    vals = F.concat(
+        F.regexp_extract_all(html_str, F.lit(_META_PK_RE), F.lit(2)),
+        F.regexp_extract_all(html_str, F.lit(_META_KP_RE), F.lit(1)),
+    )
+    wanted = F.array(*[F.lit(p) for p in props])
+    kv = F.filter(
+        F.arrays_zip(keys.alias("k"), vals.alias("v")),
+        lambda s: F.array_contains(wanted, s["k"]),
+    )
+    exploded = pages.where(F.col(html_col).isNotNull()).select(
+        F.col(url_col).alias("subj"),
+        F.posexplode(kv).alias("pos", "t"),
+    ).select(
+        "subj",
+        F.col("t.k").alias("k"),
+        F.col("t.v").alias("obj"),
+        "pos",
+    )
+    # first occurrence per (subj, property) wins — min(pos) then the
+    # winner via the usual no-window min-struct aggregate
+    return exploded.groupBy("subj", "k").agg(
+        F.min(F.struct(F.col("pos").alias("p"), F.col("obj").alias("o"))).alias("w")
+    ).select(
+        "subj",
+        F.concat(F.lit("meta:"), F.col("k")).alias("pred"),
+        F.col("w.o").alias("obj"),
     )
 
 

@@ -142,3 +142,50 @@ def test_kg_run_jsonld_stage(spark, tmp_path):
     lineage = spark.read.parquet(f"{work}/lineage").collect()
     jl = [r for r in lineage if r["stage"] == "jsonld_extraction"]
     assert jl and jl[0]["input_rows"] == 30 and jl[0]["output_rows"] == len(got)
+
+
+# ---------------------------------------------------------- og/meta channel
+def test_meta_triples_both_attribute_orders(spark):
+    from pdf_metadata_extraction_spark.operators.structured import meta_triples
+
+    h = (
+        '<html><head>'
+        '<meta property="og:title" content="Hello OG" />'
+        "<meta content='fr_FR' property='og:locale'/>"
+        '<meta name="twitter:title" content="tw" >'
+        '<meta property="og:unwanted" content="zzz" />'
+        '<meta charset="utf-8"><meta name="viewport" content="width=1">'
+        "</head><body></body></html>"
+    )
+    out = meta_triples(
+        _pages(spark, [("u", h)]),
+        props=("og:title", "og:locale", "twitter:title"),
+    ).collect()
+    got = {r.pred: r.obj for r in out}
+    assert got == {
+        "meta:og:title": "Hello OG",
+        "meta:og:locale": "fr_FR",
+        "meta:twitter:title": "tw",
+    }
+
+
+def test_meta_triples_first_occurrence_wins_and_nulls(spark):
+    from pdf_metadata_extraction_spark.operators.structured import meta_triples
+
+    h = (
+        '<html><meta property="og:title" content="first"/>'
+        '<meta property="og:title" content="second"/></html>'
+    )
+    out = meta_triples(_pages(spark, [("u", h)]), props=("og:title",)).collect()
+    assert len(out) == 1 and out[0].obj == "first"
+    nulls = spark.createDataFrame([("n", None)], "url string, html binary")
+    assert meta_triples(nulls).count() == 0
+
+
+def test_meta_triples_plan_is_window_free(spark):
+    from pdf_metadata_extraction_spark.operators.structured import meta_triples
+
+    plan = meta_triples(
+        _pages(spark, [("u", "<html></html>")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
