@@ -1430,6 +1430,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages, props=("og:title", "og:locale", "twitter:title")
         ).select(F.col("subj").cast("long").alias("doc_id"), "pred", "obj")
 
+    # ------------------------------------------------ rel=canonical
+    def rel_canonical_extract(spark, sf_dir):
+        """<link rel=canonical> extraction + RFC 3986 resolution
+        (operators/links.with_rel_canonical) under the oracle harness:
+        absolute targets (even ids), root-relative targets (odd ids),
+        and no-declaration pages (ids % 7 == 0 → NULL), with the
+        oracle recomputing the resolved strings in SQL."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.links import (
+            with_rel_canonical,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+
+        def to_pages(batches):
+            for pdf in batches:
+                urls, htmls = [], []
+                for i in pdf["doc_id"]:
+                    urls.append("https://h%d.example/d/%d" % (i % 50, i))
+                    if i % 7 == 0:
+                        tag = ""
+                    elif i % 2 == 0:
+                        tag = (
+                            '<link rel="canonical" '
+                            'href="https://canon.example/p/%d"/>' % i
+                        )
+                    else:
+                        tag = '<link rel="canonical" href="/c/%d?x=1"/>' % i
+                    htmls.append(
+                        ("<html><head>%s</head><body>b</body></html>" % tag).encode()
+                    )
+                yield pd.DataFrame({"url": urls, "html": htmls})
+
+        pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+        return with_rel_canonical(pages).select("url", "rel_canonical_abs")
+
     # ------------------------------------------------ decontamination
     # Eval set = deterministic 1/20 hash slice of doc_ids (stands in
     # for the benchmark suite); corpus = the rest.  7-gram collision
@@ -1548,7 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- REGISTRATION-ORDER ROTATION (round-4 verdict #1) ----
     # The driver's correctness gate samples the FIRST 50 registered
-    # queries; the registry holds 85. Policy (re-applied every round):
+    # queries; the registry holds 86. Policy (re-applied every round):
     #   1. queries whose semantics/inputs CHANGED this round register
     #      first (a changed query without a driver-green row is the
     #      exact failure mode the gate exists for), together with any
@@ -1558,10 +1595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the six NEW fusion/link-prediction/community/
+    # Round-5 head = the seven NEW fusion/link-prediction/community/
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
-    # og_meta_extract) + the ten NEW corpus-hygiene/packing queries
+    # og_meta_extract, rel_canonical_extract)
+    # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
     # packed_sequences, ce_quality_tiers, decontam_scrubbed) + the 12 CORRECTNESS_r04-unsampled
@@ -1586,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": graph_communities,
         "jsonld_extract": jsonld_extract,
         "og_meta_extract": og_meta_extract,
+        "rel_canonical_extract": rel_canonical_extract,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3269,6 +3308,18 @@ UNION ALL
 SELECT doc_id, 'meta:og:locale', l FROM d
 UNION ALL
 SELECT doc_id, 'meta:twitter:title', concat('t ', s) FROM d
+""",
+        "rel_canonical_extract": """
+SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
+              CAST(doc_id AS VARCHAR)) AS url,
+       CASE
+         WHEN doc_id % 7 = 0 THEN NULL
+         WHEN doc_id % 2 = 0
+           THEN concat('https://canon.example/p/', CAST(doc_id AS VARCHAR))
+         ELSE concat('https://h', CAST(doc_id % 50 AS VARCHAR),
+                     '.example/c/', CAST(doc_id AS VARCHAR), '?x=1')
+       END AS rel_canonical_abs
+FROM documents WHERE doc_id < 500
 """,
         # the salted two-phase count must be indistinguishable from a
         # plain GROUP BY — the salt is an execution detail

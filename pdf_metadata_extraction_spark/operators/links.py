@@ -247,6 +247,47 @@ def resolve_hrefs(links: DataFrame) -> DataFrame:
     return links.withColumn("href_class", cls).withColumn("abs_url", abs_url)
 
 
+# <link rel="canonical" href=…> in both attribute orders (rel first /
+# href first), single or double quotes
+REL_CANONICAL_RE = (
+    r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+    r"href\s*=\s*[\"']([^\"']+)[\"']"
+)
+REL_CANONICAL_HREF_FIRST_RE = (
+    r"(?is)<link\s[^>]*href\s*=\s*[\"']([^\"']+)[\"'][^>]*"
+    r"rel\s*=\s*[\"']canonical[\"']"
+)
+
+
+def with_rel_canonical(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Adds ``rel_canonical_abs``: the publisher-declared
+    ``<link rel="canonical">`` target, RFC 3986-resolved against the
+    page url (reuses :func:`resolve_hrefs` — relative canonicals are
+    common); NULL when the page declares none or the href class is
+    unresolvable. First tag wins, pass-major (rel-first tags before
+    href-first tags). Map-only — no join back to the page table, the
+    whole thing is expressions over (url, html).
+    """
+    html_str = F.col(html_col).cast("string")
+    c1 = F.regexp_extract_all(html_str, F.lit(REL_CANONICAL_RE), F.lit(1))
+    c2 = F.regexp_extract_all(
+        html_str, F.lit(REL_CANONICAL_HREF_FIRST_RE), F.lit(1)
+    )
+    # F.get, not element_at: ANSI mode makes element_at THROW on an
+    # empty array (pages without any <link rel=canonical>)
+    href = F.get(F.concat(c1, c2), 0)
+    base = pages.withColumn("src_url", F.col(url_col)).withColumn(
+        "href", F.coalesce(href, F.lit(""))
+    )
+    return (
+        resolve_hrefs(base)
+        .withColumn("rel_canonical_abs", F.col("abs_url"))
+        .drop("src_url", "href", "href_class", "abs_url")
+    )
+
+
 def href_class_counts(
     df: DataFrame, url_col: str = "url", html_col: str = "html_text"
 ) -> DataFrame:

@@ -344,6 +344,7 @@ def dedup_pages_by_canonical_url(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     content_col: str = "html",
+    use_rel_canonical: bool = False,
 ) -> DataFrame:
     """Ingest-time page dedup on the canonical url — the composed form
     every crawl pipeline runs before anything keys on url: rewrite
@@ -365,6 +366,16 @@ def dedup_pages_by_canonical_url(
     across their distinct paths, so the window key has no hub skew.
     A materialized ``url_bucket`` column (the Iceberg bucket stand-in)
     is recomputed from the rewritten url.
+
+    ``use_rel_canonical``: honor the publisher's
+    ``<link rel="canonical">`` declaration first (links.py extraction +
+    RFC 3986 resolution, map-only): when a page declares a SAME-HOST
+    canonical target, that target replaces its url before the rewrite,
+    so tracking-param/mirror variants collapse onto the page the
+    publisher points at. Cross-host declarations are ignored —
+    syndication canonicals would merge distinct sites' fetches under
+    one key, a curation decision this operator refuses to make
+    silently.
     """
     from pyspark.sql import Window
 
@@ -375,6 +386,24 @@ def dedup_pages_by_canonical_url(
             f"dedup_pages_by_canonical_url would clobber input column(s) "
             f"{sorted(clash)}; rename them first"
         )
+    if use_rel_canonical:
+        # function-level import: links.py imports URL_RE from this module
+        from pdf_metadata_extraction_spark.operators.links import (
+            _host_of,
+            with_rel_canonical,
+        )
+
+        rc = with_rel_canonical(pages, url_col=url_col, html_col=content_col)
+        same_host = _host_of(F.col("rel_canonical_abs")) == _host_of(
+            F.col(url_col)
+        )
+        pages = rc.withColumn(
+            url_col,
+            F.when(
+                F.col("rel_canonical_abs").isNotNull() & same_host,
+                F.col("rel_canonical_abs"),
+            ).otherwise(F.col(url_col)),
+        ).drop("rel_canonical_abs")
     c = canonicalize_urls(pages, url_col)
     good = c.where(F.col("canonical_url").isNotNull())
     order = [F.col(ts_col).asc()]

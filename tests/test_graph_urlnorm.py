@@ -880,3 +880,73 @@ def test_lpa_plan_has_no_window(spark):
         _edges(spark, [(1, 2), (2, 3)]), iters=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ------------------------------------------------------ rel=canonical dedup
+def test_with_rel_canonical_extraction_and_resolution(spark):
+    from pdf_metadata_extraction_spark.operators.links import with_rel_canonical
+
+    rows = [
+        # absolute target, rel-first attr order
+        ("https://a.example/p?utm_source=x",
+         '<html><head><link rel="canonical" href="https://a.example/p"/></head></html>'),
+        # root-relative target, href-first attr order + single quotes
+        ("https://b.example/dir/page",
+         "<html><link href='/clean' rel='canonical'></html>"),
+        # path-relative target (resolved against the base directory)
+        ("https://c.example/dir/page", '<html><link rel="canonical" href="other"/></html>'),
+        # no declaration
+        ("https://d.example/x", "<html><p>nope</p></html>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+    got = {r.url: r.rel_canonical_abs for r in with_rel_canonical(df).collect()}
+    assert got == {
+        "https://a.example/p?utm_source=x": "https://a.example/p",
+        "https://b.example/dir/page": "https://b.example/clean",
+        "https://c.example/dir/page": "https://c.example/dir/other",
+        "https://d.example/x": None,
+    }
+
+
+def test_dedup_honors_same_host_rel_canonical_only(spark):
+    from datetime import datetime
+
+    from pdf_metadata_extraction_spark.operators.urlnorm import (
+        dedup_pages_by_canonical_url,
+    )
+
+    canon = '<html><link rel="canonical" href="https://s.example/page"/></html>'
+    cross = '<html><link rel="canonical" href="https://other.example/p"/></html>'
+    rows = [
+        # two fetch variants declaring the same same-host canonical -> one survivor
+        ("https://s.example/page?utm_source=a", datetime(2021, 1, 1), canon),
+        ("https://s.example/page?ref=b", datetime(2021, 1, 2), canon),
+        # cross-host canonical is IGNORED: stays its own fetch
+        ("https://t.example/syndicated", datetime(2021, 1, 3), cross),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, h.encode()) for u, t, h in rows],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = dedup_pages_by_canonical_url(df, use_rel_canonical=True).collect()
+    urls = sorted(r.url for r in out)
+    assert urls == ["https://s.example/page", "https://t.example/syndicated"]
+    # survivor among the merged pair = earliest fetch
+    kept = [r for r in out if r.url == "https://s.example/page"][0]
+    assert kept.warc_ts == datetime(2021, 1, 1)
+    # without the opt-in, the two variants are distinct canonical urls
+    # (tracking params are stripped but they differ only in ref=b...
+    # actually utm_/ref params are dropped by canonicalize, so both
+    # collapse anyway; prove the flag's value with a PATH variant)
+    rows2 = [
+        ("https://s.example/page", datetime(2021, 1, 1), canon),
+        ("https://s.example/page/amp", datetime(2021, 1, 2), canon),
+    ]
+    df2 = spark.createDataFrame(
+        [(u, t, h.encode()) for u, t, h in rows2],
+        "url string, warc_ts timestamp, html binary",
+    )
+    assert dedup_pages_by_canonical_url(df2).count() == 2
+    assert dedup_pages_by_canonical_url(df2, use_rel_canonical=True).count() == 1
