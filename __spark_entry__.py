@@ -1467,6 +1467,165 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.mapInPandas(to_pages, schema="url string, html binary")
         return with_rel_canonical(pages).select("url", "rel_canonical_abs")
 
+    # ------------------------------------------------ hreflang
+    def hreflang_extract(spark, sf_dir):
+        """<link rel=alternate hreflang> extraction + RFC 3986
+        resolution (operators/links.hreflang_alternates) under the
+        oracle harness: docs with doc_id % 5 != 0 declare an absolute
+        'en' alternate (rel-first attribute order) AND a root-relative
+        'FR-CA' alternate (hreflang-first order — exercises
+        order-independence and BCP 47 lowercasing) plus a stylesheet
+        <link> distractor; % 5 == 0 pages declare none. The oracle
+        recomputes the (url, hreflang, alt_abs) rows in pure SQL."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.links import (
+            hreflang_alternates,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+
+        def to_pages(batches):
+            for pdf in batches:
+                urls, htmls = [], []
+                for i in pdf["doc_id"]:
+                    urls.append("https://s%d.example/a/%d" % (i % 20, i))
+                    if i % 5 == 0:
+                        tags = '<link rel="stylesheet" href="/s.css"/>'
+                    else:
+                        tags = (
+                            '<link rel="alternate" hreflang="en" '
+                            'href="https://s%d.example/a/%d?l=en"/>'
+                            '<link hreflang="FR-CA" href="/a/%d?l=fr" '
+                            'rel="alternate"/>'
+                            '<link rel="stylesheet" href="/s.css"/>'
+                        ) % (i % 20, i, i)
+                    htmls.append(
+                        (
+                            "<html><head>%s</head><body>b</body></html>"
+                            % tags
+                        ).encode()
+                    )
+                yield pd.DataFrame({"url": urls, "html": htmls})
+
+        pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+        return hreflang_alternates(pages)
+
+    # ------------------------------------------------ meta refresh
+    def meta_refresh_chains(spark, sf_dir):
+        """Declarative-redirect extraction (links.with_meta_refresh)
+        composed with bounded multi-hop resolution
+        (links.resolve_redirect_chains, max_hops=3). Residue rules
+        over doc_id build 1/2/3-hop resolved chains (% 10 in 5/3/1), a
+        2-cycle (% 10 in 6, 8 point at each other), and a >3-hop
+        ladder (% 10 == 9 jumps back to its OWN decade's 1-residue
+        chain → truncated); every rule stays inside its decade, so the
+        chains close on any corpus whose doc count is a multiple of 10
+        (50 / 500 / 5000 at the three sfs). Both meta attribute orders
+        and both absolute/root-relative targets are exercised. The
+        oracle recomputes final_url/n_hops/status per residue
+        class."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.links import (
+            resolve_redirect_chains,
+            with_meta_refresh,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 490")
+
+        def to_pages(batches):
+            for pdf in batches:
+                urls, htmls = [], []
+                for i in pdf["doc_id"]:
+                    urls.append("https://r.example/p/%d" % i)
+                    r = i % 10
+                    if r in (1, 3, 5, 6):
+                        tgt = i + 2
+                    elif r == 8:
+                        tgt = i - 2
+                    elif r == 9:
+                        tgt = i - 8  # back to this decade's 1-residue
+                    else:
+                        tgt = None
+                    if tgt is None:
+                        body = (
+                            '<meta name="viewport" '
+                            'content="width=device-width"/>'
+                        )
+                    else:
+                        href = (
+                            "https://r.example/p/%d" % tgt
+                            if (i // 10) % 4 < 2
+                            else "/p/%d" % tgt
+                        )
+                        if (i // 10) % 2 == 0:
+                            body = (
+                                '<meta http-equiv="refresh" '
+                                'content="0; url=%s"/>' % href
+                            )
+                        else:
+                            body = (
+                                '<meta content="5;URL=%s" '
+                                'http-equiv="Refresh"/>' % href
+                            )
+                    htmls.append(
+                        (
+                            "<html><head>%s</head><body>b</body></html>"
+                            % body
+                        ).encode()
+                    )
+                yield pd.DataFrame({"url": urls, "html": htmls})
+
+        pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+        edges = (
+            with_meta_refresh(pages)
+            .where(F.col("refresh_abs").isNotNull())
+            .select(
+                F.col("url").alias("src"),
+                F.col("refresh_abs").alias("dst"),
+            )
+        )
+        return resolve_redirect_chains(edges, max_hops=3).select(
+            F.col("src").alias("src_url"), "final_url", "n_hops", "status"
+        )
+
+    # ------------------------------------------------ HITS
+    def graph_hits(spark, sf_dir):
+        """Top-500 authorities by exact integer HITS (iters=2,
+        graph.hits_integer serving mode — releases every checkpoint it
+        pins) over the shared _graph_edges corpus; the oracle unrolls
+        the same two hub/authority sweeps in SQL."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            hits_integer,
+        )
+
+        return hits_integer(_graph_edges(spark, sf_dir), iters=2, top_k=500)
+
+    # ------------------------------------------------ temporal fusion
+    def triple_timeline(spark, sf_dir):
+        """Temporal fusion (fusion.fuse_timeline): last-write-wins
+        current object + churn audit per (subj, pred) over timestamped
+        assertions synthesized from events (subj = user bucket, pred =
+        event_type, obj = deterministic event_id bucket, ts = event
+        time floored to epoch seconds on BOTH engines)."""
+        from pdf_metadata_extraction_spark.operators.fusion import (
+            fuse_timeline,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        tr = ev.select(
+            F.concat(
+                F.lit("u"), (F.col("user_id") % 200).cast("string")
+            ).alias("subj"),
+            F.col("event_type").alias("pred"),
+            F.concat(
+                F.lit("v"), (F.col("event_id") % 5).cast("string")
+            ).alias("obj"),
+            F.col("ts"),
+        )
+        return fuse_timeline(tr)
+
     # ------------------------------------------------ decontamination
     # Eval set = deterministic 1/20 hash slice of doc_ids (stands in
     # for the benchmark suite); corpus = the rest.  7-gram collision
@@ -1595,7 +1754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      from last round AND untouched this round — they rotate to
     #      the front next round, so every query gets a driver-green
     #      row at least every 2 rounds.
-    # Round-5 head = the seven NEW fusion/link-prediction/community/
+    # Round-5 head = the four NEW hreflang/redirect/HITS/temporal
+    # queries (hreflang_extract, meta_refresh_chains, graph_hits,
+    # triple_timeline)
+    # + the seven NEW fusion/link-prediction/community/
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract)
@@ -1618,6 +1780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hourly/j4.
     return {
         # -- head: NEW this round (never driver-sampled)
+        "hreflang_extract": hreflang_extract,
+        "meta_refresh_chains": meta_refresh_chains,
+        "graph_hits": graph_hits,
+        "triple_timeline": triple_timeline,
         "kg_fused_triples": kg_fused_triples,
         "entity_cooccurrence_pmi": entity_cooccurrence_pmi,
         "graph_link_prediction": graph_link_prediction,
@@ -2571,6 +2737,130 @@ WITH corpus AS ({_link_corpus_sql()}),
     )
 
 
+def _hits_sql(top_k: int = 500) -> str:
+    """HITS oracle over the _graph_edges doc-id corpus: the same two
+    unnormalized integer hub/authority sweeps graph.hits_integer runs
+    (h0 = 1; auth_k = per-target sum of hub_{k-1}; hub_k = per-source
+    sum of auth_k), unrolled — integer sums are order-free, so the
+    match is bit-exact. Top-k by (auth DESC, hub DESC, node ASC): node
+    is unique, so the LIMIT is a total order on both engines."""
+    return f"""
+WITH d AS (SELECT doc_id FROM documents),
+eraw AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM d WHERE doc_id % 10 < 2
+  UNION ALL
+  SELECT doc_id, doc_id + 100000 FROM d
+),
+de AS (SELECT DISTINCT id_a AS u, id_b AS v FROM eraw),
+n AS (SELECT u AS node FROM de UNION SELECT v FROM de),
+a1r AS (SELECT v, CAST(count(*) AS BIGINT) AS a FROM de GROUP BY v),
+a1 AS (SELECT node, CAST(coalesce(a1r.a, 0) AS BIGINT) AS a
+       FROM n LEFT JOIN a1r ON a1r.v = n.node),
+h1r AS (SELECT u, sum(a1.a) AS h FROM de JOIN a1 ON a1.node = de.v
+        GROUP BY u),
+h1 AS (SELECT node, CAST(coalesce(h1r.h, 0) AS BIGINT) AS h
+       FROM n LEFT JOIN h1r ON h1r.u = n.node),
+a2r AS (SELECT v, sum(h1.h) AS a FROM de JOIN h1 ON h1.node = de.u
+        GROUP BY v),
+a2 AS (SELECT node, CAST(coalesce(a2r.a, 0) AS BIGINT) AS a
+       FROM n LEFT JOIN a2r ON a2r.v = n.node),
+h2r AS (SELECT u, sum(a2.a) AS h FROM de JOIN a2 ON a2.node = de.v
+        GROUP BY u),
+h2 AS (SELECT node, CAST(coalesce(h2r.h, 0) AS BIGINT) AS h
+       FROM n LEFT JOIN h2r ON h2r.u = n.node)
+SELECT a2.node, a2.a AS auth, h2.h AS hub
+FROM a2 JOIN h2 ON h2.node = a2.node
+ORDER BY auth DESC, hub DESC, a2.node ASC LIMIT {top_k}
+"""
+
+
+def _hreflang_sql() -> str:
+    """hreflang_extract oracle: recompute the fixture's declared
+    alternates (absolute 'en' + root-relative 'FR-CA' -> lowercased,
+    resolved) in pure SQL."""
+    return """
+WITH d AS (
+  SELECT doc_id,
+         concat('https://s', CAST(doc_id % 20 AS VARCHAR), '.example/a/',
+                CAST(doc_id AS VARCHAR)) AS url
+  FROM documents WHERE doc_id < 500 AND doc_id % 5 <> 0
+)
+SELECT url, 'en' AS hreflang, concat(url, '?l=en') AS alt_abs FROM d
+UNION ALL
+SELECT url, 'fr-ca', concat(url, '?l=fr') FROM d
+"""
+
+
+def _meta_refresh_sql() -> str:
+    """meta_refresh_chains oracle: final_url/n_hops/status per residue
+    class of the fixture's redirect rules (1: 3-hop resolved, 3:
+    2-hop, 5: 1-hop, 6/8: 2-cycle, 9: >max_hops truncated)."""
+    return """
+WITH d AS (
+  SELECT doc_id AS i FROM documents
+  WHERE doc_id < 490 AND doc_id % 10 IN (1, 3, 5, 6, 8, 9)
+)
+SELECT concat('https://r.example/p/', CAST(i AS VARCHAR)) AS src_url,
+       CASE
+         WHEN i % 10 = 1
+           THEN concat('https://r.example/p/', CAST(i + 6 AS VARCHAR))
+         WHEN i % 10 = 9
+           THEN concat('https://r.example/p/', CAST(i - 4 AS VARCHAR))
+         WHEN i % 10 = 3
+           THEN concat('https://r.example/p/', CAST(i + 4 AS VARCHAR))
+         WHEN i % 10 = 5
+           THEN concat('https://r.example/p/', CAST(i + 2 AS VARCHAR))
+       END AS final_url,
+       CAST(CASE WHEN i % 10 = 3 THEN 2 WHEN i % 10 = 5 THEN 1
+                 ELSE 3 END AS BIGINT) AS n_hops,
+       CASE WHEN i % 10 IN (6, 8) THEN 'cycle'
+            WHEN i % 10 = 9 THEN 'truncated'
+            ELSE 'resolved' END AS status
+FROM d
+"""
+
+
+def _timeline_sql() -> str:
+    """triple_timeline oracle: the same floored-second, (es, obj)-
+    ordered sequence — lag for n_changes, row_number for the
+    last-write-wins current object."""
+    return """
+WITH t AS (
+  SELECT DISTINCT concat('u', CAST(user_id % 200 AS VARCHAR)) AS subj,
+         event_type AS pred,
+         concat('v', CAST(event_id % 5 AS VARCHAR)) AS obj,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+seq AS (
+  SELECT subj, pred, obj, es,
+         lag(obj) OVER (PARTITION BY subj, pred ORDER BY es, obj) AS prev
+  FROM t
+),
+agg AS (
+  SELECT subj, pred,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> obj
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_objs,
+         min(es) AS first_ts, max(es) AS last_ts
+  FROM seq GROUP BY subj, pred
+),
+cur AS (
+  SELECT subj, pred, obj AS current_obj FROM (
+    SELECT subj, pred, obj,
+           row_number() OVER (PARTITION BY subj, pred
+                              ORDER BY es DESC, obj DESC) AS rn
+    FROM t
+  ) WHERE rn = 1
+)
+SELECT a.subj, a.pred, c.current_obj, a.n_changes, a.n_objs,
+       a.first_ts, a.last_ts
+FROM agg a JOIN cur c ON c.subj = a.subj AND c.pred = a.pred
+"""
+
+
 def _graph_sql(mode: str = "degrees") -> str:
     """Shared deterministic edge set (mirror of _graph_edges); triangle
     count via the a<b<c three-way self-join (integer-exact), degree
@@ -3375,6 +3665,10 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "domain_link_graph": _domain_link_graph_sql(),
         "anchor_term_profile": _anchor_term_profile_sql(),
         "crawl_frontier_hosts": _crawl_frontier_sql(),
+        "hreflang_extract": _hreflang_sql(),
+        "meta_refresh_chains": _meta_refresh_sql(),
+        "graph_hits": _hits_sql(top_k=500),
+        "triple_timeline": _timeline_sql(),
         "graph_triangles": _graph_sql("triangles"),
         "graph_degree_hist": _graph_sql(),
         "graph_link_prediction": _graph_sql("link_pred"),

@@ -221,7 +221,8 @@ def main() -> None:
         "stratified_domain_cap", "decontam_overlap", "boilerplate_ngrams",
         "boilerplate_doc_frac", "unigram_ce", "tfidf_topk", "dup_span_pairs",
         "line_dedup_clean", "packed_sequences", "ce_quality_tiers",
-        "decontam_scrubbed",
+        "decontam_scrubbed", "hreflang_extract", "meta_refresh_chains",
+        "graph_hits", "triple_timeline",
     ]:
         fn = run_query(name)
         fn()

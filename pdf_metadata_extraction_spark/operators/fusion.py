@@ -32,7 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuse_edges", "cooccurrence_pmi", "ordered_pairs"]
+__all__ = [
+    "fuse_edges", "cooccurrence_pmi", "ordered_pairs", "fuse_timeline",
+]
 
 
 def ordered_pairs(arr):
@@ -177,4 +179,94 @@ def cooccurrence_pmi(
                 / (F.col("n_a") * F.col("n_b"))
             ), 6
         ).alias("pmi"),
+    )
+
+
+def fuse_timeline(
+    edges: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+) -> DataFrame:
+    """Temporal fusion: the assertion TIMELINE per (subj, pred) over
+    timestamped triples — what a Common-Crawl-style corpus (every page
+    carries ``warc_ts``) adds over fuse_edges' source-vote snapshot.
+
+    Returns ``(subj, pred, current_obj, n_changes, n_objs, first_ts,
+    last_ts)``:
+
+    - ``current_obj``: the object of the LATEST assertion —
+      last-write-wins, the standard temporal-KG currency rule; ties at
+      the same second break by max object (total order → deterministic
+      under any partitioning);
+    - ``n_changes``: transitions in the time-ordered assertion
+      sequence where the object differs from its predecessor — the
+      churn signal (a (subj, pred) that flips objects every crawl is
+      either genuinely volatile or an extraction bug; both need the
+      audit row);
+    - ``n_objs``: distinct objects ever asserted;
+    - ``first_ts`` / ``last_ts``: assertion validity span.
+
+    Cross-engine contract: timestamps are floored to epoch SECONDS
+    first (Spark unix_timestamp floors; DuckDB epoch() keeps
+    fractions, so the oracle wraps it in floor()), ordering is by
+    (epoch_s, obj) — fully deterministic even when two crawls land in
+    the same second — and duplicate (subj, pred, obj, second)
+    assertions collapse before sequencing, so re-crawls of an
+    unchanged page don't inflate n_changes' denominators. All counts
+    BIGINT.
+
+    Scale shape: one distinct + one window + one hash aggregate, all
+    shuffling on the (subj, pred) key. The window sorts only
+    within each (subj, pred) group; a pathologically hot key (one
+    entity asserted from 10^9 pages) serializes its own partition —
+    the distinct-first step bounds that by distinct (obj, second)
+    combinations, and a production run with hotter keys pre-aggregates
+    to per-(obj, day) buckets before sequencing (same contract,
+    coarser clock).
+    """
+    from pyspark.sql import Window
+
+    es = F.unix_timestamp(F.col(ts)).cast("long")
+    t = (
+        edges.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+            es.alias("es"),
+        )
+        .where(F.col("obj").isNotNull() & F.col("es").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("subj", "pred").orderBy("es", "obj")
+    seq = t.withColumn("prev", F.lag("obj").over(w))
+    return (
+        seq.groupBy("subj", "pred")
+        .agg(
+            F.max(
+                F.struct(F.col("es").alias("_e"), F.col("obj").alias("_o"))
+            ).alias("_cur"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("prev") != F.col("obj")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changes"),
+            F.countDistinct("obj").cast("long").alias("n_objs"),
+            F.min("es").alias("first_ts"),
+            F.max("es").alias("last_ts"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("_cur._o").alias("current_obj"),
+            "n_changes",
+            "n_objs",
+            "first_ts",
+            "last_ts",
+        )
     )

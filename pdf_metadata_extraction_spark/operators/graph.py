@@ -500,3 +500,118 @@ def pagerank_fixed(
         if redistribute_dangling:
             dangling.unpersist()
     return r
+
+
+def hits_integer(
+    edges: DataFrame, iters: int = 2, top_k: int | None = None
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, hubs & authorities) in
+    EXACT integers — ``(node, auth, hub)`` as BIGINT path counts over
+    the DIRECTED edge set (id_a → id_b; duplicates collapse,
+    self-loops kept — a self-link is an endorsement under HITS, unlike
+    the undirected triangle view which drops them).
+
+    Classic HITS L2-normalizes the hub/authority vectors each
+    iteration; at a FIXED iteration count the normalizer is a positive
+    per-iteration scalar, so dropping it preserves the ranking exactly
+    while keeping every score integer: from ``h0 = 1`` on all nodes,
+    ``auth_k(v) = Σ_{u→v} hub_{k-1}(u)`` and
+    ``hub_k(u) = Σ_{u→v} auth_k(v)`` count directed alternating paths
+    ending (starting) at the node. Integer sums are order-free, so the
+    DuckDB oracle (the same joins unrolled) matches bit-for-bit — the
+    same reason pagerank_fixed is fixed-point integer. Overflow bound:
+    scores grow ≤ (max in/out degree)^(2·iters); at iters=2 a
+    10^4-degree graph stays < 2^63 with 10^4 headroom — callers with
+    mega-hub graphs cap degree upstream (the link_prediction
+    max_center_degree rationale).
+
+    Every node of the edge set appears, zero scores included (a pure
+    hub has auth 0, a pure authority hub 0 — both are signals).
+
+    ``top_k`` (the serving mode, leak-free): eagerly computes the top
+    ``k`` rows ordered (auth DESC, hub DESC, node ASC), RELEASES every
+    localCheckpoint this call pinned (by captured id — the
+    triangle_count contract), and returns them as a literal DataFrame;
+    the driver holds ≤ k rows (contract-bounded collect). With
+    ``top_k=None`` the full (node, auth, hub) table is returned LAZY —
+    the plan Catalyst sees for a write-to-table materialization —
+    cut per iteration by eager localCheckpoints that then stay pinned
+    until the session ends or the caller unpersists; prefer ``top_k``
+    in long-lived drivers.
+
+    100 TB shape: per iteration two equi-joins of the edge set against
+    the score table plus integer groupBy sums with map-side partials —
+    the same shuffle budget as a PageRank iteration; mega-domain key
+    skew splits under AQE skew-join. Each auth/hub table is eagerly
+    localCheckpointed: Catalyst does not reuse exchanges across join
+    branches, so the lazy form would re-execute the edge scan
+    O(2^iters) times (and iteration lineage compounds — the same
+    reason pagerank_fixed cuts per iteration). ``iters`` is a small
+    fixed constant (2 by default — the classic one-sweep
+    hub/authority separation); durable-checkpoint long runs follow
+    pagerank_fixed's checkpoint_dir scheme instead.
+    """
+    spark = edges.sparkSession
+    jsc = spark.sparkContext._jsc
+    pinned: list[DataFrame] = []
+
+    def cut(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        pinned.append(out)
+        return out
+
+    e = cut(
+        edges.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        ).distinct()
+    )
+    nodes = cut(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("a"))
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.select(F.col("node").alias("u"), "h"), "u")
+            .groupBy("v")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = cut(
+            nodes.join(
+                a_raw.select(F.col("v").alias("node"), "a"), "node", "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(auth.select(F.col("node").alias("v"), "a"), "v")
+            .groupBy("u")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = cut(
+            nodes.join(
+                h_raw.select(F.col("u").alias("node"), "h"), "node", "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h"),
+            )
+        )
+    result = auth.join(hub, "node").select(
+        "node", F.col("a").alias("auth"), F.col("h").alias("hub")
+    )
+    if top_k is None:
+        return result
+    rows = result.orderBy(
+        F.desc("auth"), F.desc("hub"), F.asc("node")
+    ).limit(top_k).collect()
+    jmap = jsc.getPersistentRDDs()
+    for df in pinned:
+        jrdd = jmap.get(_ckpt_rdd_id(df))
+        if jrdd is not None:
+            jrdd.unpersist()
+    # schema lifted from the lazy plan: node keeps the caller's id
+    # type (long doc ids, string hosts — both occur in this repo)
+    return spark.createDataFrame(rows, result.schema)

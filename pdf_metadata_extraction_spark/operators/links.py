@@ -423,3 +423,174 @@ def host_link_edges(
     return edges.groupBy("src_host", "dst_host").agg(
         F.count("*").cast("long").alias("n_links")
     )
+
+
+# <link ...> open tags (hreflang alternates live on <link> elements);
+# attribute ORDER inside the tag is free — the tag is matched whole and
+# each attribute is extracted from it separately, so rel-first and
+# href-first declarations both parse (same reason extract_links_rel
+# matches the whole <a ...> tag)
+LINK_TAG_RE = r"(?is)<link\s[^>]*>"
+_REL_ALTERNATE_RE = r"(?i)rel\s*=\s*[\"']alternate[\"']"
+_HREFLANG_ATTR_RE = r"(?i)hreflang\s*=\s*[\"']([^\"']+)[\"']"
+_HREF_ATTR_RE = r"(?i)href\s*=\s*[\"']([^\"']+)[\"']"
+
+
+def hreflang_alternates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, hreflang, alt_abs) — one row per declared language
+    alternate: ``<link rel="alternate" hreflang="xx" href=...>`` with
+    the href RFC 3986-resolved against the page url (relative
+    alternates are routine; reuses :func:`resolve_hrefs`).
+
+    Multilingual sites declare their translations this way, and the
+    alternate set is the canonical page-grouping signal a multilingual
+    corpus needs: dedup must NOT collapse translations (different
+    text, same entity), while entity linking SHOULD share evidence
+    across them — both start from exactly these edges. The hreflang
+    value is lowercased (BCP 47 tags are case-insensitive); tags
+    missing either attribute, and <link> tags whose rel is not
+    ``alternate``, drop.
+
+    Map-only pure expressions (tag scan + per-tag attribute extracts +
+    the expression-only resolver) — at 10^12 pages this adds zero
+    shuffles to the extraction stage; downstream grouping shuffles on
+    the page url key only.
+    """
+    html_str = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html_str, F.lit(LINK_TAG_RE), F.lit(0))
+    ex = pages.select(
+        F.col(url_col).alias("src_url"), F.explode(tags).alias("_tag")
+    ).where(F.col("_tag").rlike(_REL_ALTERNATE_RE))
+    cand = ex.select(
+        "src_url",
+        F.lower(F.regexp_extract("_tag", _HREFLANG_ATTR_RE, 1)).alias(
+            "hreflang"
+        ),
+        F.regexp_extract("_tag", _HREF_ATTR_RE, 1).alias("href"),
+    ).where((F.col("hreflang") != "") & (F.col("href") != ""))
+    return (
+        resolve_hrefs(cand)
+        .where(F.col("abs_url").isNotNull())
+        .select(
+            F.col("src_url").alias("url"),
+            "hreflang",
+            F.col("abs_url").alias("alt_abs"),
+        )
+    )
+
+
+# <meta http-equiv="refresh" content="N;url=..."> in both attribute
+# orders; the content value is parsed separately (the URL= token is
+# case-insensitive and optionally quoted, per the WHATWG shared
+# declarative-refresh parsing rules)
+META_REFRESH_RE = (
+    r"(?is)<meta\s[^>]*http-equiv\s*=\s*[\"']refresh[\"'][^>]*"
+    r"content\s*=\s*[\"']([^\"']+)[\"']"
+)
+META_REFRESH_CONTENT_FIRST_RE = (
+    r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']+)[\"'][^>]*"
+    r"http-equiv\s*=\s*[\"']refresh[\"']"
+)
+_REFRESH_URL_RE = r"(?i)url\s*=\s*['\"]?([^'\"]+)"
+
+
+def with_meta_refresh(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Adds ``refresh_abs``: the page's declarative
+    ``<meta http-equiv=refresh>`` redirect target, RFC 3986-resolved
+    against the page url; NULL when the page declares none, the
+    content carries no ``url=`` token (a plain timed reload), or the
+    href class is unresolvable. First tag wins, pass-major (http-equiv
+    -first tags before content-first tags — the same first-wins
+    contract as :func:`with_rel_canonical`). Map-only expressions.
+
+    Meta refresh is the redirect a WARC corpus actually sees: HTTP 3xx
+    hops are followed at fetch time, but the HTML-level refresh
+    survives into the stored body, so URL canonicalization at
+    Common-Crawl scale must chase these or alias clusters split.
+    """
+    html_str = F.col(html_col).cast("string")
+    c1 = F.regexp_extract_all(html_str, F.lit(META_REFRESH_RE), F.lit(1))
+    c2 = F.regexp_extract_all(
+        html_str, F.lit(META_REFRESH_CONTENT_FIRST_RE), F.lit(1)
+    )
+    content = F.get(F.concat(c1, c2), 0)  # F.get: NULL on empty (ANSI)
+    target = F.regexp_extract(F.coalesce(content, F.lit("")), _REFRESH_URL_RE, 1)
+    base = pages.withColumn("src_url", F.col(url_col)).withColumn(
+        "href", target
+    )
+    return (
+        resolve_hrefs(base)
+        .withColumn("refresh_abs", F.col("abs_url"))
+        .drop("src_url", "href", "href_class", "abs_url")
+    )
+
+
+def resolve_redirect_chains(
+    redirects: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Bounded multi-hop redirect resolution over a declared-redirect
+    edge map ``(src, dst)`` (one declared hop per source url — e.g.
+    :func:`with_meta_refresh` output filtered to non-NULL).
+
+    Returns one row per redirecting source:
+    ``(src, final_url, n_hops, status)`` where
+
+    - ``status='resolved'``: the chain ended at a non-redirecting url
+      within ``max_hops``; ``final_url`` is that url;
+    - ``status='cycle'``: some hop revisited an earlier url in the
+      chain (A→B→A); ``final_url`` is NULL — a cycle has no final
+      target, and feeding one into canonicalization would alias two
+      urls that both claim the other;
+    - ``status='truncated'``: after ``max_hops`` hops the current url
+      still redirects; ``final_url`` is the last followed hop (an
+      explicit partial answer, never presented as final);
+    - ``n_hops``: hops actually followed (≤ ``max_hops``).
+
+    Shape for 10^12 pages: the redirect map is the small fraction of
+    pages declaring a refresh, so each hop is ONE equi-join of the map
+    against itself on the url key — ``max_hops`` shuffle joins total,
+    a fixed constant (real-world refresh chains are overwhelmingly 1
+    hop; 3 covers http→https→www→canonical ladders). No iteration-to-
+    convergence: unbounded chasing is a spam-tarpit amplifier, and the
+    bounded contract keeps the plan static for Catalyst/AQE. Cycle
+    detection is pairwise equality over the ≤ max_hops+1 chain slots —
+    constant work per row, no state.
+    """
+    r = redirects.select(F.col("src"), F.col("dst"))
+    out = r.select(F.col("src"), F.col("dst").alias("h1"))
+    # one extra hop past the cap: its non-NULLness is the 'truncated'
+    # signal (the cap-th url still redirects)
+    for i in range(2, max_hops + 2):
+        hop = r.select(
+            F.col("src").alias(f"h{i - 1}"), F.col("dst").alias(f"h{i}")
+        )
+        out = out.join(hop, f"h{i - 1}", "left")
+    slots = ["src"] + [f"h{i}" for i in range(1, max_hops + 1)]
+    cycle = F.lit(False)
+    for j in range(1, max_hops + 1):
+        for k in range(j):
+            cycle = cycle | F.coalesce(
+                F.col(f"h{j}") == F.col(slots[k]), F.lit(False)
+            )
+    followed = sum(
+        F.when(F.col(f"h{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, max_hops + 1)
+    ).cast("long")
+    last = F.coalesce(*[F.col(f"h{i}") for i in range(max_hops, 0, -1)])
+    truncated = F.col(f"h{max_hops + 1}").isNotNull()
+    status = (
+        F.when(cycle, F.lit("cycle"))
+        .when(truncated, F.lit("truncated"))
+        .otherwise(F.lit("resolved"))
+    )
+    final = F.when(cycle, F.lit(None).cast("string")).otherwise(last)
+    return out.select(
+        "src",
+        final.alias("final_url"),
+        followed.alias("n_hops"),
+        status.alias("status"),
+    )

@@ -146,3 +146,64 @@ def test_pmi_max_per_doc_cap_is_deterministic(spark):
     assert {(r.ent_a, r.ent_b) for r in out} == {("a", "b")}
     # marginals are computed on the capped set too (z not counted)
     assert out[0].n_a == 1 and out[0].n_b == 1 and out[0].n_docs == 1
+
+
+# ---------------------------------------------------------------- timeline
+def _tedges(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts timestamp"
+    )
+
+
+def test_timeline_last_write_wins_and_churn(spark):
+    from datetime import datetime
+
+    from pdf_metadata_extraction_spark.operators.fusion import fuse_timeline
+
+    out = {
+        (r["subj"], r["pred"]): r
+        for r in fuse_timeline(_tedges(spark, [
+            # acme/hq: berlin -> munich -> munich (re-assert) -> berlin
+            ("acme", "hq", "berlin", datetime(2024, 1, 1, 0, 0, 0)),
+            ("acme", "hq", "munich", datetime(2024, 2, 1, 0, 0, 0)),
+            ("acme", "hq", "munich", datetime(2024, 3, 1, 0, 0, 0)),
+            ("acme", "hq", "berlin", datetime(2024, 4, 1, 0, 0, 0)),
+            # acme/ceo: stable value, repeated
+            ("acme", "ceo", "ada", datetime(2024, 1, 1)),
+            ("acme", "ceo", "ada", datetime(2024, 6, 1)),
+        ])).collect()
+    }
+    hq = out[("acme", "hq")]
+    assert hq["current_obj"] == "berlin"
+    # berlin->munich, munich->berlin: 2 transitions (the re-assert is
+    # a distinct second so it stays a row, but obj equal -> no change)
+    assert hq["n_changes"] == 2
+    assert hq["n_objs"] == 2
+    assert hq["first_ts"] == int(datetime(2024, 1, 1).timestamp())
+    assert hq["last_ts"] == int(datetime(2024, 4, 1).timestamp())
+    ceo = out[("acme", "ceo")]
+    assert ceo["current_obj"] == "ada"
+    assert ceo["n_changes"] == 0
+    assert ceo["n_objs"] == 1
+
+
+def test_timeline_same_second_ties_and_dups(spark):
+    from datetime import datetime
+
+    from pdf_metadata_extraction_spark.operators.fusion import fuse_timeline
+
+    t = datetime(2024, 5, 1, 12, 0, 0)
+    rows = fuse_timeline(_tedges(spark, [
+        # duplicate assertion (same obj, same second) collapses
+        ("e", "p", "x", t),
+        ("e", "p", "x", t),
+        # same-second conflict: ordering is (es, obj) so 'y' sorts
+        # after 'x' and wins last-write (max obj at the tied second)
+        ("e", "p", "y", t),
+    ])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["current_obj"] == "y"
+    assert r["n_objs"] == 2
+    assert r["n_changes"] == 1  # x -> y within the second
+    assert r["first_ts"] == r["last_ts"] == int(t.timestamp())

@@ -950,3 +950,147 @@ def test_dedup_honors_same_host_rel_canonical_only(spark):
     )
     assert dedup_pages_by_canonical_url(df2).count() == 2
     assert dedup_pages_by_canonical_url(df2, use_rel_canonical=True).count() == 1
+
+
+# -------------------------------------------------------------- hreflang
+def test_hreflang_alternates_extraction(spark):
+    from pdf_metadata_extraction_spark.operators.links import (
+        hreflang_alternates,
+    )
+
+    html = (
+        "<html><head>"
+        # rel-first, absolute target
+        '<link rel="alternate" hreflang="en" href="https://x.example/en"/>'
+        # hreflang-first attribute order, ROOT-RELATIVE target,
+        # uppercase BCP 47 tag -> lowercased
+        '<link hreflang="FR-CA" href="/fr" rel="alternate"/>'
+        # distractors: wrong rel / missing hreflang / missing href
+        '<link rel="stylesheet" href="/s.css"/>'
+        '<link rel="alternate" href="/no-lang"/>'
+        '<link rel="alternate" hreflang="de"/>'
+        "</head><body>b</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://base.example/a/b", html.encode())],
+        "url string, html binary",
+    )
+    rows = sorted(
+        (r.hreflang, r.alt_abs) for r in hreflang_alternates(df).collect()
+    )
+    assert rows == [
+        ("en", "https://x.example/en"),
+        ("fr-ca", "https://base.example/fr"),
+    ]
+
+
+# ------------------------------------------------------------ meta refresh
+def test_with_meta_refresh_extraction(spark):
+    from pdf_metadata_extraction_spark.operators.links import (
+        with_meta_refresh,
+    )
+
+    cases = [
+        # http-equiv first, absolute target, delay 0
+        ("https://a.example/p",
+         '<meta http-equiv="refresh" content="0; url=https://b.example/q"/>',
+         "https://b.example/q"),
+        # content first, case-insensitive Refresh/URL, relative target
+        ("https://a.example/dir/p",
+         '<meta content="5;URL=next.html" http-equiv="Refresh"/>',
+         "https://a.example/dir/next.html"),
+        # plain timed reload (no url= token) -> NULL
+        ("https://a.example/p2",
+         '<meta http-equiv="refresh" content="30"/>', None),
+        # no refresh tag at all -> NULL
+        ("https://a.example/p3",
+         '<meta name="viewport" content="width=device-width"/>', None),
+    ]
+    df = spark.createDataFrame(
+        [(u, ("<html><head>%s</head></html>" % m).encode())
+         for u, m, _ in cases],
+        "url string, html binary",
+    )
+    got = {r.url: r.refresh_abs for r in with_meta_refresh(df).collect()}
+    for u, _, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_resolve_redirect_chains_statuses(spark):
+    from pdf_metadata_extraction_spark.operators.links import (
+        resolve_redirect_chains,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),            # b terminal -> 1 hop resolved
+            ("c", "d"), ("d", "e"),  # c -> 2 hops; d -> 1 hop
+            ("f", "g"), ("g", "f"),  # 2-cycle
+            ("h", "h2"), ("h2", "h3"), ("h3", "h4"), ("h4", "h5"),
+            # h: 3 hops followed, h4 still redirects -> truncated
+        ],
+        "src string, dst string",
+    )
+    out = {r.src: r for r in resolve_redirect_chains(edges, 3).collect()}
+    assert (out["a"].final_url, out["a"].n_hops, out["a"].status) == (
+        "b", 1, "resolved")
+    assert (out["c"].final_url, out["c"].n_hops, out["c"].status) == (
+        "e", 2, "resolved")
+    assert (out["d"].final_url, out["d"].n_hops, out["d"].status) == (
+        "e", 1, "resolved")
+    assert out["f"].status == "cycle" and out["f"].final_url is None
+    assert out["g"].status == "cycle"
+    assert (out["h"].final_url, out["h"].n_hops, out["h"].status) == (
+        "h4", 3, "truncated")
+    # self-redirect is an immediate cycle
+    self_loop = spark.createDataFrame(
+        [("s", "s")], "src string, dst string")
+    r = resolve_redirect_chains(self_loop, 3).collect()[0]
+    assert r.status == "cycle" and r.final_url is None
+
+
+# ----------------------------------------------------------------- HITS
+def test_hits_integer_hand_computed(spark):
+    from pdf_metadata_extraction_spark.operators.graph import hits_integer
+
+    # two hubs u1,u2 both point at authorities v1,v2; u1 also -> v3
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 10)],
+        "id_a long, id_b long",
+    )  # duplicate (2,10) must collapse
+    out = {r.node: r for r in hits_integer(edges, iters=1).collect()}
+    # h0=1: auth1(v) = indeg; hub1(u) = sum of auth1 over its targets
+    assert (out[10].auth, out[20].auth, out[30].auth) == (2, 2, 1)
+    assert out[1].hub == 2 + 2 + 1
+    assert out[2].hub == 2 + 2
+    # pure hubs have auth 0; pure authorities hub 0
+    assert out[1].auth == 0 and out[10].hub == 0
+    # iters=2: auth2(v) = sum of hub1 over in-neighbors
+    out2 = {r.node: r for r in hits_integer(edges, iters=2).collect()}
+    assert out2[10].auth == 5 + 4
+    assert out2[30].auth == 5
+    assert out2[1].hub == 9 + 9 + 5
+    assert out2[2].hub == 9 + 9
+
+
+def test_hits_top_k_serving_releases_storage(spark):
+    from pdf_metadata_extraction_spark.operators.graph import hits_integer
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "id_a long, id_b long"
+    ).where("id_a != id_b")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    top = hits_integer(edges, iters=2, top_k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    # serving mode computed eagerly and released every checkpoint
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+    # ranking is (auth desc, hub desc, node asc)
+    auths = [r.auth for r in rows]
+    assert auths == sorted(auths, reverse=True)
+    # string node ids keep their type in serving mode
+    sedges = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "id_a string, id_b string")
+    srows = hits_integer(sedges, iters=1, top_k=2).collect()
+    assert srows[0].node == "b" and srows[0].auth == 2

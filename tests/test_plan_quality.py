@@ -259,3 +259,44 @@ def test_pct_decode_is_map_only(spark):
     df = spark.createDataFrame([("/%7Euser/x",)], "s string")
     plan = _plan(df.select(decode_unreserved_escapes(F.col("s"))))
     assert "Exchange" not in plan
+
+
+def test_hreflang_and_meta_refresh_are_map_only(spark):
+    """hreflang alternate extraction and meta-refresh target lifting
+    are pure expressions over (url, html): no exchange anywhere — at
+    10^12 pages both run inside the page scan's stage."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        hreflang_alternates,
+        with_meta_refresh,
+    )
+
+    df = spark.createDataFrame(
+        [(
+            "https://a.com/d/p",
+            (
+                '<link rel="alternate" hreflang="en" href="/en"/>'
+                '<meta http-equiv="refresh" content="0;url=/n"/>'
+            ).encode(),
+        )],
+        "url string, html binary",
+    )
+    assert "Exchange" not in _plan(hreflang_alternates(df))
+    assert "Exchange" not in _plan(with_meta_refresh(df))
+
+
+def test_redirect_chain_join_count_is_bounded(spark):
+    """resolve_redirect_chains(max_hops=3) compiles to exactly
+    max_hops self-joins of the redirect map (hop 1 is the map itself;
+    the last join doubles as the truncation probe) and no other
+    shuffle-bearing operator — the bounded-chase contract, visible in
+    the plan."""
+    from pdf_metadata_extraction_spark.operators.links import (
+        resolve_redirect_chains,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src string, dst string")
+    plan = _plan(resolve_redirect_chains(edges, max_hops=3))
+    n_joins = plan.count("LeftOuter")
+    assert n_joins == 3, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
