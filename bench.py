@@ -181,9 +181,9 @@ def main() -> None:
     t0 = time.monotonic()
     run_kg_pipeline(
         spark, sub, options_df, work_cur, run_id="curated",
-        normalize_urls=True, quality_gate=True, decontam_eval=eval_df,
-        domain_cap=200, segment_dedup=3, export_corpus=True,
-        pack_seq_len=512,
+        normalize_urls=True, follow_redirects=True, quality_gate=True,
+        decontam_eval=eval_df, domain_cap=200, segment_dedup=3,
+        export_corpus=True, pack_seq_len=512,
     )
     extras["kg_run_curated_s"] = round(time.monotonic() - t0, 3)
     lin_cur = spark.read.parquet(os.path.join(work_cur, "lineage")).collect()

@@ -38,6 +38,7 @@ def run_kg_pipeline(
     extraction_name: str = "mentions",
     n_salt: int = DEFAULT_SALT,
     normalize_urls: bool = False,
+    follow_redirects: bool = False,
     link_graph: bool = False,
     quality_gate: bool = False,
     decontam_eval: DataFrame | None = None,
@@ -56,6 +57,18 @@ def run_kg_pipeline(
     form and keep one fetch per canonical url (earliest warc_ts,
     deterministic tie-break) before anything keys on url; the cleaned
     pages are their own checkpointed stage (``pages_clean``).
+
+    ``follow_redirects``: opt-in declarative-redirect gate (round-5) —
+    pages declaring a ``<meta http-equiv=refresh>`` target are alias
+    shells, not content: their bounded 3-hop chains are resolved
+    (operators.links.resolve_redirect_chains — resolved / cycle /
+    truncated statuses) into a checkpointed ``url_redirects`` stage (a
+    canonicalization input and crawl-ledger audit table: cycles and
+    truncated spam ladders are visible rows, not silent drops), and the
+    shells themselves are dropped from the corpus (``pages_noredirect``
+    stage + ``pages_redirect_gate`` lineage row). Runs after
+    normalize_urls and before any text extraction — never spend the
+    byte-identity extractor on a shell.
 
     ``quality_gate``: opt-in training-data keep-gate (round-4 verdict
     #8) — extract each page's text (the pipeline's own byte-identity
@@ -167,6 +180,45 @@ def run_kg_pipeline(
             partition_by=(
                 ["url_bucket"] if "url_bucket" in cleaned.columns else None
             ),
+        )
+
+    if follow_redirects:
+        from pdf_metadata_extraction_spark.operators.links import (
+            resolve_redirect_chains,
+            with_meta_refresh,
+        )
+
+        tr = time.monotonic()
+        n_in_r = pages.count()
+        redirects = (
+            with_meta_refresh(pages.select("url", "html"))
+            .where(F.col("refresh_abs").isNotNull())
+            .select(
+                F.col("url").alias("src"),
+                F.col("refresh_abs").alias("dst"),
+            )
+        )
+        chains = lw.checkpoint_stage(
+            "url_redirects", resolve_redirect_chains(redirects, max_hops=3)
+        )
+        out_redirects = chains
+        # a refresh page is an alias shell, not content: drop it from
+        # the corpus; the url_redirects stage keeps (src, final_url,
+        # n_hops, status) so canonicalization can alias resolved
+        # chains and a crawl ledger can audit cycles/truncations
+        kept_r = pages.join(
+            chains.select(F.col("src").alias("url")), "url", "left_anti"
+        )
+        pages = lw.checkpoint_stage(
+            "pages_noredirect", kept_r, input_rows=n_in_r,
+            partition_by=(
+                ["url_bucket"] if "url_bucket" in kept_r.columns else None
+            ),
+        )
+        lw.record(
+            "pages_redirect_gate", input_rows=n_in_r,
+            output_rows=pages.count(),
+            wall_ms=int((time.monotonic() - tr) * 1000),
         )
 
     txt = None
@@ -281,6 +333,8 @@ def run_kg_pipeline(
         )
 
     out_extra: dict[str, DataFrame] = {}
+    if follow_redirects:
+        out_extra["url_redirects"] = out_redirects
     if export_corpus:
         # the (url, text) table a tokenizer/packing job consumes —
         # texts of pages every enabled gate kept

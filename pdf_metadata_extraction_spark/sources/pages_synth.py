@@ -118,9 +118,18 @@ def blocks_to_html(doc_id: int, blocks: list[tuple[str, str]]) -> bytes:
     """Messy-but-valid HTML around the content blocks (boilerplate included)."""
     nav = f'<nav><a href="/">Home</a> <a href="/{doc_id % 7}">Cat {doc_id % 7}</a></nav>'
     ld = jsonld_island(doc_id, blocks[0][1])
+    # ~2% of pages declare a meta refresh (the alias-shell population
+    # kg_run's follow_redirects gate drops); a void <meta> in <head>
+    # contributes no text, so the golden `text` column is untouched
+    refresh = (
+        f'<meta http-equiv="refresh" content="0; url=/doc/{doc_id - 1}"/>'
+        if doc_id > 0 and _h(f"{doc_id}:rfr") % 50 == 0
+        else ""
+    )
     parts = [
         "<!doctype html><html><head>",
         f"<title>doc {doc_id}</title>",
+        refresh,
         "<style>body{margin:0}</style>",
         '<script>var tracker="x";</script>',
         (

@@ -652,3 +652,58 @@ def test_checkpoint_stage_empty_output_roundtrips(spark, tmp_path):
     lineage = spark.read.parquet(str(tmp_path / "w" / "lineage")).collect()
     rows = [r for r in lineage if r["stage"] == "gate_out"]
     assert rows and rows[0]["output_rows"] == 0
+
+
+def test_kg_run_redirect_gate(spark, tmp_path):
+    """Opt-in follow_redirects stage: meta-refresh alias shells drop
+    from the corpus before any extraction; the url_redirects stage
+    records every chain with its status, and the pages_redirect_gate
+    lineage row pins pages-in vs pages-kept."""
+    body = ("the spark engine processes a perfectly ordinary paragraph "
+            "of english text for the redirect gate test")
+
+    def content(u):
+        return (u, (f"<html><body><p>{body}</p></body></html>").encode())
+
+    def shell(u, tgt):
+        return (u, (
+            '<html><head><meta http-equiv="refresh" '
+            f'content="0; url={tgt}"/></head></html>'
+        ).encode())
+
+    rows = [
+        content("https://a.example/real1"),
+        content("https://a.example/real2"),
+        # 2-hop chain ending at a content page
+        shell("https://a.example/old", "https://a.example/older"),
+        shell("https://a.example/older", "https://a.example/real1"),
+        # 2-cycle
+        shell("https://a.example/c1", "https://a.example/c2"),
+        shell("https://a.example/c2", "https://a.example/c1"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgr")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="r1",
+        follow_redirects=True,
+    )
+    chains = {r["src"]: r for r in out["url_redirects"].collect()}
+    assert chains["https://a.example/old"]["status"] == "resolved"
+    assert chains["https://a.example/old"]["final_url"] == (
+        "https://a.example/real1")
+    assert chains["https://a.example/old"]["n_hops"] == 2
+    assert chains["https://a.example/older"]["n_hops"] == 1
+    assert chains["https://a.example/c1"]["status"] == "cycle"
+    assert chains["https://a.example/c1"]["final_url"] is None
+    # shells dropped, content kept
+    kept = {
+        r["url"]
+        for r in spark.read.parquet(
+            f"{work}/stages/r1/pages_noredirect"
+        ).collect()
+    }
+    assert kept == {"https://a.example/real1", "https://a.example/real2"}
+    lineage = spark.read.parquet(f"{work}/lineage").collect()
+    gate = [r for r in lineage if r["stage"] == "pages_redirect_gate"]
+    assert gate and gate[0]["input_rows"] == 6
+    assert gate[0]["output_rows"] == 2
