@@ -1467,6 +1467,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.mapInPandas(to_pages, schema="url string, html binary")
         return with_rel_canonical(pages).select("url", "rel_canonical_abs")
 
+    # ------------------------------------------------ HTML tables
+    def table_extract(spark, sf_dir):
+        """HTML web-table entity-attribute triples
+        (operators/structured.table_triples) under the oracle harness.
+        Each doc's page carries: a 3-column headed table with a
+        nested-markup cell, a too-wide ragged row (extra cell drops),
+        a too-narrow ragged row (missing obj drops), and an empty-key
+        row (drops); a headerless table (whole table drops, but still
+        consumes table_idx 1); and a second headed 2-column table
+        (table_idx 2). The oracle recomputes every surviving
+        (subj, pred, obj, table_idx, row_idx) in pure SQL. Capped at
+        500 docs."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.operators.structured import (
+            table_triples,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+
+        def to_pages(batches):
+            for pdf in batches:
+                src = pdf["source"].fillna("unk")
+                html = [
+                    (
+                        "<html><body>"
+                        "<table><tr><th>Name</th><th>Source</th>"
+                        "<th>Rank</th></tr>"
+                        "<tr><td>e%d</td><td><b>%s</b> corp</td>"
+                        "<td>%d</td></tr>"
+                        "<tr><td>f%d</td><td>%s</td><td>%d</td>"
+                        "<td>extra</td></tr>"
+                        "<tr><td>g%d</td><td>%s-short</td></tr>"
+                        "<tr><td></td><td>skip</td><td>skip</td></tr>"
+                        "</table>"
+                        "<table><tr><td>a</td><td>b</td></tr></table>"
+                        "<table><tr><th>K</th><th>V</th></tr>"
+                        "<tr><td>h%d</td><td>v %s</td></tr></table>"
+                        "</body></html>"
+                        % (i, s, i % 7, i, s, i % 5, i, s, i, s)
+                    ).encode()
+                    for i, s in zip(pdf["doc_id"], src)
+                ]
+                yield pd.DataFrame(
+                    {"url": pdf["doc_id"].astype("int64").astype(str), "html": html}
+                )
+
+        pages = docs.mapInPandas(to_pages, schema="url string, html binary")
+        return table_triples(pages).select(
+            F.col("provenance_url").cast("long").alias("doc_id"),
+            "subj",
+            "pred",
+            "obj",
+            F.col("table_idx").cast("long").alias("table_idx"),
+            F.col("row_idx").cast("long").alias("row_idx"),
+        )
+
     # ------------------------------------------------ hreflang
     def hreflang_extract(spark, sf_dir):
         """<link rel=alternate hreflang> extraction + RFC 3986
@@ -1760,7 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + the seven NEW fusion/link-prediction/community/
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
-    # og_meta_extract, rel_canonical_extract)
+    # og_meta_extract, rel_canonical_extract, table_extract)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1791,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_extract": jsonld_extract,
         "og_meta_extract": og_meta_extract,
         "rel_canonical_extract": rel_canonical_extract,
+        "table_extract": table_extract,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3610,6 +3668,32 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
                      '.example/c/', CAST(doc_id AS VARCHAR), '?x=1')
        END AS rel_canonical_abs
 FROM documents WHERE doc_id < 500
+""",
+        "table_extract": """
+WITH d AS (
+  SELECT doc_id, coalesce(source, 'unk') AS s
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id, concat('e', CAST(doc_id AS VARCHAR)) AS subj,
+       'Source' AS pred, concat(s, ' corp') AS obj,
+       CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row_idx FROM d
+UNION ALL
+SELECT doc_id, concat('e', CAST(doc_id AS VARCHAR)), 'Rank',
+       CAST(doc_id % 7 AS VARCHAR), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM d
+UNION ALL
+SELECT doc_id, concat('f', CAST(doc_id AS VARCHAR)), 'Source', s,
+       CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM d
+UNION ALL
+SELECT doc_id, concat('f', CAST(doc_id AS VARCHAR)), 'Rank',
+       CAST(doc_id % 5 AS VARCHAR), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+FROM d
+UNION ALL
+SELECT doc_id, concat('g', CAST(doc_id AS VARCHAR)), 'Source',
+       concat(s, '-short'), CAST(0 AS BIGINT), CAST(2 AS BIGINT) FROM d
+UNION ALL
+SELECT doc_id, concat('h', CAST(doc_id AS VARCHAR)), 'V',
+       concat('v ', s), CAST(2 AS BIGINT), CAST(0 AS BIGINT) FROM d
 """,
         # the salted two-phase count must be indistinguishable from a
         # plain GROUP BY — the salt is an execution detail

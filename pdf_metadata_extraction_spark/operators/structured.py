@@ -181,3 +181,110 @@ def jsonld_triples(
             & ~F.col("obj").startswith("[")
         )
     )
+
+
+# HTML tables — the WebTables channel (Cafarella et al., VLDB 2008):
+# relational tables embedded in pages are the third web-native KG
+# source after JSON-LD and meta tags. Patterns are case-insensitive
+# DOTALL; inner markup inside cells is stripped after extraction.
+TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+TH_RE = r"(?is)<th[^>]*>(.*?)</th>"
+TD_RE = r"(?is)<td[^>]*>(.*?)</td>"
+_CELL_TAG_RE = r"<[^>]*>"
+
+
+def _cell_text(c):
+    return F.trim(F.regexp_replace(c, _CELL_TAG_RE, ""))
+
+
+def table_triples(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Entity-attribute triples from HTML tables —
+    ``(subj, pred, obj, provenance_url, table_idx, row_idx)``.
+
+    Contract (the WebTables "entity-attribute binary relation" shape):
+    a table participates iff its FIRST row is a ``<th>`` header row
+    with ≥ 2 columns; each subsequent ``<tr>`` of ``<td>`` cells emits
+    one triple per non-key column — subj = the row's first cell (the
+    entity key), pred = the matching header cell, obj = the cell text.
+    Cells are inner text with nested tags stripped and whitespace
+    trimmed (no entity decoding — the documented raw-text contract,
+    same as anchor texts); rows whose key cell is empty, and cells
+    beyond the header width (or headers beyond the row width — ragged
+    tables), drop. ``table_idx``/``row_idx`` are 0-based positions (
+    row 0 = the first DATA row), making every triple traceable to its
+    cell — per-partition lineage at cell granularity.
+
+    Scale shape: MAP-ONLY nested array expressions — regexp table
+    lift → per-table row lift → header/cell zips — two posexplodes
+    and one final explode, zero shuffles/UDFs; fuses into the page
+    scan like links/structured extraction. Quadratic only in the
+    per-table cell count, which the regexp bounds to the page size.
+    """
+    html_str = F.col(html_col).cast("string")
+    tables = F.regexp_extract_all(html_str, F.lit(TABLE_RE), F.lit(1))
+    t = pages.select(
+        F.col(url_col).alias("provenance_url"),
+        F.posexplode(tables).alias("table_idx", "_tbl"),
+    ).withColumn(
+        "_rows", F.regexp_extract_all(F.col("_tbl"), F.lit(TR_RE), F.lit(1))
+    ).withColumn(
+        "_hdr",
+        F.transform(
+            F.regexp_extract_all(
+                F.get(F.col("_rows"), 0), F.lit(TH_RE), F.lit(1)
+            ),
+            _cell_text,
+        ),
+    ).where(F.size("_hdr") >= 2)
+    r = t.select(
+        "provenance_url",
+        "table_idx",
+        "_hdr",
+        F.posexplode(
+            F.slice(
+                F.col("_rows"), 2,
+                F.greatest(F.size("_rows") - 1, F.lit(0)),
+            )
+        ).alias("row_idx", "_row"),
+    ).withColumn(
+        "_cells",
+        F.transform(
+            F.regexp_extract_all(F.col("_row"), F.lit(TD_RE), F.lit(1)),
+            _cell_text,
+        ),
+    ).where(
+        (F.size("_cells") >= 2) & (F.get(F.col("_cells"), 0) != "")
+    )
+    # zip pred/obj positionally over the non-key columns; arrays_zip
+    # pads the shorter side with NULL — the ragged-table drop
+    z = F.arrays_zip(
+        F.slice(F.col("_hdr"), 2, F.greatest(F.size("_hdr") - 1, F.lit(0)))
+        .alias("pred"),
+        F.slice(F.col("_cells"), 2,
+                F.greatest(F.size("_cells") - 1, F.lit(0))).alias("obj"),
+    )
+    return (
+        r.select(
+            F.get(F.col("_cells"), 0).alias("subj"),
+            F.explode(z).alias("_z"),
+            "provenance_url",
+            "table_idx",
+            "row_idx",
+        )
+        .select(
+            "subj",
+            F.col("_z.pred").alias("pred"),
+            F.col("_z.obj").alias("obj"),
+            "provenance_url",
+            "table_idx",
+            "row_idx",
+        )
+        .where(
+            F.col("pred").isNotNull()
+            & (F.col("pred") != "")
+            & F.col("obj").isNotNull()
+        )
+    )

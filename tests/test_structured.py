@@ -189,3 +189,60 @@ def test_meta_triples_plan_is_window_free(spark):
         _pages(spark, [("u", "<html></html>")])
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------- tables
+TABLE_PAGE = """<html><body>
+<table>
+<tr><th>Country</th><th>Capital</th><th>Population</th></tr>
+<tr><td>France</td><td>Paris</td><td>67m</td></tr>
+<tr><td>Japan</td><td><b>Tokyo</b></td><td>125m</td></tr>
+<tr><td>Chad</td><td>N'Djamena</td><td>17m</td><td>extra</td></tr>
+<tr><td>Cuba</td><td>Havana</td></tr>
+<tr><td></td><td>nokey</td><td>drop</td></tr>
+</table>
+<table><tr><td>headerless</td><td>drops</td></tr></table>
+<table><tr><th>K</th><th>V</th></tr><tr><td>k1</td><td>v1</td></tr></table>
+</body></html>"""
+
+
+def test_table_triples_shapes(spark):
+    from pdf_metadata_extraction_spark.operators.structured import table_triples
+
+    out = table_triples(_pages(spark, [("u", TABLE_PAGE)])).collect()
+    got = {(r.subj, r.pred, r.obj, r.table_idx, r.row_idx) for r in out}
+    assert got == {
+        ("France", "Capital", "Paris", 0, 0),
+        ("France", "Population", "67m", 0, 0),
+        # nested markup stripped from the cell
+        ("Japan", "Capital", "Tokyo", 0, 1),
+        ("Japan", "Population", "125m", 0, 1),
+        # ragged-wide: the extra 4th cell drops
+        ("Chad", "Capital", "N'Djamena", 0, 2),
+        ("Chad", "Population", "17m", 0, 2),
+        # ragged-narrow: missing Population obj drops
+        ("Cuba", "Capital", "Havana", 0, 3),
+        # headerless table consumed table_idx 1 and emitted nothing;
+        # empty-key row emitted nothing
+        ("k1", "V", "v1", 2, 0),
+    }
+
+
+def test_table_triples_degrades_and_plan(spark):
+    from pdf_metadata_extraction_spark.operators.structured import table_triples
+
+    rows = [
+        ("none", "<html><body><p>no tables</p></body></html>"),
+        ("empty", "<html><body><table></table></body></html>"),
+        # single-column header is not an entity-attribute table
+        ("onecol", "<html><table><tr><th>X</th></tr>"
+                   "<tr><td>a</td></tr></table></html>"),
+    ]
+    df = table_triples(_pages(spark, rows))
+    assert df.count() == 0
+    nulls = spark.createDataFrame([("n", None)], "url string, html binary")
+    assert table_triples(nulls).count() == 0
+    # map-only: no shuffle, no window, no python UDF in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "Python" not in plan
