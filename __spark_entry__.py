@@ -1156,6 +1156,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lpa_communities(_graph_edges(spark, sf_dir), iters=3)
 
+    def graph_coreness(spark, sf_dir):
+        """Node coreness via the deterministic h-index fixed point
+        (4 iterations, converged on this edge set) — like LPA and
+        PageRank, a FIXED iteration count makes the iterative
+        algorithm bit-exactly oracle-checkable (the oracle unrolls
+        the identical join + ranked-h-index arithmetic as chained
+        CTEs)."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            coreness,
+        )
+
+        return coreness(_graph_edges(spark, sf_dir), iters=4)
+
     def graph_pagerank(spark, sf_dir):
         """Fixed-point integer PageRank (5 iterations) on the same
         deterministic edge set — order-free integer sums make the
@@ -1817,7 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + the seven NEW fusion/link-prediction/community/
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
-    # og_meta_extract, rel_canonical_extract, table_extract)
+    # og_meta_extract, rel_canonical_extract, table_extract,
+    # graph_coreness)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1849,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_meta_extract": og_meta_extract,
         "rel_canonical_extract": rel_canonical_extract,
         "table_extract": table_extract,
+        "graph_coreness": graph_coreness,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -2978,6 +2993,29 @@ l0 AS (SELECT DISTINCT node, node AS label FROM adj),""" + ",".join(
         ) + """
 SELECT node, label AS community FROM l3
 """
+    if mode == "coreness":
+        steps = []
+        for i in range(4):
+            steps.append(f"""
+nv{i + 1} AS (
+  SELECT adj.node, c{i}.val AS nv
+  FROM adj JOIN c{i} ON c{i}.node = adj.nbr
+),
+c{i + 1} AS (
+  SELECT node, CAST(max(least(nv, rn)) AS BIGINT) AS val FROM (
+    SELECT node, nv,
+           row_number() OVER (PARTITION BY node ORDER BY nv DESC) AS rn
+    FROM nv{i + 1}
+  ) GROUP BY node
+)""")
+        return base + """
+, adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und
+),
+c0 AS (SELECT node, CAST(count(*) AS BIGINT) AS val FROM adj GROUP BY node),""" + ",".join(steps) + """
+SELECT node, val AS coreness FROM c4
+"""
     if mode == "link_pred":
         return base + """
 , adj AS (
@@ -3757,6 +3795,7 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "graph_degree_hist": _graph_sql(),
         "graph_link_prediction": _graph_sql("link_pred"),
         "graph_communities": _graph_sql("lpa"),
+        "graph_coreness": _graph_sql("coreness"),
         "graph_pagerank": _pagerank_sql(iters=5),
         "graph_pagerank_dangling": _pagerank_sql(iters=5, dangling=True),
         "pii_scrub": _pii_sql(),

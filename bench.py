@@ -222,7 +222,7 @@ def main() -> None:
         "boilerplate_doc_frac", "unigram_ce", "tfidf_topk", "dup_span_pairs",
         "line_dedup_clean", "packed_sequences", "ce_quality_tiers",
         "decontam_scrubbed", "hreflang_extract", "meta_refresh_chains",
-        "graph_hits", "triple_timeline",
+        "graph_hits", "triple_timeline", "graph_coreness",
     ]:
         fn = run_query(name)
         fn()

@@ -615,3 +615,83 @@ def hits_integer(
     # schema lifted from the lazy plan: node keeps the caller's id
     # type (long doc ids, string hosts — both occur in this repo)
     return spark.createDataFrame(rows, result.schema)
+
+
+def coreness(edges: DataFrame, iters: int = 8) -> DataFrame:
+    """Node coreness (k-core number) via the deterministic h-index
+    fixed point (Lü et al., "The H-index of a network node", Nature
+    Communications 2016) — (node, coreness).
+
+    Iteration: every node's value starts at its degree; each step
+    replaces it with the h-index of its NEIGHBORS' values (the largest
+    h such that ≥ h neighbors hold value ≥ h). The sequence is
+    monotonically non-increasing and its fixed point IS the coreness;
+    like lpa_communities/pagerank_fixed, the operator runs a FIXED
+    ``iters`` count (no convergence test) so the result is
+    bit-deterministic under any partitioning and the DuckDB oracle can
+    unroll the identical arithmetic as chained CTEs. Convergence is a
+    fixture-pinned property (tests verify iters and iters+1 agree on
+    known corenesses), not a runtime branch — on real graphs the
+    h-index iteration converges in a handful of rounds (diameter-ish,
+    not node-count) because values only fall and are bounded below.
+
+    h-index per node without per-node arrays: rank each node's
+    incoming neighbor values descending (row_number window) and take
+    ``max(least(value, rank))`` — a single hash aggregate after the
+    window sort. The multiset of (value, rank) pairs is invariant to
+    tie order among equal values, so the arbitrary row_number tie
+    break cannot leak into the result (same argument as the
+    fusion/LPA min-struct winner).
+
+    Scale shape per iteration: one equi-join adjacency⋈values on the
+    neighbor id + one window sort keyed by node + one hash aggregate —
+    all narrow integer rows. A mega-hub is a skewed window key; its
+    sort is O(deg log deg) within one task (AQE cannot split a window
+    partition), but the h-index only ever needs the top ``h ≤
+    sqrt(2m)``-ish values, so a documented degree-cap pre-filter
+    (drop neighbor values ranked beyond any upper bound on coreness,
+    e.g. the graph's max h0) applies if a 10^9-degree hub ever
+    dominates. Every 5th iteration cuts lineage with an eager
+    localCheckpoint — same Amdahl-aware cadence as pagerank_fixed.
+
+    Returns (node, coreness long) in the caller's node-id type.
+    """
+    from pyspark.sql import Window
+
+    und = undirected_edges(edges)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    vals = _degrees_of_und(und).select(
+        "node", F.col("degree").cast("long").alias("val")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("nv"))
+    for i in range(iters):
+        nv = adj.join(
+            vals.select(F.col("node").alias("nbr"), "val"), "nbr"
+        ).select("node", F.col("val").alias("nv"))
+        vals = (
+            nv.withColumn("rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.max(F.least(F.col("nv"), F.col("rn")))
+                .cast("long")
+                .alias("val")
+            )
+        )
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            vals = vals.localCheckpoint(eager=True)
+    return vals.select("node", F.col("val").alias("coreness"))
+
+
+def k_core(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
+    """The k-core membership table — (node,) for nodes whose coreness
+    (as computed by ``coreness(edges, iters)``) is ≥ k. Exact once the
+    h-index iteration has converged (coreness ≥ k ⟺ the node survives
+    iterated degree-< k peeling); the standard "dense nucleus" gate on
+    a canonicalized KG — a canonical id whose merged entity falls out
+    of every k-core it used to inhabit was probably over-merged from
+    pendant noise."""
+    return coreness(edges, iters=iters).where(
+        F.col("coreness") >= F.lit(k)
+    ).select("node")

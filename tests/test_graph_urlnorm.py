@@ -1094,3 +1094,35 @@ def test_hits_top_k_serving_releases_storage(spark):
         [("a", "b"), ("c", "b")], "id_a string, id_b string")
     srows = hits_integer(sedges, iters=1, top_k=2).collect()
     assert srows[0].node == "b" and srows[0].auth == 2
+
+
+def test_coreness_known_graphs(spark):
+    from pdf_metadata_extraction_spark.operators.graph import coreness, k_core
+
+    # K5 clique (coreness 4) — chain 4-5-6-7 (1) — triangle 8-9-10 (2)
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(4, 5), (5, 6), (6, 7), (8, 9), (9, 10), (8, 10)]
+    exp = {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1, 7: 1, 8: 2, 9: 2, 10: 2}
+    got = {r.node: r.coreness for r in coreness(_edges(spark, pairs), 6).collect()}
+    assert got == exp
+    # fixed point: one extra iteration changes nothing
+    got7 = {r.node: r.coreness for r in coreness(_edges(spark, pairs), 7).collect()}
+    assert got7 == exp
+    # k-core membership = coreness >= k once converged
+    assert sorted(
+        r.node for r in k_core(_edges(spark, pairs), 3).collect()
+    ) == [0, 1, 2, 3, 4]
+    assert sorted(
+        r.node for r in k_core(_edges(spark, pairs), 2).collect()
+    ) == [0, 1, 2, 3, 4, 8, 9, 10]
+
+
+def test_coreness_dups_loops_direction_and_empty(spark):
+    from pdf_metadata_extraction_spark.operators.graph import coreness
+
+    # duplicates (both directions) and self-loops must not inflate
+    # degrees: a triangle stays coreness 2
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 2), (1, 2)]
+    got = {r.node: r.coreness for r in coreness(_edges(spark, pairs), 4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert coreness(_edges(spark, []), 3).count() == 0
