@@ -1537,6 +1537,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ WARC source
+    def warc_roundtrip(spark, sf_dir):
+        """WARC record source (sources/warc.py) under the oracle
+        harness: each partition packs its documents 7-to-a-blob as
+        per-record-gzipped WARC/1.0 response records (the Common
+        Crawl layout), interleaving a request record per blob as a
+        skip distractor; parse_warc splits and strips the HTTP
+        envelope, and the oracle recomputes (doc_id, ts_epoch,
+        html_len, html_md5) from the same deterministic payload in
+        pure SQL. Capped at 500 docs."""
+        import pandas as pd
+
+        from pdf_metadata_extraction_spark.sources.warc import (
+            build_warc_bytes,
+            parse_warc,
+        )
+
+        docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+        base = 1704067200  # 2024-01-01T00:00:00Z
+
+        def to_blobs(batches):
+            from datetime import datetime, timezone
+
+            for pdf in batches:
+                src = pdf["source"].fillna("unk")
+                recs = [
+                    (
+                        "https://w%d.example/p" % i,
+                        datetime.fromtimestamp(
+                            base + int(i), tz=timezone.utc
+                        ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        ("<html><body>doc %d %s</body></html>" % (i, s)
+                         ).encode(),
+                    )
+                    for i, s in zip(pdf["doc_id"], src)
+                ]
+                blobs = []
+                for at in range(0, len(recs), 7):
+                    chunk = recs[at:at + 7]
+                    distractor = (
+                        b"WARC/1.0\r\nWARC-Type: request\r\n"
+                        b"Content-Length: 5\r\n\r\nGET /\r\n\r\n"
+                    )
+                    blobs.append(
+                        distractor
+                        + build_warc_bytes(chunk, gzip_members=False)
+                        if at % 2
+                        else build_warc_bytes(chunk, gzip_members=True)
+                    )
+                yield pd.DataFrame({"content": blobs})
+
+        blobs = docs.mapInPandas(to_blobs, schema="content binary")
+        pages = parse_warc(blobs)
+        return pages.select(
+            F.regexp_extract("url", r"w(\d+)\.example", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+            F.length("html").cast("long").alias("html_len"),
+            F.md5("html").alias("html_md5"),
+        )
+
     # ------------------------------------------------ hreflang
     def hreflang_extract(spark, sf_dir):
         """<link rel=alternate hreflang> extraction + RFC 3986
@@ -1831,7 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness)
+    # graph_coreness, warc_roundtrip)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1864,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_canonical_extract": rel_canonical_extract,
         "table_extract": table_extract,
         "graph_coreness": graph_coreness,
+        "warc_roundtrip": warc_roundtrip,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3706,6 +3769,23 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
                      '.example/c/', CAST(doc_id AS VARCHAR), '?x=1')
        END AS rel_canonical_abs
 FROM documents WHERE doc_id < 500
+""",
+        "warc_roundtrip": """
+WITH d AS (
+  SELECT doc_id, coalesce(source, 'unk') AS s
+  FROM documents WHERE doc_id < 500
+),
+p AS (
+  SELECT doc_id,
+         concat('<html><body>doc ', CAST(doc_id AS VARCHAR), ' ', s,
+                '</body></html>') AS body
+  FROM d
+)
+SELECT doc_id,
+       CAST(1704067200 + doc_id AS BIGINT) AS ts_epoch,
+       CAST(length(body) AS BIGINT) AS html_len,
+       md5(body) AS html_md5
+FROM p
 """,
         "table_extract": """
 WITH d AS (

@@ -1,0 +1,60 @@
+"""WARC record source (sources/warc.py): deterministic writer ↔
+parser roundtrip, record-type filtering, malformed-record policy, and
+gzip-member handling."""
+
+from pdf_metadata_extraction_spark.sources.warc import (
+    _parse_blob,
+    build_warc_bytes,
+    parse_warc,
+)
+
+RECS = [
+    ("https://a.example/x", "2024-01-02T03:04:05Z", b"<html>A</html>"),
+    # non-ascii body bytes survive untouched (html is opaque binary)
+    ("https://b.example/y", "2024-06-07T08:09:10Z",
+     b"<html>B \xe2\x82\xac</html>"),
+]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        got = list(_parse_blob(build_warc_bytes(RECS, gzip_members=gz)))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in RECS]
+        assert got[0][1].isoformat() == "2024-01-02T03:04:05+00:00"
+
+
+def test_warc_skips_non_response_and_malformed():
+    extra = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 5\r\n\r\n"
+        b"GET /\r\n\r\n"
+        # response record with no Content-Length: skipped, parse resumes
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n\r\n"
+    )
+    got = list(_parse_blob(extra + build_warc_bytes(RECS)))
+    assert [u for u, _, _ in got] == [u for u, _, _ in RECS]
+
+
+def test_warc_truncated_final_record_drops_only_it():
+    blob = build_warc_bytes(RECS)
+    # cut into the final record's body: first record still parses
+    got = list(_parse_blob(blob[: len(blob) - 8]))
+    assert [u for u, _, _ in got] == [RECS[0][0]]
+    assert list(_parse_blob(b"")) == []
+    assert list(_parse_blob(None)) == []
+    # corrupt gzip magic: whole blob dropped, no raise
+    assert list(_parse_blob(b"\x1f\x8bnot-gzip")) == []
+
+
+def test_parse_warc_dataframe(spark):
+    df = spark.createDataFrame(
+        [
+            (build_warc_bytes(RECS, gzip_members=True),),
+            (build_warc_bytes([], gzip_members=False) or b"",),
+        ],
+        "content binary",
+    )
+    out = parse_warc(df).orderBy("url").collect()
+    assert [(r.url, bytes(r.html)) for r in out] == [
+        (u, h) for u, h in ((u, h) for u, _, h in RECS)
+    ]
+    assert str(out[0].warc_ts).startswith("2024-01-02")
