@@ -1537,6 +1537,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ N-Triples
+    def ntriples_export(spark, sf_dir):
+        """KG materialize serializer (operators/ntriples.to_ntriples)
+        under the oracle harness: edges built from documents columns
+        deliberately carry every escape class (space/angle/percent in
+        IRIs; quote/backslash/newline in literals); the oracle applies
+        the operator's OWN escape tables as a DuckDB replace chain —
+        value-hash over the exact serialized lines. Capped at 500
+        docs; parse_ntriples inversion is pinned by the hypothesis
+        roundtrip in tests."""
+        from pdf_metadata_extraction_spark.operators.ntriples import (
+            to_ntriples,
+        )
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select(
+                "doc_id",
+                F.coalesce("source", F.lit("unk")).alias("s"),
+                F.coalesce("lang", F.lit("und")).alias("l"),
+            )
+        )
+        edges = d.select(
+            F.concat(
+                F.lit("ent "), F.col("doc_id").cast("string"),
+                F.lit(" <"), "s", F.lit(">"),
+            ).alias("subj"),
+            F.concat(F.lit('has "'), "l", F.lit('"')).alias("pred"),
+            F.concat(
+                F.lit('v"'), "s", F.lit("\\"), "l", F.lit("\n"),
+                F.lit("end%"),
+            ).alias("obj"),
+        )
+        return to_ntriples(edges)
+
     # ------------------------------------------------ WARC source
     def warc_roundtrip(spark, sf_dir):
         """WARC record source (sources/warc.py) under the oracle
@@ -1893,7 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness, warc_roundtrip)
+    # graph_coreness, warc_roundtrip, ntriples_export)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1927,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": table_extract,
         "graph_coreness": graph_coreness,
         "warc_roundtrip": warc_roundtrip,
+        "ntriples_export": ntriples_export,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -2997,6 +3034,39 @@ FROM agg a JOIN cur c ON c.subj = a.subj AND c.pred = a.pred
 """
 
 
+def _nt_sql() -> str:
+    """DuckDB mirror of operators/ntriples.to_ntriples over the same
+    nasty-character edge fixture the Spark query builds: the escape
+    chains are generated from the OPERATOR's own escape tables, so the
+    oracle can never drift from the implementation's contract."""
+    from pdf_metadata_extraction_spark.operators.ntriples import (
+        _IRI_ESCAPES,
+        _LIT_ESCAPES,
+    )
+
+    def lit(sval: str) -> str:
+        return "'" + sval.replace("'", "''") + "'"
+
+    def esc(expr: str, pairs) -> str:
+        for raw, enc in pairs:
+            expr = f"replace({expr}, {lit(raw)}, {lit(enc)})"
+        return expr
+
+    subj = "concat('ent ', CAST(doc_id AS VARCHAR), ' <', s, '>')"
+    pred = "concat('has \"', l, '\"')"
+    obj = "concat('v\"', s, '\\', l, chr(10), 'end%')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce(source, 'unk') AS s, coalesce(lang, 'und') AS l
+  FROM documents WHERE doc_id < 500
+)
+SELECT concat('<kg:', {esc(subj, _IRI_ESCAPES)}, '> <kg:',
+              {esc(pred, _IRI_ESCAPES)}, '> "',
+              {esc(obj, _LIT_ESCAPES)}, '" .') AS line
+FROM d
+"""
+
+
 def _graph_sql(mode: str = "degrees") -> str:
     """Shared deterministic edge set (mirror of _graph_edges); triangle
     count via the a<b<c three-way self-join (integer-exact), degree
@@ -3770,6 +3840,7 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
        END AS rel_canonical_abs
 FROM documents WHERE doc_id < 500
 """,
+        "ntriples_export": _nt_sql(),
         "warc_roundtrip": """
 WITH d AS (
   SELECT doc_id, coalesce(source, 'unk') AS s

@@ -48,6 +48,7 @@ def run_kg_pipeline(
     pack_seq_len: int | None = None,
     fuse: bool = False,
     jsonld: bool = False,
+    export_ntriples: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
     DataFrames {segments, linked, edges, nodes} (+ {host_edges,
@@ -146,6 +147,13 @@ def run_kg_pipeline(
     ``jsonld_extraction`` lineage row. The highest-precision edge
     source a web corpus offers, complementing the mention-derived
     ``edges``.
+
+    ``export_ntriples``: opt-in KG serializer (round-5) — the
+    graph-facing edge table (``edges_fused`` when fusion ran, else
+    ``edges_dedup``) serialized as W3C N-Triples lines
+    (operators.ntriples.to_ntriples, map-only escape expressions),
+    checkpointed as ``edges_ntriples`` with an ``ntriples_export``
+    lineage row — the load file a downstream triple store ingests.
 
     ``link_graph``: opt-in web-graph product — RFC 3986-resolved
     anchors lifted to the host-level link graph (``host_edges`` stage)
@@ -473,6 +481,27 @@ def run_kg_pipeline(
         out_extra["edges_fused"] = fused
         lw.record(
             "edges_fusion", input_rows=n_in_f, output_rows=fused.count(),
+            wall_ms=int((time.monotonic() - ts) * 1000),
+        )
+
+    if export_ntriples:
+        # final-mile serializer: the graph-facing edge table (fused
+        # facts when fusion ran, else the canonical distinct edges) as
+        # W3C N-Triples lines — what a downstream triple store loads.
+        # Checkpointed like every stage (parquet, resumable); a real
+        # deployment writes the same DataFrame with .write.text to get
+        # the .nt files (lines are newline-free by construction).
+        from pdf_metadata_extraction_spark.operators.ntriples import (
+            to_ntriples,
+        )
+
+        ts = time.monotonic()
+        nt_src = out_extra.get("edges_fused", edges_dedup)
+        nt = lw.checkpoint_stage("edges_ntriples", to_ntriples(nt_src))
+        out_extra["edges_ntriples"] = nt
+        lw.record(
+            "ntriples_export", input_rows=nt_src.count(),
+            output_rows=nt.count(),
             wall_ms=int((time.monotonic() - ts) * 1000),
         )
 

@@ -707,3 +707,43 @@ def test_kg_run_redirect_gate(spark, tmp_path):
     gate = [r for r in lineage if r["stage"] == "pages_redirect_gate"]
     assert gate and gate[0]["input_rows"] == 6
     assert gate[0]["output_rows"] == 2
+
+
+def test_kg_run_ntriples_export_stage(spark, tmp_path):
+    """Opt-in export_ntriples stage: the graph-facing edges serialize
+    to N-Triples lines, the edges_ntriples stage lands on disk, the
+    ntriples_export lineage row pins edges-in == lines-out, and the
+    lines parse back to the exact edge set."""
+    from pdf_metadata_extraction_spark.operators.ntriples import (
+        parse_ntriples,
+    )
+
+    def page(u, body):
+        return (u, (f"<html><body><p>{body}</p></body></html>").encode())
+
+    rows = [
+        page("https://a.example/1", "the spark engine and the spark planner"),
+        page("https://a.example/2", "spark again"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgnt")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="nt1",
+        export_ntriples=True,
+    )
+    nt = out["edges_ntriples"].collect()
+    assert nt and all(r["line"].endswith(" .") for r in nt)
+    assert all("\n" not in r["line"] for r in nt)
+    # lines-out == graph-facing edges-in (edges_dedup here: no fusion)
+    n_edges = out["edges_dedup"].count()
+    assert len(nt) == n_edges
+    # stage on disk + lineage row
+    disk = spark.read.parquet(f"{work}/stages/nt1/edges_ntriples")
+    assert disk.count() == n_edges
+    lineage = spark.read.parquet(f"{work}/lineage").collect()
+    le = [r for r in lineage if r["stage"] == "ntriples_export"]
+    assert le and le[0]["input_rows"] == le[0]["output_rows"] == n_edges
+    # the serialized lines invert to the exact (subj, pred, obj) set
+    back = parse_ntriples(disk).collect()
+    exp = out["edges_dedup"].select("subj", "pred", "obj").collect()
+    assert sorted(map(tuple, back)) == sorted(map(tuple, exp))
