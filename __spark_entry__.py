@@ -1537,6 +1537,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ KG snapshot diff
+    def kg_snapshot_diff(spark, sf_dir):
+        """Snapshot-to-snapshot triple diff (operators/fusion.
+        triple_diff) under the oracle harness: two deterministic edge
+        snapshots from documents columns exercise every class —
+        retracted facts (src rows gone at doc_id%5==0), object changes
+        (lang recased at %3==1), unchanged (suppressed, %3==2), and
+        new facts (%3==0 gains a lang). The oracle recomputes the
+        classification with the same FULL OUTER + key-presence
+        aggregate in SQL. Capped at 500 docs."""
+        from pdf_metadata_extraction_spark.operators.fusion import (
+            triple_diff,
+        )
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select(
+                "doc_id",
+                F.concat(F.lit("e"), F.col("doc_id").cast("string"))
+                .alias("e"),
+                F.coalesce("source", F.lit("unk")).alias("s"),
+                F.coalesce("lang", F.lit("und")).alias("l"),
+            )
+        )
+        old = d.select(
+            F.col("e").alias("subj"), F.lit("src").alias("pred"),
+            F.col("s").alias("obj"),
+        ).unionAll(
+            d.where("doc_id % 3 != 0").select(
+                F.col("e").alias("subj"), F.lit("lang").alias("pred"),
+                F.col("l").alias("obj"),
+            )
+        )
+        new = d.where("doc_id % 5 != 0").select(
+            F.col("e").alias("subj"), F.lit("src").alias("pred"),
+            F.col("s").alias("obj"),
+        ).unionAll(
+            d.select(
+                F.col("e").alias("subj"),
+                F.lit("lang").alias("pred"),
+                F.when(F.col("doc_id") % 3 == 1, F.upper("l"))
+                .when(F.col("doc_id") % 3 == 2, F.col("l"))
+                .otherwise(F.lit("xx"))
+                .alias("obj"),
+            )
+        )
+        return triple_diff(old, new)
+
     # ------------------------------------------------ N-Triples
     def ntriples_export(spark, sf_dir):
         """KG materialize serializer (operators/ntriples.to_ntriples)
@@ -1929,7 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness, warc_roundtrip, ntriples_export)
+    # graph_coreness, warc_roundtrip, ntriples_export, kg_snapshot_diff)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -1964,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": graph_coreness,
         "warc_roundtrip": warc_roundtrip,
         "ntriples_export": ntriples_export,
+        "kg_snapshot_diff": kg_snapshot_diff,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3841,6 +3891,54 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
 FROM documents WHERE doc_id < 500
 """,
         "ntriples_export": _nt_sql(),
+        "kg_snapshot_diff": """
+WITH d AS (
+  SELECT doc_id, concat('e', CAST(doc_id AS VARCHAR)) AS e,
+         coalesce(source, 'unk') AS s, coalesce(lang, 'und') AS l
+  FROM documents WHERE doc_id < 500
+),
+o AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT e AS subj, 'src' AS pred, s AS obj FROM d
+    UNION ALL
+    SELECT e, 'lang', l FROM d WHERE doc_id % 3 <> 0
+  )
+),
+n AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT e AS subj, 'src' AS pred, s AS obj FROM d WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT e, 'lang',
+           CASE WHEN doc_id % 3 = 1 THEN upper(l)
+                WHEN doc_id % 3 = 2 THEN l ELSE 'xx' END
+    FROM d
+  )
+),
+j AS (
+  SELECT coalesce(o.subj, n.subj) AS subj,
+         coalesce(o.pred, n.pred) AS pred,
+         coalesce(o.obj, n.obj) AS obj,
+         o.subj IS NOT NULL AS ino, n.subj IS NOT NULL AS inn
+  FROM o FULL OUTER JOIN n
+    ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+),
+keys AS (
+  SELECT subj, pred,
+         max(CASE WHEN ino THEN 1 ELSE 0 END) AS ko,
+         max(CASE WHEN inn THEN 1 ELSE 0 END) AS kn
+  FROM j GROUP BY 1, 2
+),
+diff AS (
+  SELECT subj, pred, obj,
+         CASE WHEN NOT ino THEN 'added' ELSE 'removed' END AS status
+  FROM j WHERE (NOT ino) OR (NOT inn)
+)
+SELECT diff.subj, diff.pred, diff.obj, diff.status,
+       CASE WHEN ko = 1 AND kn = 1 THEN 'object_changed'
+            WHEN status = 'added' THEN 'new_fact'
+            ELSE 'retracted_fact' END AS fact_status
+FROM diff JOIN keys ON diff.subj = keys.subj AND diff.pred = keys.pred
+""",
         "warc_roundtrip": """
 WITH d AS (
   SELECT doc_id, coalesce(source, 'unk') AS s

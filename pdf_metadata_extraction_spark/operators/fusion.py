@@ -270,3 +270,59 @@ def fuse_timeline(
             "last_ts",
         )
     )
+
+
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot KG diff — what changed between two crawls'
+    edge tables: ``(subj, pred, obj, status, fact_status)`` for every
+    triple in the symmetric difference.
+
+    ``status``: ``added`` (new snapshot only) / ``removed`` (old only).
+    ``fact_status`` classifies the change at (subj, pred) granularity:
+    ``object_changed`` when the key exists in BOTH snapshots (the fact
+    was re-asserted with a different object — the interesting churn),
+    ``new_fact`` / ``retracted_fact`` when the key itself appeared or
+    vanished. Unchanged triples never emit (a 10^12-edge diff output
+    must be proportional to the CHANGE, not the graph).
+
+    Scale shape: ONE full-outer join on (subj, pred, obj) — both
+    snapshots shuffle once on the same key — then a (subj, pred)
+    aggregate over the SAME joined table (no second scan of either
+    input) to find keys present in both, broadcast back onto the diff
+    rows only if small; expressed as an equi-join so AQE picks
+    broadcast vs sort-merge by the real diff size. Deterministic:
+    output is a pure set function of the two inputs.
+    """
+    o = old.select("subj", "pred", "obj").distinct().withColumn(
+        "_o", F.lit(1)
+    )
+    n = new.select("subj", "pred", "obj").distinct().withColumn(
+        "_n", F.lit(1)
+    )
+    j = o.join(n, ["subj", "pred", "obj"], "full_outer")
+    # key presence across BOTH snapshots (unchanged triples count —
+    # they prove the key survived) from the already-joined table
+    keys = j.groupBy("subj", "pred").agg(
+        F.max("_o").alias("_ko"), F.max("_n").alias("_kn")
+    )
+    diff = j.where(F.col("_o").isNull() | F.col("_n").isNull()).select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("status"),
+    )
+    return diff.join(keys, ["subj", "pred"]).select(
+        "subj",
+        "pred",
+        "obj",
+        "status",
+        F.when(
+            F.col("_ko").isNotNull() & F.col("_kn").isNotNull(),
+            F.lit("object_changed"),
+        )
+        .when(F.col("status") == "added", F.lit("new_fact"))
+        .otherwise(F.lit("retracted_fact"))
+        .alias("fact_status"),
+    )

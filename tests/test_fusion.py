@@ -207,3 +207,43 @@ def test_timeline_same_second_ties_and_dups(spark):
     assert r["n_objs"] == 2
     assert r["n_changes"] == 1  # x -> y within the second
     assert r["first_ts"] == r["last_ts"] == int(t.timestamp())
+
+
+def test_triple_diff_classification(spark):
+    from pdf_metadata_extraction_spark.operators.fusion import triple_diff
+
+    old = spark.createDataFrame(
+        [
+            ("e1", "capital", "Paris"),   # unchanged → suppressed
+            ("e2", "capital", "Bonn"),    # object changes
+            ("e3", "pop", "5m"),          # retracted fact
+            ("e2", "capital", "Bonn"),    # dup assertion collapses
+        ],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("e1", "capital", "Paris"),
+            ("e2", "capital", "Berlin"),
+            ("e4", "pop", "9m"),          # new fact
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(map(tuple, triple_diff(old, new).collect()))
+    assert got == sorted(
+        [
+            ("e2", "capital", "Bonn", "removed", "object_changed"),
+            ("e2", "capital", "Berlin", "added", "object_changed"),
+            ("e3", "pop", "5m", "removed", "retracted_fact"),
+            ("e4", "pop", "9m", "added", "new_fact"),
+        ]
+    )
+    # identical snapshots diff to nothing; diff vs empty is all-new
+    assert triple_diff(old, old).count() == 0
+    empty = spark.createDataFrame(
+        [], "subj string, pred string, obj string"
+    )
+    allnew = triple_diff(empty, new).collect()
+    assert {r.status for r in allnew} == {"added"}
+    assert {r.fact_status for r in allnew} == {"new_fact"}
+    assert triple_diff(new, empty).count() == 3
