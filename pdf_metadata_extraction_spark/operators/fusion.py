@@ -286,13 +286,19 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     must be proportional to the CHANGE, not the graph).
 
     Scale shape: ONE full-outer join on (subj, pred, obj) — both
-    snapshots shuffle once on the same key — then a (subj, pred)
-    aggregate over the SAME joined table (no second scan of either
-    input) to find keys present in both, broadcast back onto the diff
-    rows only if small; expressed as an equi-join so AQE picks
-    broadcast vs sort-merge by the real diff size. Deterministic:
-    output is a pure set function of the two inputs.
+    snapshots shuffle once on the same key — executed ONCE: the
+    key-presence bits come from a (subj, pred) window over the joined
+    rows, not a second aggregate branch (Catalyst reuses no exchanges,
+    so an agg+re-join formulation would execute the full-outer twice —
+    measured, 2 FullOuter nodes; this shape has exactly 1). The window
+    adds one (subj, pred) shuffle+sort; a key with a pathological
+    object fan-out sorts in one task — the same documented skew class
+    as the h-index window, irrelevant next to re-joining two 10^12-row
+    snapshots. Deterministic: output is a pure set function of the
+    two inputs.
     """
+    from pyspark.sql import Window
+
     o = old.select("subj", "pred", "obj").distinct().withColumn(
         "_o", F.lit(1)
     )
@@ -301,28 +307,31 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
     j = o.join(n, ["subj", "pred", "obj"], "full_outer")
     # key presence across BOTH snapshots (unchanged triples count —
-    # they prove the key survived) from the already-joined table
-    keys = j.groupBy("subj", "pred").agg(
-        F.max("_o").alias("_ko"), F.max("_n").alias("_kn")
+    # they prove the key survived) in the same pass over j
+    w = Window.partitionBy("subj", "pred")
+    classified = j.select(
+        "subj",
+        "pred",
+        "obj",
+        "_o",
+        "_n",
+        F.max("_o").over(w).alias("_ko"),
+        F.max("_n").over(w).alias("_kn"),
     )
-    diff = j.where(F.col("_o").isNull() | F.col("_n").isNull()).select(
+    return classified.where(
+        F.col("_o").isNull() | F.col("_n").isNull()
+    ).select(
         "subj",
         "pred",
         "obj",
         F.when(F.col("_o").isNull(), F.lit("added"))
         .otherwise(F.lit("removed"))
         .alias("status"),
-    )
-    return diff.join(keys, ["subj", "pred"]).select(
-        "subj",
-        "pred",
-        "obj",
-        "status",
         F.when(
             F.col("_ko").isNotNull() & F.col("_kn").isNotNull(),
             F.lit("object_changed"),
         )
-        .when(F.col("status") == "added", F.lit("new_fact"))
+        .when(F.col("_o").isNull(), F.lit("new_fact"))
         .otherwise(F.lit("retracted_fact"))
         .alias("fact_status"),
     )
