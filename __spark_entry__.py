@@ -1537,6 +1537,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ robots.txt gate
+    def robots_frontier_gate(spark, sf_dir):
+        """RFC 9309 robots rules (operators/robots.py) under the
+        oracle harness: 20 deterministic hosts carry a ``*`` group
+        (prefix disallow, longer-allow override, $-anchor) and — on
+        every 4th host — an exact ``mybot`` group (Allow: / plus one
+        disallow) that must SUPPRESS the ``*`` group entirely; each
+        doc contributes one url from a 6-way path-class residue. The
+        oracle recomputes the allow/deny verdict per (doc_id%4,
+        doc_id%6) class in pure SQL — the residue-rule style of
+        meta_refresh_chains. Capped at 500 docs."""
+        from pdf_metadata_extraction_spark.operators.robots import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select(
+                "doc_id", (F.col("doc_id") % 20).alias("k"),
+            )
+        )
+        hosts = d.select("k").distinct()
+        robots = hosts.select(
+            F.format_string("h%d.example", F.col("k")).alias("host"),
+            F.concat(
+                F.format_string(
+                    "User-agent: *\nDisallow: /d%d/\n"
+                    "Allow: /d%d/ok*\nDisallow: /end$\n",
+                    F.col("k"), F.col("k"),
+                ),
+                F.when(
+                    F.col("k") % 4 == 0,
+                    F.format_string(
+                        "\nUser-agent: mybot\nAllow: /\n"
+                        "Disallow: /m%d/\n", F.col("k"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("body"),
+        )
+        paths = (
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.format_string("/d%d/x", F.col("k")))
+            .when(F.col("doc_id") % 6 == 1,
+                  F.format_string("/d%d/okz", F.col("k")))
+            .when(F.col("doc_id") % 6 == 2, F.lit("/end"))
+            .when(F.col("doc_id") % 6 == 3, F.lit("/endx"))
+            .when(F.col("doc_id") % 6 == 4,
+                  F.format_string("/m%d/p", F.col("k")))
+            .otherwise(F.lit(""))
+        )
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.format_string("h%d.example", F.col("k")),
+                paths,
+            ).alias("url"),
+        )
+        return robots_allowed(
+            urls, parse_robots(robots), agent="MyBot"
+        ).select("doc_id", "url", "robots_allowed")
+
     # ------------------------------------------------ KG snapshot diff
     def kg_snapshot_diff(spark, sf_dir):
         """Snapshot-to-snapshot triple diff (operators/fusion.
@@ -1978,7 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structured-data queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness, warc_roundtrip, ntriples_export, kg_snapshot_diff)
+    # graph_coreness, warc_roundtrip, ntriples_export, kg_snapshot_diff,
+    # robots_frontier_gate)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -2014,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "ntriples_export": ntriples_export,
         "kg_snapshot_diff": kg_snapshot_diff,
+        "robots_frontier_gate": robots_frontier_gate,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3891,6 +3957,32 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
 FROM documents WHERE doc_id < 500
 """,
         "ntriples_export": _nt_sql(),
+        "robots_frontier_gate": """
+WITH d AS (
+  SELECT doc_id, doc_id % 20 AS k, doc_id % 4 AS e, doc_id % 6 AS c
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       concat('https://h', CAST(k AS VARCHAR), '.example',
+              CASE c
+                WHEN 0 THEN concat('/d', CAST(k AS VARCHAR), '/x')
+                WHEN 1 THEN concat('/d', CAST(k AS VARCHAR), '/okz')
+                WHEN 2 THEN '/end'
+                WHEN 3 THEN '/endx'
+                WHEN 4 THEN concat('/m', CAST(k AS VARCHAR), '/p')
+                ELSE '' END) AS url,
+       CASE
+         -- exact mybot group exists (k%4==0): * group suppressed;
+         -- Allow:/ matches everything, only /m{k}/ paths lose
+         WHEN e = 0 THEN c <> 4
+         -- * group: /d{k}/ disallow, longer /d{k}/ok* allow,
+         -- $-anchored /end disallow; everything else allowed
+         WHEN c = 0 THEN FALSE
+         WHEN c = 2 THEN FALSE
+         ELSE TRUE
+       END AS robots_allowed
+FROM d
+""",
         "kg_snapshot_diff": """
 WITH d AS (
   SELECT doc_id, concat('e', CAST(doc_id AS VARCHAR)) AS e,

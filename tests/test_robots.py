@@ -1,0 +1,106 @@
+"""robots.txt rules (operators/robots.py): RFC 9309 group formation,
+longest-match precedence, $-anchors, exact-agent override, defaults."""
+
+from pdf_metadata_extraction_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+)
+
+BODY_A = """# comments strip
+User-agent: *
+Disallow: /private/
+Allow: /private/ok*
+Disallow: /tmp$
+Crawl-delay: 10
+Disallow:
+
+User-agent: googlebot
+User-Agent: fancybot
+Disallow: /only-for-star/
+Allow: /
+
+Disallow: /trailing-attaches-to-last-group/
+"""
+BODY_B = "Disallow: /x/\nUser-agent: *\nDisallow: /y/\n"
+
+
+def _rules(spark):
+    robots = spark.createDataFrame(
+        [("a.example", BODY_A), ("b.example", BODY_B)],
+        "host string, body string",
+    )
+    return parse_robots(robots)
+
+
+def test_parse_robots_groups(spark):
+    rows = {
+        (r.host, r.agent, r.rule, r.pattern)
+        for r in _rules(spark).collect()
+    }
+    # consecutive UA lines stack; blank lines do NOT end a group
+    # (RFC 9309); trailing rules attach to the last group; rules
+    # before any UA line are group-less and drop; empty Disallow
+    # drops; Crawl-delay is skipped
+    assert ("a.example", "googlebot", "disallow", "/only-for-star/") in rows
+    assert ("a.example", "fancybot", "disallow", "/only-for-star/") in rows
+    assert (
+        "a.example", "googlebot", "disallow",
+        "/trailing-attaches-to-last-group/",
+    ) in rows
+    assert not any(p == "/x/" for _, _, _, p in rows)
+    assert not any(p == "" for _, _, _, p in rows)
+    assert not any(r not in ("allow", "disallow") for _, _, r, _ in rows)
+
+
+def test_robots_allowed_star_group(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/private/x", False),   # prefix disallow
+            ("https://a.example/private/okay", True), # longer allow wins
+            ("https://a.example/tmp", False),         # $ anchor
+            ("https://a.example/tmpfile", True),      # $ doesn't match
+            ("https://a.example/free", True),         # no match
+            ("https://a.example", True),              # no path -> "/"
+            ("https://b.example/x/1", True),          # group-less rule
+            ("https://b.example/y/1", False),
+            ("https://c.example/any", True),          # no robots at all
+        ],
+        "url string, exp boolean",
+    )
+    out = robots_allowed(urls, _rules(spark)).collect()
+    assert all(r.robots_allowed == r.exp for r in out), [
+        (r.url, r.robots_allowed, r.exp) for r in out
+        if r.robots_allowed != r.exp
+    ]
+
+
+def test_robots_exact_agent_overrides_star(spark):
+    urls = spark.createDataFrame(
+        [
+            # * group rules must NOT apply when an exact group exists
+            ("https://a.example/private/x", True),
+            # the exact group's own longest-match still applies
+            ("https://a.example/only-for-star/z", False),
+            ("https://a.example/anything", True),     # Allow: /
+        ],
+        "url string, exp boolean",
+    )
+    out = robots_allowed(urls, _rules(spark), agent="GoogleBot").collect()
+    assert all(r.robots_allowed == r.exp for r in out), [
+        (r.url, r.robots_allowed, r.exp) for r in out
+        if r.robots_allowed != r.exp
+    ]
+
+
+def test_robots_pattern_metachars_literal(spark):
+    robots = spark.createDataFrame(
+        [("m.example", "User-agent: *\nDisallow: /a(b).c/\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [("https://m.example/a(b).c/x", False),
+         ("https://m.example/a(b)Xc/x", True)],  # '.' is literal
+        "url string, exp boolean",
+    )
+    out = robots_allowed(urls, parse_robots(robots)).collect()
+    assert all(r.robots_allowed == r.exp for r in out)
