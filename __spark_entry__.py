@@ -1537,6 +1537,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ sitemaps
+    def sitemap_extract(spark, sf_dir):
+        """Sitemap extraction (operators/sitemap.py) under the oracle
+        harness: every 3rd doc serves a <sitemapindex> (kind=sitemap),
+        the rest serve a 2-entry <urlset> whose first loc needs
+        whitespace-trim + &amp; decode and carries a minute/second
+        lastmod, second loc has none (NULL). Bodies are built with
+        pure expressions; the oracle recomputes every row in SQL.
+        Capped at 500 docs."""
+        from pdf_metadata_extraction_spark.operators.sitemap import (
+            parse_sitemap,
+        )
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select("doc_id", (F.col("doc_id") % 20).alias("k"))
+        )
+        body = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string(
+                "<sitemapindex><sitemap><loc>https://s%d.example/"
+                "child%d.xml</loc></sitemap></sitemapindex>",
+                F.col("k"), F.col("doc_id"),
+            ),
+        ).otherwise(
+            F.format_string(
+                "<urlset><url><loc> https://s%d.example/p%d"
+                "?a=1&amp;b=2 </loc><lastmod>2024-01-01T00:%02d:%02dZ"
+                "</lastmod><priority>0.8</priority></url>"
+                "<url><loc>https://s%d.example/q%d</loc></url>"
+                "</urlset>",
+                F.col("k"), F.col("doc_id"),
+                (F.col("doc_id") / 60).cast("int") % 60,
+                F.col("doc_id") % 60,
+                F.col("k"), F.col("doc_id"),
+            )
+        )
+        sm = d.select(
+            F.format_string(
+                "https://s%d.example/sitemap%d.xml",
+                F.col("k"), F.col("doc_id"),
+            ).alias("url"),
+            body.alias("body"),
+        )
+        return parse_sitemap(sm).select(
+            "sitemap_url",
+            "kind",
+            "loc",
+            F.unix_timestamp("lastmod").cast("long").alias(
+                "lastmod_epoch"
+            ),
+        )
+
     # ------------------------------------------------ robots.txt gate
     def robots_frontier_gate(spark, sf_dir):
         """RFC 9309 robots rules (operators/robots.py) under the
@@ -2043,7 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
     # graph_coreness, warc_roundtrip, ntriples_export, kg_snapshot_diff,
-    # robots_frontier_gate)
+    # robots_frontier_gate, sitemap_extract)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -2080,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_export": ntriples_export,
         "kg_snapshot_diff": kg_snapshot_diff,
         "robots_frontier_gate": robots_frontier_gate,
+        "sitemap_extract": sitemap_extract,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -3957,6 +4012,35 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
 FROM documents WHERE doc_id < 500
 """,
         "ntriples_export": _nt_sql(),
+        "sitemap_extract": """
+WITH d AS (
+  SELECT doc_id, doc_id % 20 AS k FROM documents WHERE doc_id < 500
+),
+sm AS (
+  SELECT doc_id, k,
+         concat('https://s', CAST(k AS VARCHAR), '.example/sitemap',
+                CAST(doc_id AS VARCHAR), '.xml') AS sitemap_url
+  FROM d
+)
+SELECT sitemap_url, 'sitemap' AS kind,
+       concat('https://s', CAST(k AS VARCHAR), '.example/child',
+              CAST(doc_id AS VARCHAR), '.xml') AS loc,
+       CAST(NULL AS BIGINT) AS lastmod_epoch
+FROM sm WHERE doc_id % 3 = 0
+UNION ALL
+SELECT sitemap_url, 'url',
+       concat('https://s', CAST(k AS VARCHAR), '.example/p',
+              CAST(doc_id AS VARCHAR), '?a=1&b=2'),
+       CAST(1704067200 + ((doc_id // 60) % 60) * 60 + doc_id % 60
+            AS BIGINT)
+FROM sm WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT sitemap_url, 'url',
+       concat('https://s', CAST(k AS VARCHAR), '.example/q',
+              CAST(doc_id AS VARCHAR)),
+       CAST(NULL AS BIGINT)
+FROM sm WHERE doc_id % 3 <> 0
+""",
         "robots_frontier_gate": """
 WITH d AS (
   SELECT doc_id, doc_id % 20 AS k, doc_id % 4 AS e, doc_id % 6 AS c
