@@ -48,6 +48,7 @@ def run_kg_pipeline(
     pack_seq_len: int | None = None,
     fuse: bool = False,
     jsonld: bool = False,
+    tables: bool = False,
     export_ntriples: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
@@ -147,6 +148,12 @@ def run_kg_pipeline(
     ``jsonld_extraction`` lineage row. The highest-precision edge
     source a web corpus offers, complementing the mention-derived
     ``edges``.
+
+    ``tables``: opt-in WebTables channel (round-5) — header-row HTML
+    tables on the (post-gate) pages lifted to entity-attribute triples
+    (operators.structured.table_triples, map-only), checkpointed as
+    ``edges_tables`` with a ``table_extraction`` lineage row. The
+    third publisher-asserted edge source next to JSON-LD and metas.
 
     ``export_ntriples``: opt-in KG serializer (round-5) — the
     graph-facing edge table (``edges_fused`` when fusion ran, else
@@ -462,6 +469,22 @@ def run_kg_pipeline(
         lw.record(
             "jsonld_extraction", input_rows=pages.count(),
             output_rows=ej.count(),
+            wall_ms=int((time.monotonic() - ts) * 1000),
+        )
+
+    if tables:
+        # WebTables channel: entity-attribute triples from header-row
+        # HTML tables of the pages that survived the gates
+        from pdf_metadata_extraction_spark.operators.structured import (
+            table_triples,
+        )
+
+        ts = time.monotonic()
+        et = lw.checkpoint_stage("edges_tables", table_triples(pages))
+        out_extra["edges_tables"] = et
+        lw.record(
+            "table_extraction", input_rows=pages.count(),
+            output_rows=et.count(),
             wall_ms=int((time.monotonic() - ts) * 1000),
         )
 

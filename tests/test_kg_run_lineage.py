@@ -747,3 +747,35 @@ def test_kg_run_ntriples_export_stage(spark, tmp_path):
     back = parse_ntriples(disk).collect()
     exp = out["edges_dedup"].select("subj", "pred", "obj").collect()
     assert sorted(map(tuple, back)) == sorted(map(tuple, exp))
+
+
+def test_kg_run_tables_stage(spark, tmp_path):
+    """Opt-in WebTables channel: header-row tables on surviving pages
+    emit entity-attribute triples into a checkpointed edges_tables
+    stage with a table_extraction lineage row; table-less pages emit
+    nothing without erroring the stage."""
+    def page(u, body):
+        return (u, (f"<html><body>{body}</body></html>").encode())
+
+    rows = [
+        page(
+            "https://a.example/1",
+            "<p>the spark engine</p>"
+            "<table><tr><th>K</th><th>V</th></tr>"
+            "<tr><td>k1</td><td>v1</td></tr></table>",
+        ),
+        page("https://a.example/2", "<p>no table here</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgtb")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="tb1", tables=True
+    )
+    et = out["edges_tables"].collect()
+    assert [(r.subj, r.pred, r.obj, r.provenance_url) for r in et] == [
+        ("k1", "V", "v1", "https://a.example/1")
+    ]
+    assert spark.read.parquet(f"{work}/stages/tb1/edges_tables").count() == 1
+    lineage = spark.read.parquet(f"{work}/lineage").collect()
+    tl = [r for r in lineage if r["stage"] == "table_extraction"]
+    assert tl and tl[0]["input_rows"] == 2 and tl[0]["output_rows"] == 1
