@@ -449,6 +449,20 @@ def main() -> None:
             "0.93, canonical_components 8.2, cosine_topk 0.75, "
             "minhash_dup_pairs 0.81, bm25_topk_indexed 1.19"
         ),
+        "round5_session3": (
+            "graph_coreness is NEW in the timed list (h-index k-core, "
+            "4 fixed iterations, ~0.96-0.97 s both phases). The other "
+            "six session additions (table_extract, warc_roundtrip, "
+            "ntriples_export, kg_snapshot_diff, robots_frontier_gate, "
+            "sitemap_extract) are oracle-harness correctness queries "
+            "over the 500-doc cap — driver-gated, not bench-timed. "
+            "Session-end loud-phase pair at HEAD: totals 140.2 / "
+            "150.6 s with non-uniform 2-3x inflation moving BETWEEN "
+            "queries across the pair (pagerank 3.5<->9.9, "
+            "canonical_components 20.1<->7.4, minhash 5.5<->0.74) — "
+            "per-query MIN across the pair matches the quiet-phase "
+            "reference above, so the code at HEAD is unregressed"
+        ),
     }
 
     total = round(sum(timings.values()), 3)
