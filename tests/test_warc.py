@@ -58,3 +58,40 @@ def test_parse_warc_dataframe(spark):
         (u, h) for u, h in ((u, h) for u, _, h in RECS)
     ]
     assert str(out[0].warc_ts).startswith("2024-01-02")
+
+
+def test_parse_warc_streaming_ingest(spark, tmp_path):
+    """The WARC source composes with Structured Streaming: parse_warc
+    is a mapInPandas transform, so readStream(binaryFile) → parse_warc
+    → parquet sink works unchanged — the continuous-crawl ingest
+    shape. Two WARC files land as two micro-batched blobs; every
+    record arrives exactly once."""
+    import os
+
+    warc_dir = tmp_path / "warc_in"
+    os.makedirs(warc_dir)
+    (warc_dir / "a.warc.gz").write_bytes(
+        build_warc_bytes(RECS[:1], gzip_members=True)
+    )
+    (warc_dir / "b.warc").write_bytes(build_warc_bytes(RECS[1:]))
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(str(warc_dir))
+    )
+    out_dir, ck_dir = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        parse_warc(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.url, bytes(r.html))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == sorted((u, h) for u, _, h in RECS)
