@@ -695,3 +695,56 @@ def k_core(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     return coreness(edges, iters=iters).where(
         F.col("coreness") >= F.lit(k)
     ).select("node")
+
+
+def k_hop_reachable(
+    edges: DataFrame, sources: DataFrame, k: int
+) -> DataFrame:
+    """Multi-source bounded BFS over the DIRECTED edge set —
+    ``(src, node, dist)`` with ``dist`` the minimum hop count ≤ ``k``
+    from each source (sources themselves at dist 0). The KG serving
+    primitive behind "is entity B derivable from entity A within k
+    relations" and neighborhood-expansion features.
+
+    Frontier algorithm, one hop per round: join the current frontier
+    against the edge list, dedup the discovered set row-locally
+    (distinct on the narrow (src, node) pair), then anti-join against
+    everything already visited — a node reached twice keeps its FIRST
+    (minimal) distance, which makes the output the exact BFS distance
+    table and hence bit-deterministic (the DuckDB oracle recomputes it
+    as a bounded recursive CTE with min(dist)). Empty frontier short-
+    circuits the remaining hops (a driver-side count on an already-
+    computed frontier).
+
+    Scale shape per hop: one equi-join frontier⋈edges on the node id +
+    one distinct + one anti-join, all narrow (src, node) integer/string
+    pairs; the frontier is localCheckpointed each hop (it feeds both
+    the next join and the visited union — without the cut the plan
+    re-executes the whole prefix per hop, the O(k²) lineage trap).
+    Mega-hub fan-out is a hot join key (AQE skew-split); the OUTPUT is
+    bounded by |sources| × |reachable set|, the caller's k to control.
+    """
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    visited = sources.select(
+        F.col("node").alias("src"), F.col("node").alias("node")
+    ).distinct().withColumn("dist", F.lit(0).cast("long"))
+    frontier = visited.select("src", "node").localCheckpoint(eager=True)
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("src", "node"), ["src", "node"],
+                  "left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("dist", F.lit(d).cast("long"))
+        )
+        frontier = nxt
+    return visited

@@ -1126,3 +1126,28 @@ def test_coreness_dups_loops_direction_and_empty(spark):
     got = {r.node: r.coreness for r in coreness(_edges(spark, pairs), 4).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
     assert coreness(_edges(spark, []), 3).count() == 0
+
+
+def test_k_hop_reachable_bfs_distances(spark):
+    from pdf_metadata_extraction_spark.operators.graph import (
+        k_hop_reachable,
+    )
+
+    # directed chain with a shortcut, an isolated source, a 2-cycle
+    edges = _edges(
+        spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (6, 7), (7, 6)]
+    )
+    src = spark.createDataFrame([(1,), (9,), (6,)], "node long")
+    out = {
+        (r.src, r.node): r.dist
+        for r in k_hop_reachable(edges, src, 3).collect()
+    }
+    assert out == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 1,  # shortcut wins over 1-2-3
+        (1, 4): 2, (1, 5): 3,
+        (9, 9): 0,                         # isolated source: itself only
+        (6, 6): 0, (6, 7): 1,              # cycle terminates (anti-join)
+    }
+    # k=0 -> sources only; empty-frontier short-circuit (k huge)
+    assert k_hop_reachable(edges, src, 0).count() == 3
+    assert k_hop_reachable(edges, src, 50).count() == 8
