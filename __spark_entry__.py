@@ -1186,6 +1186,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return k_hop_reachable(_graph_edges(spark, sf_dir), sources, 3)
 
+    def graph_ppr(spark, sf_dir):
+        """Personalized PageRank (graph.pagerank_fixed(seeds=...), 5
+        iterations) from the doc_id%100==0 seed set — init mass and
+        the restart term land only on seeds, all-integer, so the
+        unrolled-CTE oracle stays bit-exact; unreachable nodes pin at
+        rank 0."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            pagerank_fixed,
+        )
+
+        seeds = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500 AND doc_id % 100 = 0")
+            .select(F.col("doc_id").alias("node"))
+        )
+        return pagerank_fixed(
+            _graph_edges(spark, sf_dir), iters=5, seeds=seeds
+        )
+
     def graph_pagerank(spark, sf_dir):
         """Fixed-point integer PageRank (5 iterations) on the same
         deterministic edge set — order-free integer sums make the
@@ -2113,7 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # source/serializer queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness, graph_khop, warc_roundtrip, ntriples_export, kg_snapshot_diff,
+    # graph_coreness, graph_khop, graph_ppr, warc_roundtrip, ntriples_export,
+    # kg_snapshot_diff,
     # robots_frontier_gate, sitemap_extract)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
@@ -2162,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": table_extract,
         "graph_coreness": graph_coreness,
         "graph_khop": graph_khop,
+        "graph_ppr": graph_ppr,
         "warc_roundtrip": warc_roundtrip,
         "ntriples_export": ntriples_export,
         "kg_snapshot_diff": kg_snapshot_diff,
@@ -3008,7 +3029,8 @@ FROM am JOIN (VALUES {labels_values}) AS o(label)
 
 def _pagerank_tail_sql(iters: int, scale: int, damp_num: int,
                        damp_den: int, dangling: bool = False,
-                       weighted: bool = False) -> str:
+                       weighted: bool = False,
+                       personalized: bool = False) -> str:
     """Unrolled PageRank iterations over a caller-provided CTE
     ``e(src, dst)`` (distinct, no self-loops) — mirror of
     graph.pagerank_fixed's arithmetic (DuckDB `//` = Spark `div` =
@@ -3018,13 +3040,42 @@ def _pagerank_tail_sql(iters: int, scale: int, damp_num: int,
     to every node's incoming sum before damping. ``weighted`` mirrors
     weight_col: ``e`` must carry an integer ``w`` column; the
     out-degree becomes sum(w) and each contribution
-    ``(rank * w) // outdeg``."""
+    ``(rank * w) // outdeg``. ``personalized`` mirrors seeds=...: the
+    caller provides a ``rawseeds(node)`` CTE; init mass and the
+    restart term go only to seed∩nodes (k-share integer arithmetic,
+    mirror of graph.pagerank_fixed's PPR branch)."""
     outdeg_cte = (
         "outdeg AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY src),"
         if weighted
         else "outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),"
     )
-    head = f"""
+    if personalized:
+        head = f"""
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+{outdeg_cte}
+seeds AS (SELECT DISTINCT rawseeds.node FROM rawseeds
+          JOIN nodes ON nodes.node = rawseeds.node),
+params AS (SELECT count(*) AS n FROM nodes),
+sparams AS (SELECT count(*) AS k FROM seeds),
+r0 AS (
+  SELECT node,
+         CASE WHEN node IN (SELECT node FROM seeds)
+              THEN {scale} // k ELSE 0 END AS rank
+  FROM nodes, sparams
+)
+"""
+        base_expr = (
+            f"(CASE WHEN nodes.node IN (SELECT node FROM seeds) THEN "
+            f"(({damp_den - damp_num} * {scale}) // "
+            f"({damp_den} * sparams.k)) ELSE 0 END)"
+        )
+        params_join = " CROSS JOIN sparams"
+    else:
+        head = f"""
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
@@ -3034,6 +3085,11 @@ nodes AS (
 params AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
 """
+        base_expr = (
+            f"(({damp_den - damp_num} * {scale}) // "
+            f"({damp_den} * params.n))"
+        )
+        params_join = ""
     parts = [head]
     for i in range(1, iters + 1):
         if dangling:
@@ -3054,9 +3110,9 @@ r0 AS (SELECT node, {scale} // n AS rank FROM nodes, params)
         parts.append(f"""
 , r{i} AS (
   SELECT nodes.node,
-    (({damp_den - damp_num} * {scale}) // ({damp_den} * params.n))
+    {base_expr}
       + ({damp_num} * {sum_expr}) // {damp_den} AS rank
-  FROM nodes CROSS JOIN params{dang_cte}
+  FROM nodes CROSS JOIN params{params_join}{dang_cte}
   LEFT JOIN (
     SELECT e.dst, sum({contrib}) AS s
     FROM e
@@ -3088,6 +3144,30 @@ eraw AS (
 e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM eraw WHERE id_a <> id_b),
 """
         + _pagerank_tail_sql(iters, scale, damp_num, damp_den, dangling)
+    )
+
+
+def _ppr_sql(iters: int = 5, scale: int = 10**12,
+             damp_num: int = 85, damp_den: int = 100) -> str:
+    """Personalized-PageRank oracle over the _graph_edges corpus with
+    the doc_id%100==0 (<500) seed set."""
+    return (
+        """
+WITH d AS (SELECT doc_id FROM documents),
+eraw AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM d WHERE doc_id % 10 < 2
+  UNION ALL
+  SELECT doc_id, doc_id + 100000 FROM d
+),
+e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM eraw WHERE id_a <> id_b),
+rawseeds AS (
+  SELECT doc_id AS node FROM d WHERE doc_id < 500 AND doc_id % 100 = 0
+),
+"""
+        + _pagerank_tail_sql(iters, scale, damp_num, damp_den,
+                             personalized=True)
     )
 
 
@@ -4277,6 +4357,7 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "graph_khop": _graph_sql("khop"),
         "graph_pagerank": _pagerank_sql(iters=5),
         "graph_pagerank_dangling": _pagerank_sql(iters=5, dangling=True),
+        "graph_ppr": _ppr_sql(iters=5),
         "pii_scrub": _pii_sql(),
         "repetition_signals": _repetition_sql(),
     }

@@ -276,6 +276,7 @@ def pagerank_fixed(
     redistribute_dangling: bool = False,
     lineage=None,
     weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER fixed-point — (node, rank)
     with rank in ``scale`` units (total initial mass = ``scale``).
@@ -325,11 +326,33 @@ def pagerank_fixed(
     weight must stay < 2^63/scale — ~9·10^6 at the default pico-unit
     scale, far above any real link multiplicity.
 
+    ``seeds``: a ``(node)`` DataFrame turns the computation into
+    personalized PageRank (the entity-centrality serving primitive:
+    "how important is everything RELATIVE TO this seed set"): initial
+    mass ``scale // k`` on each of the ``k`` seed nodes (0 elsewhere)
+    and the restart term goes ONLY to seeds (``((damp_den-damp_num) *
+    scale) // (damp_den * k)`` per seed per iteration, 0 for
+    non-seeds) — still all-integer, so the unrolled oracle stays
+    bit-exact. Seeds that are not graph nodes are ignored (left-semi
+    against the node set); an all-foreign seed set raises ValueError.
+    Incompatible with ``redistribute_dangling`` (canonical PPR
+    restarts sink mass to the SEEDS, which the uniform redistribution
+    would contradict — refused loudly rather than silently wrong);
+    nodes unreachable from every seed finish at rank 0, which is the
+    point. The checkpoint fingerprint includes the seed-set hash, so
+    resuming with different seeds can never reuse stale iterations.
+
     Scale shape: per iteration one join edges⋈ranks (both keyed by
     node id; outdeg is joined in once, precomputed) and one integer
     groupBy-sum (map-side partial agg) — the classic Pregel/GraphX
     PageRank schedule as plain DataFrame ops.
     """
+    if seeds is not None and redistribute_dangling:
+        raise ValueError(
+            "personalized PageRank does not support "
+            "redistribute_dangling (sink mass would need to restart "
+            "to the seeds, not uniformly)"
+        )
     import time
 
     from pdf_metadata_extraction_spark.operators import ckpt
@@ -366,15 +389,21 @@ def pagerank_fixed(
             F.expr(hash_expr).alias("h"),
             F.count("*").alias("n"),
         ).collect()[0]
-        ckpt.reset_dir_if_input_changed(
-            spark, checkpoint_dir,
-            {
-                "h": row["h"] if row["n"] else 0, "n": row["n"], "op": "pr",
-                "damp": [damp_num, damp_den], "scale": scale,
-                "dangling": redistribute_dangling,
-                "weighted": weight_col is not None,
-            },
-        )
+        fp = {
+            "h": row["h"] if row["n"] else 0, "n": row["n"], "op": "pr",
+            "damp": [damp_num, damp_den], "scale": scale,
+            "dangling": redistribute_dangling,
+            "weighted": weight_col is not None,
+        }
+        if seeds is not None:
+            # key added only in PPR mode: default-mode fingerprints
+            # stay byte-compatible with existing checkpoint dirs
+            srow = seeds.select(
+                F.expr("bit_xor(xxhash64(node))").alias("h"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            fp["seeds"] = [srow["h"] if srow["n"] else 0, srow["n"]]
+        ckpt.reset_dir_if_input_changed(spark, checkpoint_dir, fp)
         edir = f"{checkpoint_dir.rstrip('/')}/edges"
         if not ckpt.fs_exists(spark, f"{edir}/_SUCCESS"):
             eout = e.coalesce(1) if row["n"] <= 1_000_000 else e
@@ -413,8 +442,42 @@ def pagerank_fixed(
             nodes.unpersist()
             outdeg.unpersist()
         return out
-    base = ((damp_den - damp_num) * scale) // (damp_den * n)
-    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    if seeds is not None:
+        seed_nodes = (
+            seeds.select("node").distinct()
+            .join(nodes, "node", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        k = seed_nodes.count()
+        if k == 0:
+            if checkpoint_dir:
+                nodes.unpersist()
+                outdeg.unpersist()
+            raise ValueError(
+                "personalized PageRank: no seed is a node of the graph"
+            )
+        base_s = ((damp_den - damp_num) * scale) // (damp_den * k)
+        _flagged = nodes.join(
+            seed_nodes.withColumn("_s", F.lit(True)), "node", "left"
+        )
+        nb = _flagged.select(
+            "node",
+            F.when(F.col("_s"), F.lit(base_s))
+            .otherwise(F.lit(0)).cast("long").alias("_base"),
+        )
+        r = _flagged.select(
+            "node",
+            F.when(F.col("_s"), F.lit(scale // k))
+            .otherwise(F.lit(0)).cast("long").alias("rank"),
+        )
+    else:
+        base = ((damp_den - damp_num) * scale) // (damp_den * n)
+        nb = nodes.withColumn("_base", F.lit(base).cast("long"))
+        r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    if checkpoint_dir:
+        nb = nb.persist()
+    else:
+        nb = nb.localCheckpoint(eager=True)
     if checkpoint_dir:
         # resume: latest completed iteration ≤ iters wins
         for i in range(iters, 0, -1):
@@ -453,11 +516,11 @@ def pagerank_fixed(
             )
             extra = drow["d"] // n
         r = (
-            nodes.join(sums, nodes.node == sums.dst, "left")
+            nb.join(sums, nb.node == sums.dst, "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.col("_base")
                     + F.expr(
                         f"({damp_num} * (coalesce(s, 0L) + {extra}))"
                         f" div {damp_den}"
@@ -497,6 +560,7 @@ def pagerank_fixed(
         # the final r reads from parquet — the helper caches can go
         nodes.unpersist()
         outdeg.unpersist()
+        nb.unpersist()
         if redistribute_dangling:
             dangling.unpersist()
     return r

@@ -1151,3 +1151,53 @@ def test_k_hop_reachable_bfs_distances(spark):
     # k=0 -> sources only; empty-frontier short-circuit (k huge)
     assert k_hop_reachable(edges, src, 0).count() == 3
     assert k_hop_reachable(edges, src, 50).count() == 8
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    from pdf_metadata_extraction_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    E = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)]
+    edges = _edges(spark, E)
+    # 99 is not a graph node: ignored by the left-semi
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    SCALE, NUM, DEN, ITERS = 10**12, 85, 100, 5
+    got = {
+        r.node: r.rank
+        for r in pagerank_fixed(edges, iters=ITERS, seeds=seeds).collect()
+    }
+    nodes = sorted({u for e in E for u in e})
+    outs = {}
+    for u, v in set(E):
+        outs.setdefault(u, []).append(v)
+    k, sset = 1, {1}
+    r = {u: (SCALE // k if u in sset else 0) for u in nodes}
+    base_s = ((DEN - NUM) * SCALE) // (DEN * k)
+    for _ in range(ITERS):
+        s = {u: 0 for u in nodes}
+        for u, vs in outs.items():
+            c = r[u] // len(vs)
+            for v in vs:
+                s[v] += c
+        r = {
+            u: (base_s if u in sset else 0) + (NUM * s[u]) // DEN
+            for u in nodes
+        }
+    assert got == r
+
+
+def test_personalized_pagerank_refusals(spark):
+    import pytest
+
+    from pdf_metadata_extraction_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    edges = _edges(spark, [(1, 2)])
+    foreign = spark.createDataFrame([(42,)], "node long")
+    with pytest.raises(ValueError, match="no seed is a node"):
+        pagerank_fixed(edges, seeds=foreign)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="redistribute_dangling"):
+        pagerank_fixed(edges, seeds=seeds, redistribute_dangling=True)
