@@ -2146,7 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
     # stratified_domain_cap).
-    # Registry = 98; the 50-row budget covers positions 0-49: every
+    # Registry = 99; the 50-row budget covers positions 0-49: every
     # judge-directive query (the 12 r04-unsampled + pii_scrub +
     # pages_roundtrip) and every never-sampled query EXCEPT
     # incremental_lsh_candidates / hash_sample_slice /
@@ -2154,7 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pinned and green under tools/check_oracles at HEAD; the head
     # outgrew the budget by 3). ROUND-6 HEAD must be, in order:
     # incremental_lsh_candidates, hash_sample_slice,
-    # stratified_domain_cap, then the 45 tail queries below, then
+    # stratified_domain_cap, then the 46 tail queries below, then
     # anything new/changed in r6 — that keeps the "driver-green at
     # least every 2 rounds" guarantee.
     # Round-5 tail (>51, all r04-green, untouched): j3_dict_match/
