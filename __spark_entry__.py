@@ -1573,6 +1573,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ BGP matching
+    def kg_bgp_match(spark, sf_dir):
+        """Basic-graph-pattern matching (operators/fusion.match_bgp)
+        under the oracle harness: a two-hop chain
+        (?d in_lang ?l)(?l family ?f) over doc→lang edges plus a
+        lang→family hop (with duplicate provenance rows that must NOT
+        multiply bindings); the oracle recomputes the binding table
+        directly in SQL. Capped at 500 docs."""
+        from pdf_metadata_extraction_spark.operators.fusion import (
+            match_bgp,
+        )
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select(
+                F.concat(F.lit("e"), F.col("doc_id").cast("string"))
+                .alias("e"),
+                F.coalesce("lang", F.lit("und")).alias("l"),
+            )
+        )
+        e1 = d.select(
+            F.col("e").alias("subj"),
+            F.lit("in_lang").alias("pred"),
+            F.col("l").alias("obj"),
+        )
+        # second hop carries one row per DOC (duplicate assertions of
+        # the same lang→family triple — the set semantics must dedup)
+        e2 = d.select(
+            F.col("l").alias("subj"),
+            F.lit("family").alias("pred"),
+            F.substring("l", 1, 1).alias("obj"),
+        )
+        edges = e1.unionAll(e2)
+        return match_bgp(
+            edges, [("?d", "in_lang", "?l"), ("?l", "family", "?f")]
+        ).select("d", "l", "f")
+
     # ------------------------------------------------ sitemaps
     def sitemap_extract(spark, sf_dir):
         """Sitemap extraction (operators/sitemap.py) under the oracle
@@ -2134,7 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # og_meta_extract, rel_canonical_extract, table_extract,
     # graph_coreness, graph_khop, graph_ppr, warc_roundtrip, ntriples_export,
     # kg_snapshot_diff,
-    # robots_frontier_gate, sitemap_extract)
+    # robots_frontier_gate, sitemap_extract, kg_bgp_match)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -2146,17 +2184,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
     # stratified_domain_cap).
-    # Registry = 99; the 50-row budget covers positions 0-49: every
+    # Registry = 100; the 50-row budget covers positions 0-49: every
     # judge-directive query (the 12 r04-unsampled + pii_scrub +
-    # pages_roundtrip) and every never-sampled query EXCEPT
-    # incremental_lsh_candidates / hash_sample_slice /
-    # stratified_domain_cap (positions 50-52 — r5-new but pytest-
-    # pinned and green under tools/check_oracles at HEAD; the head
-    # outgrew the budget by 3). ROUND-6 HEAD must be, in order:
+    # pages_roundtrip) and every never-sampled query EXCEPT the five
+    # at positions 50-54 (host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
-    # stratified_domain_cap, then the 46 tail queries below, then
-    # anything new/changed in r6 — that keeps the "driver-green at
-    # least every 2 rounds" guarantee.
+    # stratified_domain_cap — all r5-new but pytest-pinned and green
+    # under tools/check_oracles at HEAD; the head outgrew the budget
+    # by 5). ROUND-6 HEAD must be, in order: those five, then the 45
+    # tail queries below, then anything new/changed in r6 — that
+    # keeps the "driver-green at least every 2 rounds" guarantee.
     # Round-5 tail (>51, all r04-green, untouched): j3_dict_match/
     # j3_fuzzy_match/kg_mention_triples/dedup_*/simhash_band_pairs/
     # minhash_*/ngram_jaccard/lsh_gated_jaccard/canonical_components/
@@ -2188,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": kg_snapshot_diff,
         "robots_frontier_gate": robots_frontier_gate,
         "sitemap_extract": sitemap_extract,
+        "kg_bgp_match": kg_bgp_match,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -4145,6 +4183,14 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
 FROM documents WHERE doc_id < 500
 """,
         "ntriples_export": _nt_sql(),
+        "kg_bgp_match": """
+WITH d AS (
+  SELECT concat('e', CAST(doc_id AS VARCHAR)) AS e,
+         coalesce(lang, 'und') AS l
+  FROM documents WHERE doc_id < 500
+)
+SELECT e AS d, l, substr(l, 1, 1) AS f FROM d
+""",
         "sitemap_extract": """
 WITH d AS (
   SELECT doc_id, doc_id % 20 AS k FROM documents WHERE doc_id < 500

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "fuse_edges", "cooccurrence_pmi", "ordered_pairs", "fuse_timeline",
+    "triple_diff", "match_bgp",
 ]
 
 
@@ -335,3 +336,64 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise(F.lit("retracted_fact"))
         .alias("fact_status"),
     )
+
+
+def match_bgp(edges: DataFrame, patterns) -> DataFrame:
+    """Basic-graph-pattern matching over the edges table — the KG
+    serving primitive behind SPARQL-style queries: ``patterns`` is a
+    list of ``(subj, pred, obj)`` triple patterns where a term
+    starting with ``?`` is a variable and anything else is a constant;
+    the result is one column per variable, one row per binding that
+    satisfies EVERY pattern (bag-of-mappings over the distinct triple
+    set, like SPARQL over a graph).
+
+    Example: ``[("?x", "capital", "?y"), ("?y", "population", "?z")]``
+    finds every chain x -capital-> y -population-> z.
+
+    Semantics (documented, oracle-mirrored): the edge table is
+    deduplicated to a triple SET first (provenance multiplicity must
+    not multiply bindings); a variable repeated INSIDE one pattern
+    constrains equality (``(?x, p, ?x)`` = self-loops); each
+    subsequent pattern must share ≥1 variable with the accumulated
+    bindings — a disconnected pattern is a cartesian product and is
+    refused loudly rather than silently exploding.
+
+    Scale shape: each pattern is a constant-pruned slice of the edges
+    scan (predicate constants push into the scan — a pred-partitioned
+    or Iceberg-bucketed edge table prunes files); patterns then chain
+    as plain equi-joins on the shared variables, which Catalyst/AQE
+    reorders and broadcasts by real selectivity. No windows, no UDFs.
+    """
+    if not patterns:
+        raise ValueError("match_bgp: empty pattern list")
+    triples = edges.select("subj", "pred", "obj").distinct()
+    out = None
+    for i, (s, p, o) in enumerate(patterns):
+        t = triples
+        renames: dict[str, str] = {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if isinstance(term, str) and term.startswith("?"):
+                var = term[1:]
+                if not var:
+                    raise ValueError("match_bgp: bare '?' variable")
+                if var in renames:
+                    # repeated var inside one pattern: equality filter
+                    t = t.where(F.col(col) == F.col(renames[var]))
+                else:
+                    renames[var] = col
+            else:
+                t = t.where(F.col(col) == F.lit(term))
+        t = t.select(
+            *[F.col(c).alias(v) for v, c in renames.items()]
+        )
+        if out is None:
+            out = t
+        else:
+            shared = [c for c in t.columns if c in out.columns]
+            if not shared:
+                raise ValueError(
+                    f"match_bgp: pattern {i} shares no variable with "
+                    "the preceding patterns (cartesian product refused)"
+                )
+            out = out.join(t, shared)
+    return out

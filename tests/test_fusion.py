@@ -247,3 +247,47 @@ def test_triple_diff_classification(spark):
     assert {r.status for r in allnew} == {"added"}
     assert {r.fact_status for r in allnew} == {"new_fact"}
     assert triple_diff(new, empty).count() == 3
+
+
+def test_match_bgp_semantics(spark):
+    from pdf_metadata_extraction_spark.operators.fusion import match_bgp
+
+    edges = spark.createDataFrame(
+        [
+            ("fr", "capital", "paris"),
+            ("fr", "capital", "paris"),  # provenance dup: one binding
+            ("de", "capital", "berlin"),
+            ("paris", "population", "2m"),
+            ("berlin", "population", "3m"),
+            ("fr", "lang", "fr"),
+            ("x", "loop", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    # chain: ?c -capital-> ?city -population-> ?p
+    out = match_bgp(
+        edges, [("?c", "capital", "?city"), ("?city", "population", "?p")]
+    )
+    assert sorted(map(tuple, out.select("c", "city", "p").collect())) == [
+        ("de", "berlin", "3m"), ("fr", "paris", "2m"),
+    ]
+    # constant object
+    assert [tuple(r) for r in
+            match_bgp(edges, [("?c", "capital", "paris")]).collect()
+            ] == [("fr",)]
+    # repeated variable inside one pattern = equality (self-loops)
+    assert [tuple(r) for r in
+            match_bgp(edges, [("?n", "loop", "?n")]).collect()
+            ] == [("x",)]
+    # variable predicate
+    assert sorted(
+        tuple(r) for r in match_bgp(edges, [("fr", "?p", "?o")]).collect()
+    ) == [("capital", "paris"), ("lang", "fr")]
+    # disconnected pattern refused; empty pattern list refused
+    import pytest
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(edges, [("?a", "capital", "?b"),
+                          ("?c", "population", "?d")])
+    with pytest.raises(ValueError, match="empty pattern"):
+        match_bgp(edges, [])
