@@ -1573,6 +1573,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("row_idx").cast("long").alias("row_idx"),
         )
 
+    # ------------------------------------------------ crawl scheduling
+    def robots_crawl_delays(spark, sf_dir):
+        """Crawl-delay parsing (operators/robots.crawl_delays) under
+        the oracle harness: every host declares a fractional ``*``
+        delay (must ceil), every 3rd host adds an exact ``mybot``
+        group that must SUPPRESS it; verdicts recomputed per residue
+        class in SQL."""
+        from pdf_metadata_extraction_spark.operators.robots import (
+            crawl_delays,
+        )
+
+        hosts = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select((F.col("doc_id") % 20).alias("k"))
+            .distinct()
+        )
+        robots = hosts.select(
+            F.format_string("h%d.example", F.col("k")).alias("host"),
+            F.concat(
+                F.format_string(
+                    "User-agent: *\nCrawl-delay: %d.5\n", F.col("k")
+                ),
+                F.when(
+                    F.col("k") % 3 == 0,
+                    F.format_string(
+                        "User-agent: mybot\nCrawl-delay: %d\n",
+                        F.col("k") + 20,
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("body"),
+        )
+        return crawl_delays(robots, agent="MyBot")
+
+    def frontier_schedule(spark, sf_dir):
+        """Politeness scheduling (operators/robots.schedule_frontier):
+        one url per doc over 20 hosts, deterministic host ranks, 8
+        slots — the md5 host bucket uses the cross-engine formula
+        (same as hash_sample) and the within-slot order is a
+        (rank desc, url) total order, so the oracle recomputes
+        (url, host, slot, fetch_order) exactly."""
+        from pdf_metadata_extraction_spark.operators.robots import (
+            schedule_frontier,
+        )
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500")
+            .select("doc_id", (F.col("doc_id") % 20).alias("k"))
+        )
+        urls = d.select(
+            F.format_string(
+                "https://h%d.example/p%d", F.col("k"), F.col("doc_id")
+            ).alias("url")
+        )
+        ranks = d.select("k").distinct().select(
+            F.format_string("h%d.example", F.col("k")).alias("host"),
+            ((F.col("k") * 37) % 101).cast("long").alias("rank"),
+        )
+        return schedule_frontier(urls, ranks, n_slots=8)
+
     # ------------------------------------------------ BGP matching
     def kg_bgp_match(spark, sf_dir):
         """Basic-graph-pattern matching (operators/fusion.match_bgp)
@@ -2172,7 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # og_meta_extract, rel_canonical_extract, table_extract,
     # graph_coreness, graph_khop, graph_ppr, warc_roundtrip, ntriples_export,
     # kg_snapshot_diff,
-    # robots_frontier_gate, sitemap_extract, kg_bgp_match)
+    # robots_frontier_gate, sitemap_extract, kg_bgp_match,
+    # robots_crawl_delays, frontier_schedule)
     # + the ten NEW corpus-hygiene/packing queries
     # (decontam_overlap, boilerplate_ngrams, boilerplate_doc_frac,
     # unigram_ce, tfidf_topk, dup_span_pairs, line_dedup_clean,
@@ -2226,6 +2288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_frontier_gate": robots_frontier_gate,
         "sitemap_extract": sitemap_extract,
         "kg_bgp_match": kg_bgp_match,
+        "robots_crawl_delays": robots_crawl_delays,
+        "frontier_schedule": frontier_schedule,
         "decontam_overlap": decontam_overlap,
         "boilerplate_ngrams": boilerplate_ngrams,
         "boilerplate_doc_frac": boilerplate_doc_frac,
@@ -4183,6 +4247,38 @@ SELECT concat('https://h', CAST(doc_id % 50 AS VARCHAR), '.example/d/',
 FROM documents WHERE doc_id < 500
 """,
         "ntriples_export": _nt_sql(),
+        "robots_crawl_delays": """
+WITH k AS (
+  SELECT DISTINCT doc_id % 20 AS k FROM documents WHERE doc_id < 500
+)
+SELECT concat('h', CAST(k AS VARCHAR), '.example') AS host,
+       CAST(CASE WHEN k % 3 = 0 THEN k + 20 ELSE k + 1 END AS BIGINT)
+         AS delay_s
+FROM k
+""",
+        "frontier_schedule": """
+WITH d AS (
+  SELECT doc_id, doc_id % 20 AS k FROM documents WHERE doc_id < 500
+),
+u AS (
+  SELECT concat('https://h', CAST(k AS VARCHAR), '.example/p',
+                CAST(doc_id AS VARCHAR)) AS url,
+         concat('h', CAST(k AS VARCHAR), '.example') AS host,
+         CAST((k * 37) % 101 AS BIGINT) AS rank
+  FROM d
+),
+s AS (
+  SELECT url, host, rank,
+         CAST(CAST(concat('0x', substr(md5(host), 1, 15)) AS BIGINT) % 8
+              AS BIGINT) AS slot
+  FROM u
+)
+SELECT url, host, slot,
+       CAST(row_number() OVER (PARTITION BY slot
+                               ORDER BY rank DESC, url) AS BIGINT)
+         AS fetch_order
+FROM s
+""",
         "kg_bgp_match": """
 WITH d AS (
   SELECT concat('e', CAST(doc_id AS VARCHAR)) AS e,

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DIRECTIVE_RE = r"(?i)^[ \t]*(user-agent|allow|disallow)[ \t]*:[ \t]*([^#]*?)[ \t]*(?:#.*)?$"
+DIRECTIVE_RE = r"(?i)^[ \t]*(user-agent|allow|disallow|crawl-delay)[ \t]*:[ \t]*([^#]*?)[ \t]*(?:#.*)?$"
 
 # regex metachars escaped to literal before '*' becomes '.*'; '*' and
 # the (already-stripped) final '$' are the only pattern metachars.
@@ -76,6 +76,28 @@ def parse_robots(
     lag + one running-sum window; agents then join back to rules on
     (host, group).
     """
+    d = _directive_groups(robots, host_col, body_col)
+    agents = d.where("is_ua").select(
+        "host", "grp", F.lower("val").alias("agent")
+    )
+    rules = d.where(
+        F.col("dir").isin("allow", "disallow") & (F.col("val") != "")
+    ).select("host", "grp", F.col("dir").alias("rule"),
+             F.col("val").alias("pattern"))
+    return rules.join(agents, ["host", "grp"]).select(
+        "host",
+        "agent",
+        "rule",
+        "pattern",
+        F.length("pattern").cast("long").alias("pattern_len"),
+    )
+
+
+def _directive_groups(
+    robots: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """Shared line→directive→group lift: (host, idx, dir, val, is_ua,
+    grp) per directive line. See parse_robots for the group rule."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -91,7 +113,7 @@ def parse_robots(
         F.regexp_extract("line", DIRECTIVE_RE, 2).alias("val"),
     ).where(F.col("dir") != "")
     w = Window.partitionBy("host").orderBy("idx")
-    d = (
+    return (
         d.withColumn("is_ua", F.col("dir") == "user-agent")
         .withColumn(
             "new_grp",
@@ -105,19 +127,93 @@ def parse_robots(
             ),
         )
     )
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (the de-facto politeness directive —
+    not in RFC 9309 but honored by most non-Google crawlers) →
+    ``(host, delay_s long)`` for the given agent, with the SAME group
+    selection as robots_allowed: exact-agent groups suppress ``*``
+    groups. Several applicable values keep the MAX (the conservative
+    read). Unparseable/negative values drop; fractional seconds round
+    up (a politeness floor must never round down). Hosts declaring no
+    applicable delay emit no row — the caller's default applies."""
+    d = _directive_groups(robots, host_col, body_col)
     agents = d.where("is_ua").select(
         "host", "grp", F.lower("val").alias("agent")
     )
-    rules = d.where(
-        (F.col("dir") != "user-agent") & (F.col("val") != "")
-    ).select("host", "grp", F.col("dir").alias("rule"),
-             F.col("val").alias("pattern"))
-    return rules.join(agents, ["host", "grp"]).select(
-        "host",
-        "agent",
-        "rule",
-        "pattern",
-        F.length("pattern").cast("long").alias("pattern_len"),
+    vals = d.where(
+        (F.col("dir") == "crawl-delay")
+        & F.col("val").rlike(r"^\d+(\.\d+)?$")
+    ).select("host", "grp", F.ceil(F.col("val").cast("double")).alias("_d"))
+    per_agent = vals.join(agents, ["host", "grp"])
+    a = agent.lower()
+    exact_hosts = (
+        per_agent.where(F.col("agent") == a)
+        .select("host").distinct().withColumn("_has_exact", F.lit(True))
+    )
+    sel = per_agent.join(exact_hosts, "host", "left").where(
+        (F.col("agent") == a)
+        | ((F.col("agent") == "*") & F.col("_has_exact").isNull())
+    )
+    return sel.groupBy("host").agg(
+        F.max("_d").cast("long").alias("delay_s")
+    )
+
+
+def schedule_frontier(
+    urls: DataFrame,
+    ranks: DataFrame | None = None,
+    n_slots: int = 256,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: assign every frontier url a
+    ``slot`` (deterministic md5 bucket of its HOST — all of a host's
+    urls land in ONE slot, so per-host serialization/delays are a
+    per-slot concern, the classic frontier-sharding design from
+    Mercator/Heritrix) and a ``fetch_order`` within the slot (host
+    rank desc when ``ranks (host, rank)`` is given, then url — a total
+    order, so re-runs schedule identically).
+
+    Scale shape: the md5 bucket is a map-only expression (the SAME
+    cross-engine formula as sample.hash_sample, so the oracle
+    mirrors it bit-exactly); the within-slot order is one window per
+    slot — n_slots bounds window-partition size by construction
+    (that's what the slots are FOR)."""
+    from pyspark.sql import Window
+
+    from pdf_metadata_extraction_spark.operators.urlnorm import URL_RE
+
+    u = urls.withColumn(
+        "_host", F.lower(F.regexp_extract(F.col(url_col), URL_RE, 2))
+    ).withColumn(
+        "slot",
+        (
+            F.conv(F.substring(F.md5(F.col("_host")), 1, 15), 16, 10)
+            .cast("long") % n_slots
+        ).cast("long"),
+    )
+    if ranks is not None:
+        u = u.join(
+            ranks.select(F.col("host").alias("_host"),
+                         F.col("rank").alias("_rank")),
+            "_host", "left",
+        )
+    else:
+        u = u.withColumn("_rank", F.lit(0).cast("long"))
+    w = Window.partitionBy("slot").orderBy(
+        F.desc(F.coalesce(F.col("_rank"), F.lit(0))), F.col(url_col)
+    )
+    return u.select(
+        url_col,
+        F.col("_host").alias("host"),
+        "slot",
+        F.row_number().over(w).cast("long").alias("fetch_order"),
     )
 
 

@@ -104,3 +104,58 @@ def test_robots_pattern_metachars_literal(spark):
     )
     out = robots_allowed(urls, parse_robots(robots)).collect()
     assert all(r.robots_allowed == r.exp for r in out)
+
+
+def test_crawl_delays_selection_and_ceil(spark):
+    from pdf_metadata_extraction_spark.operators.robots import crawl_delays
+
+    rb = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: *\nCrawl-delay: 2.3\n"
+             "User-agent: mybot\nCrawl-delay: 7\nDisallow: /x\n"),
+            ("b.example", "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 4\n"),
+            ("c.example", "User-agent: *\nCrawl-delay: garbage\n"),
+            ("d.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, body string",
+    )
+    # exact group suppresses *, max of several values, ceil(2.3)=3,
+    # garbage and no-declaration hosts emit no row
+    assert {r.host: r.delay_s for r in
+            crawl_delays(rb, agent="MyBot").collect()} == {
+        "a.example": 7, "b.example": 10,
+    }
+    assert {r.host: r.delay_s for r in crawl_delays(rb).collect()} == {
+        "a.example": 3, "b.example": 10,
+    }
+
+
+def test_schedule_frontier_slots_and_order(spark):
+    from pdf_metadata_extraction_spark.operators.robots import (
+        schedule_frontier,
+    )
+
+    ranks = spark.createDataFrame(
+        [("a.example", 100), ("b.example", 5)], "host string, rank long"
+    )
+    urls = spark.createDataFrame(
+        [(f"https://{h}/p{i}",)
+         for h in ("a.example", "b.example") for i in range(3)],
+        "url string",
+    )
+    # one slot: global order = rank desc then url
+    sch = sorted(
+        schedule_frontier(urls, ranks, n_slots=1).collect(),
+        key=lambda r: r.fetch_order,
+    )
+    assert [r.url for r in sch] == (
+        [f"https://a.example/p{i}" for i in range(3)]
+        + [f"https://b.example/p{i}" for i in range(3)]
+    )
+    # all of a host's urls land in ONE slot at any n_slots (the
+    # politeness-sharding invariant); rank-less hosts still schedule
+    by_host = {}
+    for r in schedule_frontier(urls, None, n_slots=64).collect():
+        by_host.setdefault(r.host, set()).add(r.slot)
+    assert all(len(s) == 1 for s in by_host.values())
