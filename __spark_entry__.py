@@ -2246,14 +2246,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
     # stratified_domain_cap).
-    # Registry = 100; the 50-row budget covers positions 0-49: every
+    # Registry = 102; the 50-row budget covers positions 0-49: every
     # judge-directive query (the 12 r04-unsampled + pii_scrub +
-    # pages_roundtrip) and every never-sampled query EXCEPT the five
-    # at positions 50-54 (host_pagerank_weighted, incremental_dedup,
+    # pages_roundtrip) and every never-sampled query EXCEPT the seven
+    # at positions 50-56 (quality_gate_keep, link_graph_follow_only,
+    # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
     # stratified_domain_cap — all r5-new but pytest-pinned and green
     # under tools/check_oracles at HEAD; the head outgrew the budget
-    # by 5). ROUND-6 HEAD must be, in order: those five, then the 45
+    # by 7). ROUND-6 HEAD must be, in order: those seven, then the 45
     # tail queries below, then anything new/changed in r6 — that
     # keeps the "driver-green at least every 2 rounds" guarantee.
     # Round-5 tail (>51, all r04-green, untouched): j3_dict_match/
