@@ -1169,6 +1169,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return coreness(_graph_edges(spark, sf_dir), iters=4)
 
+    def graph_clustering(spark, sf_dir):
+        """Per-node triangle counts + local clustering coefficient in
+        integer micro-units (graph.local_clustering) — the node-level
+        over-merge/boilerplate-clique audit; the oracle recomputes
+        corners from the a<b<c three-way self-join."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            local_clustering,
+        )
+
+        return local_clustering(_graph_edges(spark, sf_dir))
+
     def graph_khop(spark, sf_dir):
         """Multi-source bounded BFS (graph.k_hop_reachable, k=3) over
         the directed deterministic edge set from five sources — the
@@ -2231,7 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # source/serializer queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness, graph_khop, graph_ppr, warc_roundtrip, ntriples_export,
+    # graph_coreness, graph_khop, graph_ppr, graph_clustering,
+    # warc_roundtrip, ntriples_export,
     # kg_snapshot_diff,
     # robots_frontier_gate, sitemap_extract, kg_bgp_match,
     # robots_crawl_delays, frontier_schedule)
@@ -2246,7 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
     # stratified_domain_cap).
-    # Registry = 102; the 50-row budget covers positions 0-49: every
+    # Registry = 103; the 50-row budget covers positions 0-49: every
     # judge-directive query (the 12 r04-unsampled + pii_scrub +
     # pages_roundtrip) and every never-sampled query EXCEPT the seven
     # at positions 50-56 (quality_gate_keep, link_graph_follow_only,
@@ -2282,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": table_extract,
         "graph_coreness": graph_coreness,
         "graph_khop": graph_khop,
+        "graph_clustering": graph_clustering,
         "graph_ppr": graph_ppr,
         "warc_roundtrip": warc_roundtrip,
         "ntriples_export": ntriples_export,
@@ -3512,6 +3525,36 @@ l0 AS (SELECT DISTINCT node, node AS label FROM adj),""" + ",".join(
         ) + """
 SELECT node, label AS community FROM l3
 """
+    if mode == "clustering":
+        return base + """
+, tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       CAST(coalesce(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN (2000000 * coalesce(tcnt.n_triangles, 0))
+                      // (deg.degree * (deg.degree - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_micro
+FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+"""
     if mode == "khop":
         return base + """
 , de AS (
@@ -4498,6 +4541,7 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "graph_communities": _graph_sql("lpa"),
         "graph_coreness": _graph_sql("coreness"),
         "graph_khop": _graph_sql("khop"),
+        "graph_clustering": _graph_sql("clustering"),
         "graph_pagerank": _pagerank_sql(iters=5),
         "graph_pagerank_dangling": _pagerank_sql(iters=5, dangling=True),
         "graph_ppr": _ppr_sql(iters=5),

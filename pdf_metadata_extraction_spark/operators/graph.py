@@ -177,6 +177,100 @@ def lpa_communities(edges: DataFrame, iters: int = 3) -> DataFrame:
     return labels.select("node", F.col("label").alias("community"))
 
 
+def _orient(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of the canonical undirected edge
+    set: every edge points low-(degree, id) → high-(degree, id), dst
+    rank carried. Shared by triangle_count and local_clustering (the
+    O(m^1.5) wedge bound lives here — see module docstring)."""
+    e = (
+        und.join(
+            deg.select(F.col("node").alias("a"),
+                       F.col("degree").alias("da")), "a")
+        .join(
+            deg.select(F.col("node").alias("b"),
+                       F.col("degree").alias("db")), "b")
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient —
+    ``(node, degree, n_triangles, coeff_micro)`` with ``coeff_micro``
+    = floor(2·10⁶·t / (d·(d−1))) (integer micro-units: exact and
+    cross-engine bit-stable, the corpus_lm discipline), 0 for d < 2.
+
+    The KG cluster-quality audit at node granularity: a canonical id
+    whose neighborhood has near-zero clustering inside a dense domain
+    is usually a hub created by over-merging (its neighbors don't
+    know each other); boilerplate-induced cliques show up as coeff ≈
+    10⁶ across whole template families.
+
+    Same degree-ordered wedge join as triangle_count (shared
+    ``_orient``), but each matched triangle emits its THREE corners
+    (row-local array explode) into one per-node count; joined back to
+    degrees with triangle-less nodes kept at 0. Two eager
+    localCheckpoints cut the shared subtrees (und feeds degrees +
+    orient; oriented feeds three join branches); blocks are released
+    by the context cleaner when the result goes out of scope —
+    pagerank's documented lifecycle, since the returned TABLE (unlike
+    triangle_count's single row) cannot be collected to release
+    eagerly. Overflow bound (documented): 2·10⁶·t must stay < 2⁶³ —
+    t < 4.6·10¹² triangles on one node; beyond that, scale the units
+    down before this audit.
+    """
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    deg = _degrees_of_und(und)
+    oriented = _orient(und, deg).localCheckpoint(eager=True)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_ord = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & wedge_ord
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    corners = wedges.join(closing, ["v", "w"]).select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    tcnt = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+        )
+        .withColumn(
+            "coeff_micro",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2000000 * n_triangles) div "
+                    "(degree * (degree - 1))"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """One row: (n_triangles). Degree-ordered wedge join (see module
     docstring for the scale argument).
@@ -206,19 +300,7 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     if materialize:
         und = und.localCheckpoint(eager=True)
     deg = _degrees_of_und(und)
-    e = (
-        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
-    )
-    # orient low-(degree, id) -> high-(degree, id); carry the dst rank
-    lt = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = e.select(
-        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
+    oriented = _orient(und, deg)
     if materialize:
         oriented = oriented.localCheckpoint(eager=True)
     o1 = oriented.alias("o1")

@@ -1201,3 +1201,24 @@ def test_personalized_pagerank_refusals(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="redistribute_dangling"):
         pagerank_fixed(edges, seeds=seeds, redistribute_dangling=True)
+
+
+def test_local_clustering_hand_values(spark):
+    from pdf_metadata_extraction_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # K4 (every node: 3 triangles, coeff 1.0) + pendant edge 3-4
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4)]
+    out = {
+        r.node: (r.degree, r.n_triangles, r.coeff_micro)
+        for r in local_clustering(_edges(spark, pairs)).collect()
+    }
+    assert out == {
+        0: (3, 3, 1000000), 1: (3, 3, 1000000), 2: (3, 3, 1000000),
+        3: (4, 3, 500000),   # 2*3e6 / (4*3)
+        4: (1, 0, 0),        # degree < 2 -> coefficient 0
+    }
+    # triangle-free graph: all zeros, every node still present
+    chain = local_clustering(_edges(spark, [(1, 2), (2, 3)])).collect()
+    assert {r.node: r.n_triangles for r in chain} == {1: 0, 2: 0, 3: 0}
