@@ -184,6 +184,11 @@ def main() -> None:
         normalize_urls=True, follow_redirects=True, quality_gate=True,
         decontam_eval=eval_df, domain_cap=200, segment_dedup=3,
         export_corpus=True, pack_seq_len=512,
+        # round-5 session 3: the KG-side opt-ins too — the curated run
+        # is now EVERY stage at once (structured channels, fusion,
+        # link graph + ranks, N-Triples export)
+        jsonld=True, tables=True, fuse=True, link_graph=True,
+        export_ntriples=True,
     )
     extras["kg_run_curated_s"] = round(time.monotonic() - t0, 3)
     lin_cur = spark.read.parquet(os.path.join(work_cur, "lineage")).collect()

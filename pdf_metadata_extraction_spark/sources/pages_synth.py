@@ -114,6 +114,25 @@ def jsonld_island(doc_id: int, title: str) -> str | None:
     )
 
 
+def head_table(doc_id: int) -> str:
+    """Deterministic entity-attribute HTML table for ~1/4 of synthetic
+    docs (the WebTables channel operators/structured.table_triples
+    lifts). Lives in <head> like the JSON-LD island — the extractor
+    strips head content, so the golden ``text`` column is untouched
+    (pinned by the byte-identity goldens)."""
+    if _h(f"{doc_id}:tbl") % 4 != 0:
+        return ""
+    e1 = _ENTITIES[_h(f"{doc_id}:t1") % len(_ENTITIES)]
+    e2 = _ENTITIES[_h(f"{doc_id}:t2") % len(_ENTITIES)]
+    return (
+        "<table><tr><th>Name</th><th>Category</th><th>Issue</th></tr>"
+        f"<tr><td>{e1}</td><td>cat {doc_id % 7}</td>"
+        f"<td>{doc_id % 100}</td></tr>"
+        f"<tr><td>{e2}</td><td>cat {(doc_id + 1) % 7}</td>"
+        f"<td>{(doc_id * 3) % 100}</td></tr></table>"
+    )
+
+
 def blocks_to_html(doc_id: int, blocks: list[tuple[str, str]]) -> bytes:
     """Messy-but-valid HTML around the content blocks (boilerplate included)."""
     nav = f'<nav><a href="/">Home</a> <a href="/{doc_id % 7}">Cat {doc_id % 7}</a></nav>'
@@ -136,6 +155,7 @@ def blocks_to_html(doc_id: int, blocks: list[tuple[str, str]]) -> bytes:
             f'<script type="application/ld+json">{ld}</script>'
             if ld is not None else ""
         ),
+        head_table(doc_id),
         "</head><body>",
         f"<header><span>Example Site &mdash; issue {doc_id % 100}</span></header>",
         nav,
