@@ -228,6 +228,7 @@ def main() -> None:
         "line_dedup_clean", "packed_sequences", "ce_quality_tiers",
         "decontam_scrubbed", "hreflang_extract", "meta_refresh_chains",
         "graph_hits", "triple_timeline", "graph_coreness",
+        "graph_clustering",
     ]:
         fn = run_query(name)
         fn()
