@@ -467,7 +467,13 @@ def main() -> None:
             "queries across the pair (pagerank 3.5<->9.9, "
             "canonical_components 20.1<->7.4, minhash 5.5<->0.74) — "
             "per-query MIN across the pair matches the quiet-phase "
-            "reference above, so the code at HEAD is unregressed"
+            "reference above, so the code at HEAD is unregressed. "
+            "Post-corpus-change pair (head tables embedded, "
+            "graph_clustering timed): a loud run read warm 12.9 "
+            "UNIFORM across samples — still box phase, proven by an "
+            "immediate same-HEAD re-run at total 87.7 s with warm "
+            "median 2.79 (spread 2.53-3.01), graph_clustering 0.74, "
+            "graph_coreness 0.99: the session-end quiet reference"
         ),
     }
 
