@@ -1197,6 +1197,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return k_hop_reachable(_graph_edges(spark, sf_dir), sources, 3)
 
+    def graph_sssp(spark, sf_dir):
+        """Bounded weighted shortest paths (graph.
+        bounded_shortest_paths, 3 relaxations) from five sources over
+        the deterministic edge set with w = id_a%7 + 1 — integer
+        min-plus, so the bounded-recursive-walk + min(dist) oracle
+        matches bit-exactly."""
+        from pdf_metadata_extraction_spark.operators.graph import (
+            bounded_shortest_paths,
+        )
+
+        edges = _graph_edges(spark, sf_dir).withColumn(
+            "w", (F.col("id_a") % 7 + 1).cast("long")
+        )
+        sources = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 500 AND doc_id % 100 = 0")
+            .select(F.col("doc_id").alias("node"))
+        )
+        return bounded_shortest_paths(edges, sources, 3)
+
     def graph_ppr(spark, sf_dir):
         """Personalized PageRank (graph.pagerank_fixed(seeds=...), 5
         iterations) from the doc_id%100==0 seed set — init mass and
@@ -2242,7 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # source/serializer queries (kg_fused_triples, entity_cooccurrence_pmi,
     # graph_link_prediction, graph_communities, jsonld_extract,
     # og_meta_extract, rel_canonical_extract, table_extract,
-    # graph_coreness, graph_khop, graph_ppr, graph_clustering,
+    # graph_coreness, graph_khop, graph_ppr, graph_clustering, graph_sssp,
     # warc_roundtrip, ntriples_export,
     # kg_snapshot_diff,
     # robots_frontier_gate, sitemap_extract, kg_bgp_match,
@@ -2258,7 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_pagerank_weighted, incremental_dedup,
     # incremental_lsh_candidates, hash_sample_slice,
     # stratified_domain_cap).
-    # Registry = 103; the 50-row budget covers positions 0-49: every
+    # Registry = 104; the 50-row budget covers positions 0-49: every
     # judge-directive query (the 12 r04-unsampled + pii_scrub +
     # pages_roundtrip) and every never-sampled query EXCEPT the seven
     # at positions 50-56 (quality_gate_keep, link_graph_follow_only,
@@ -2295,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": graph_coreness,
         "graph_khop": graph_khop,
         "graph_clustering": graph_clustering,
+        "graph_sssp": graph_sssp,
         "graph_ppr": graph_ppr,
         "warc_roundtrip": warc_roundtrip,
         "ntriples_export": ntriples_export,
@@ -3525,6 +3546,28 @@ l0 AS (SELECT DISTINCT node, node AS label FROM adj),""" + ",".join(
         ) + """
 SELECT node, label AS community FROM l3
 """
+    if mode == "sssp":
+        return base + """
+, de AS (
+  SELECT id_a AS u, id_b AS v, CAST(min(id_a % 7 + 1) AS BIGINT) AS w
+  FROM e WHERE id_a <> id_b GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id AS src FROM d WHERE doc_id < 500 AND doc_id % 100 = 0
+),
+r AS (
+  WITH RECURSIVE walk(src, node, dist, hops) AS (
+    SELECT src, src AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM s
+    UNION
+    SELECT walk.src, de.v, walk.dist + de.w, walk.hops + 1
+    FROM walk JOIN de ON de.u = walk.node
+    WHERE walk.hops < 3
+  )
+  SELECT src, node, CAST(min(dist) AS BIGINT) AS dist
+  FROM walk GROUP BY 1, 2
+)
+SELECT src, node, dist FROM r
+"""
     if mode == "clustering":
         return base + """
 , tri AS (
@@ -4542,6 +4585,7 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sizes GROUP BY 1
         "graph_coreness": _graph_sql("coreness"),
         "graph_khop": _graph_sql("khop"),
         "graph_clustering": _graph_sql("clustering"),
+        "graph_sssp": _graph_sql("sssp"),
         "graph_pagerank": _pagerank_sql(iters=5),
         "graph_pagerank_dangling": _pagerank_sql(iters=5, dangling=True),
         "graph_ppr": _ppr_sql(iters=5),

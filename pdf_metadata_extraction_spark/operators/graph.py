@@ -894,3 +894,69 @@ def k_hop_reachable(
         )
         frontier = nxt
     return visited
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded at ``iters`` hops
+    — ``(src, node, dist)`` with ``dist`` the minimum total integer
+    edge weight over directed paths of ≤ ``iters`` edges (fixed-
+    iteration Bellman-Ford; exact for everything whose shortest path
+    uses ≤ ``iters`` hops, the relaxation bound). The weighted
+    complement of k_hop_reachable: hop counts answer "derivable
+    within k relations", weighted distances answer "how STRONG is the
+    cheapest derivation chain" when edges carry costs (inverse
+    confidence, crawl latency, link weights).
+
+    All-integer min-plus arithmetic — mins and sums of BIGINTs are
+    order-free, so a fixed iteration count is bit-deterministic and
+    the DuckDB oracle (bounded recursive walk + min(dist)) matches
+    exactly. Parallel edges collapse to their MIN weight up front;
+    negative weights are refused (min-plus with negative cycles has
+    no fixed point — loudly, not silently wrong).
+
+    Scale shape per iteration: one frontier⋈edges equi-join + one
+    (src, node) min-aggregate with map-side partials — narrow integer
+    rows, the Pregel SSSP schedule as DataFrame ops; lineage cut every
+    iteration (the table feeds the next join AND the union). Output
+    bounded by |sources| × |reachable set|.
+    """
+    e = (
+        edges.select(
+            F.col("id_a").alias("u"),
+            F.col("id_b").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    if not e.where(F.col("w") < 0).isEmpty():
+        raise ValueError(
+            "bounded_shortest_paths: negative edge weights unsupported"
+        )
+    dist = (
+        sources.select(
+            F.col("node").alias("src"), F.col("node").alias("node")
+        )
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cand = dist.join(e, dist["node"] == e["u"]).select(
+            "src",
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("src", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1222,3 +1222,33 @@ def test_local_clustering_hand_values(spark):
     # triangle-free graph: all zeros, every node still present
     chain = local_clustering(_edges(spark, [(1, 2), (2, 3)])).collect()
     assert {r.node: r.n_triangles for r in chain} == {1: 0, 2: 0, 3: 0}
+
+
+def test_bounded_shortest_paths(spark):
+    import pytest
+
+    from pdf_metadata_extraction_spark.operators.graph import (
+        bounded_shortest_paths,
+    )
+
+    # 1->2 (5), 2->3 (1), 1->3 (10: beaten by 1-2-3 = 6), 3->1 cycle,
+    # parallel 1->2 (7: loses to 5)
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 1, 1), (1, 2, 7)],
+        "id_a long, id_b long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {
+        (r.src, r.node): r.dist
+        for r in bounded_shortest_paths(edges, src, 3).collect()
+    }
+    assert out == {(1, 1): 0, (1, 2): 5, (1, 3): 6}
+    # 1 relaxation only: the direct (worse) edge is the best available
+    out1 = {
+        (r.src, r.node): r.dist
+        for r in bounded_shortest_paths(edges, src, 1).collect()
+    }
+    assert out1 == {(1, 1): 0, (1, 2): 5, (1, 3): 10}
+    bad = spark.createDataFrame([(1, 2, -1)], "id_a long, id_b long, w long")
+    with pytest.raises(ValueError, match="negative"):
+        bounded_shortest_paths(bad, src, 2)
