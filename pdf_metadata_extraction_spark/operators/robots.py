@@ -171,6 +171,7 @@ def schedule_frontier(
     ranks: DataFrame | None = None,
     n_slots: int = 256,
     url_col: str = "url",
+    num_ranges: int = 32,
 ) -> DataFrame:
     """Politeness-aware fetch scheduling: assign every frontier url a
     ``slot`` (deterministic md5 bucket of its HOST — all of a host's
@@ -181,12 +182,22 @@ def schedule_frontier(
     order, so re-runs schedule identically).
 
     Scale shape: the md5 bucket is a map-only expression (the SAME
-    cross-engine formula as sample.hash_sample, so the oracle
-    mirrors it bit-exactly); the within-slot order is one window per
-    slot — n_slots bounds window-partition size by construction
-    (that's what the slots are FOR)."""
-    from pyspark.sql import Window
-
+    cross-engine formula as sample.hash_sample, so the oracle mirrors
+    it bit-exactly). Slots bound per-host POLITENESS state, not
+    partition size — a slot still holds |frontier| / n_slots rows, so
+    within-slot ordering must never be a single-task window. It is
+    computed with the two-pass global-rank discipline from
+    ``packing.global_rank``: range-partition the frontier on the total
+    order ``(slot, rank desc, url)`` into ``num_ranges`` ranges,
+    collect the ``num_ranges`` per-range row counts (NOT data rows),
+    broadcast the running prefixes, and take an intra-range
+    ``row_number`` — every window partition is a range of
+    ~|frontier| / num_ranges rows, sized to the cluster by the caller.
+    ``fetch_order`` = global rank − (slot's first global rank) + 1 via
+    a broadcast ``n_slots``-row aggregate; the result is identical to
+    a per-slot ``row_number`` and invariant to ``num_ranges`` and
+    input layout (pinned by tests)."""
+    from pdf_metadata_extraction_spark.operators.packing import global_rank
     from pdf_metadata_extraction_spark.operators.urlnorm import URL_RE
 
     u = urls.withColumn(
@@ -206,14 +217,28 @@ def schedule_frontier(
         )
     else:
         u = u.withColumn("_rank", F.lit(0).cast("long"))
-    w = Window.partitionBy("slot").orderBy(
-        F.desc(F.coalesce(F.col("_rank"), F.lit(0))), F.col(url_col)
+    # ascending surrogate for "rank desc" so the range partitioner and
+    # the intra-range row_number share one ascending total order
+    u = u.withColumn(
+        "_negrank", (-F.coalesce(F.col("_rank"), F.lit(0))).cast("long")
     )
-    return u.select(
-        url_col,
-        F.col("_host").alias("host"),
-        "slot",
-        F.row_number().over(w).cast("long").alias("fetch_order"),
+    ranked = global_rank(
+        u, ["slot", "_negrank", url_col], num_ranges=num_ranges,
+        rank_col="_grnk",
+    )
+    slot_base = ranked.groupBy("slot").agg(
+        F.min("_grnk").alias("_base")
+    )  # rows == n_slots, driver/broadcast-bounded
+    return (
+        ranked.join(F.broadcast(slot_base), "slot")
+        .select(
+            url_col,
+            F.col("_host").alias("host"),
+            "slot",
+            (F.col("_grnk") - F.col("_base") + 1)
+            .cast("long")
+            .alias("fetch_order"),
+        )
     )
 
 

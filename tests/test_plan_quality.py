@@ -300,3 +300,34 @@ def test_redirect_chain_join_count_is_bounded(spark):
     n_joins = plan.count("LeftOuter")
     assert n_joins == 3, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_schedule_frontier_has_no_slot_sized_window(spark):
+    """Within-slot fetch ordering must never be a window partitioned
+    by `slot` (a slot holds |frontier|/n_slots rows — one task sorting
+    ~4e9 rows at a 1e12-url frontier). The only window partition key
+    allowed is the range-partition id `_pid`, whose partitions are
+    ~|frontier|/num_ranges rows, sized to the cluster by the caller
+    (r5 verdict directive #2)."""
+    from pdf_metadata_extraction_spark.operators.robots import (
+        schedule_frontier,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 9}.example/p{i}",) for i in range(50)],
+        "url string",
+    )
+    plan = _plan(schedule_frontier(urls, None, n_slots=4, num_ranges=3))
+    import re
+
+    # physical Window prints `Window [exprs], [partitionSpec], [orderSpec]`
+    # — the partition spec is the bracket group right after the exprs
+    specs = [
+        re.findall(r"\], \[([^\]]*)\], \[", line)[0]
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert specs, plan
+    for spec in specs:
+        assert "_pid#" in spec, plan
+        assert "slot#" not in spec, plan

@@ -159,3 +159,35 @@ def test_schedule_frontier_slots_and_order(spark):
     for r in schedule_frontier(urls, None, n_slots=64).collect():
         by_host.setdefault(r.host, set()).add(r.slot)
     assert all(len(s) == 1 for s in by_host.values())
+
+
+def test_schedule_frontier_invariant_to_range_count_and_layout(spark):
+    """fetch_order must be a pure function of the frontier contents:
+    identical across num_ranges choices and input partition layouts
+    (the two-pass global-rank discipline, r5 verdict directive #2)."""
+    from pdf_metadata_extraction_spark.operators.robots import (
+        schedule_frontier,
+    )
+
+    ranks = spark.createDataFrame(
+        [(f"h{i}.example", i * 7 % 13) for i in range(20)],
+        "host string, rank long",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 20}.example/p{i}",) for i in range(300)],
+        "url string",
+    )
+    ref = {
+        (r.url, r.slot, r.fetch_order)
+        for r in schedule_frontier(urls, ranks, n_slots=8,
+                                   num_ranges=4).collect()
+    }
+    for variant in (
+        schedule_frontier(urls, ranks, n_slots=8, num_ranges=1),
+        schedule_frontier(urls, ranks, n_slots=8, num_ranges=17),
+        schedule_frontier(
+            urls.repartition(13), ranks, n_slots=8, num_ranges=4
+        ),
+    ):
+        got = {(r.url, r.slot, r.fetch_order) for r in variant.collect()}
+        assert got == ref
