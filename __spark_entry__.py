@@ -1435,11 +1435,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jsonld_extract(spark, sf_dir):
         """Structured-data extraction (operators/structured.py) under
         the oracle harness: wrap each document in HTML carrying a
-        schema.org JSON-LD island built from its own columns, extract
-        triples with the real operator, and let the oracle recompute
-        the expected triples in pure SQL — a full value-hash gate on
-        the regexp island lift + JSON path probes. Capped at 500 docs
-        (identity-style query; always cheap enough to sample)."""
+        schema.org JSON-LD island built from its own columns — shape
+        rotating per doc_id%3 across the three wild forms (single
+        object / ARRAY root / @graph container, r5 verdict #4) —
+        extract triples with the real operator, and let the oracle
+        recompute the expected triples per residue class in pure SQL —
+        a full value-hash gate on the island lift, the node lift, and
+        the JSON path probes. Capped at 500 docs (identity-style
+        query; always cheap enough to sample)."""
         import pandas as pd
 
         from pdf_metadata_extraction_spark.operators.structured import (
@@ -1452,24 +1455,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for pdf in batches:
                 src = pdf["source"].fillna("unk")
                 lng = pdf["lang"].fillna("und")
-                html = [
-                    (
-                        '<html><head><script type="application/ld+json">'
-                        '{"@context":"https://schema.org","@type":"Article",'
+                html = []
+                for i, s, l in zip(pdf["doc_id"], src, lng):
+                    art = (
+                        '{"@type":"Article",'
                         '"headline":"doc %d from %s","inLanguage":"%s",'
                         '"author":{"@type":"Person","name":"Ann %s"}}'
-                        "</script></head><body><p>x</p></body></html>" % (i, s, l, s)
-                    ).encode()
-                    for i, s, l in zip(pdf["doc_id"], src, lng)
-                ]
+                        % (i, s, l, s)
+                    )
+                    if i % 3 == 1:
+                        island = (
+                            '[%s,{"@type":"BreadcrumbList",'
+                            '"name":"crumb %d"}]' % (art, i)
+                        )
+                    elif i % 3 == 2:
+                        island = (
+                            '{"@context":"https://schema.org","@graph":'
+                            '[%s,{"@type":"WebSite","name":"site %d"}]}'
+                            % (art, i)
+                        )
+                    else:
+                        island = (
+                            '{"@context":"https://schema.org",' + art[1:]
+                        )
+                    html.append(
+                        (
+                            '<html><head><script type="application/ld+json">'
+                            "%s</script></head><body><p>x</p></body></html>"
+                            % island
+                        ).encode()
+                    )
                 yield pd.DataFrame(
                     {"url": pdf["doc_id"].astype("int64").astype(str), "html": html}
                 )
 
         pages = docs.mapInPandas(to_pages, schema="url string, html binary")
         return jsonld_triples(
-            pages, props=("headline", "inLanguage", "author.name")
-        ).select(F.col("subj").cast("long").alias("doc_id"), "pred", "obj")
+            pages, props=("headline", "inLanguage", "author.name", "name")
+        ).select(
+            F.col("subj").cast("long").alias("doc_id"),
+            "pred",
+            "obj",
+            F.col("node_idx").cast("long").alias("node_idx"),
+        )
 
     # ------------------------------------------------ OpenGraph metas
     def og_meta_extract(spark, sf_dir):
@@ -1912,10 +1940,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         harness: each partition packs its documents 7-to-a-blob as
         per-record-gzipped WARC/1.0 response records (the Common
         Crawl layout), interleaving a request record per blob as a
-        skip distractor; parse_warc splits and strips the HTTP
-        envelope, and the oracle recomputes (doc_id, ts_epoch,
-        html_len, html_md5) from the same deterministic payload in
-        pure SQL. Capped at 500 docs."""
+        skip distractor AND a chunked-transfer-coding response record
+        (r5 verdict #7) that the parser must QUARANTINE — the oracle
+        recomputes (doc_id, ts_epoch, html_len, html_md5) from the
+        same deterministic payload in pure SQL and expects no row for
+        the chunked url, so a mangled or leaked chunked body fails the
+        row-count gate. Capped at 500 docs."""
         import pandas as pd
 
         from pdf_metadata_extraction_spark.sources.warc import (
@@ -1942,6 +1972,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     )
                     for i, s in zip(pdf["doc_id"], src)
                 ]
+                chunked_http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                    b"5\r\nhello\r\n0\r\n\r\n"
+                )
+                chunked_rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"WARC-Target-URI: https://w999999.example/p\r\n"
+                    b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                    b"Content-Length: "
+                    + str(len(chunked_http)).encode()
+                    + b"\r\n\r\n" + chunked_http + b"\r\n\r\n"
+                )
                 blobs = []
                 for at in range(0, len(recs), 7):
                     chunk = recs[at:at + 7]
@@ -1950,7 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         b"Content-Length: 5\r\n\r\nGET /\r\n\r\n"
                     )
                     blobs.append(
-                        distractor
+                        distractor + chunked_rec
                         + build_warc_bytes(chunk, gzip_members=False)
                         if at % 2
                         else build_warc_bytes(chunk, gzip_members=True)
@@ -4288,14 +4331,31 @@ WITH d AS (
   SELECT doc_id, coalesce(source, 'unk') AS s, coalesce(lang, 'und') AS l
   FROM documents WHERE doc_id < 500
 )
-SELECT doc_id, 'rdf:type' AS pred, 'Article' AS obj FROM d
+SELECT doc_id, 'rdf:type' AS pred, 'Article' AS obj,
+       CAST(0 AS BIGINT) AS node_idx FROM d
 UNION ALL
 SELECT doc_id, 'jsonld:headline',
-       concat('doc ', CAST(doc_id AS VARCHAR), ' from ', s) FROM d
+       concat('doc ', CAST(doc_id AS VARCHAR), ' from ', s),
+       CAST(0 AS BIGINT) FROM d
 UNION ALL
-SELECT doc_id, 'jsonld:inLanguage', l FROM d
+SELECT doc_id, 'jsonld:inLanguage', l, CAST(0 AS BIGINT) FROM d
 UNION ALL
-SELECT doc_id, 'jsonld:author.name', concat('Ann ', s) FROM d
+SELECT doc_id, 'jsonld:author.name', concat('Ann ', s),
+       CAST(0 AS BIGINT) FROM d
+UNION ALL
+SELECT doc_id, 'rdf:type', 'BreadcrumbList', CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'jsonld:name',
+       concat('crumb ', CAST(doc_id AS VARCHAR)), CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'rdf:type', 'WebSite', CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 3 = 2
+UNION ALL
+SELECT doc_id, 'jsonld:name',
+       concat('site ', CAST(doc_id AS VARCHAR)), CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 3 = 2
 """,
         "og_meta_extract": """
 WITH d AS (

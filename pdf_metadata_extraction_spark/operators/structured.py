@@ -15,11 +15,14 @@ probes per requested property (JVM Jackson, no Python). No shuffle, no
 UDF; the stage fuses into the ingest scan's codegen like the other
 page-side extractors (links, urlnorm).
 
-Scope (documented, tested): the root of each island must be a JSON
-OBJECT — the overwhelmingly common shape. Array-rooted islands
-(``[{…},{…}]``) and ``@graph`` containers yield no rows (path probes
-return NULL on a non-object root); malformed JSON likewise degrades to
-zero rows for that island, never an error.
+Scope (documented, tested): an island may be a JSON OBJECT (the
+common shape), an ARRAY of nodes (``[{Article},{Breadcrumb}]`` — news
+sites emit these routinely), or an object wrapping its nodes in an
+``@graph`` container; all three are lifted into per-node rows by one
+``from_json`` to ``array<string>`` (Jackson renders each element's
+raw JSON — still map-only, r5 verdict #4). One container level only:
+an array element carrying its own nested ``@graph`` is probed as-is.
+Malformed JSON degrades to zero rows for that island, never an error.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "extract_jsonld_blocks",
+    "extract_jsonld_nodes",
     "jsonld_triples",
     "meta_triples",
     "DEFAULT_JSONLD_PROPS",
@@ -63,6 +67,38 @@ def extract_jsonld_blocks(
     return pages.where(F.col(html_col).isNotNull()).select(
         F.col(url_col).alias("url"),
         F.posexplode(blocks).alias("block_idx", "json"),
+    )
+
+
+def extract_jsonld_nodes(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, block_idx, node_idx, json) — one row per JSON-LD NODE:
+    an object-rooted island is its own single node; an array-rooted
+    island contributes one node per element; an ``@graph`` container
+    contributes one node per ``@graph`` member (the wrapper object
+    itself is container metadata — ``@context`` and friends — and is
+    not probed, the Web Data Commons convention). Map-only: the node
+    lift is ``from_json`` to ``array<string>`` (Jackson renders each
+    element back as raw JSON text, scalars included) + posexplode;
+    malformed islands parse to NULL → zero nodes, never an error."""
+    b = extract_jsonld_blocks(pages, url_col=url_col, html_col=html_col)
+    t = F.trim(F.col("json"))
+    graph = F.get_json_object(t, "$['@graph']")
+    nodes = (
+        F.when(t.startswith("["), F.from_json(t, "array<string>"))
+        .when(
+            graph.isNotNull() & F.ltrim(graph).startswith("["),
+            F.from_json(graph, "array<string>"),
+        )
+        .otherwise(F.array(t))
+    )
+    return b.select(
+        "url",
+        "block_idx",
+        F.posexplode(
+            F.coalesce(nodes, F.array().cast("array<string>"))
+        ).alias("node_idx", "json"),
     )
 
 
@@ -147,16 +183,19 @@ def jsonld_triples(
     url_col: str = "url",
     html_col: str = "html",
 ) -> DataFrame:
-    """Publisher-asserted triples from every JSON-LD island:
-    (subj = page url, pred, obj, block_idx) with pred ∈
+    """Publisher-asserted triples from every JSON-LD node:
+    (subj = page url, pred, obj, block_idx, node_idx) with pred ∈
     {``rdf:type``} ∪ {``jsonld:<prop>`` for scalar-string props}.
+    ``node_idx`` distinguishes the entities of an array-rooted or
+    ``@graph`` island (0 for the common single-object island), so two
+    same-typed nodes in one block stay distinct rows.
 
     Dotted props (``author.name``) follow nested objects; properties
-    absent from an island (or non-scalar at the probed path —
+    absent from a node (or non-scalar at the probed path —
     get_json_object returns the JSON text of objects/arrays, which we
     keep only for scalars by requiring no leading '{'/'[') emit no row.
     """
-    b = extract_jsonld_blocks(pages, url_col=url_col, html_col=html_col)
+    b = extract_jsonld_nodes(pages, url_col=url_col, html_col=html_col)
     probes = [("rdf:type", "$['@type']")] + [
         (f"jsonld:{p}", "$." + p) for p in props
     ]
@@ -168,12 +207,13 @@ def jsonld_triples(
         for pred, path in probes
     ])
     return (
-        b.select("url", "block_idx", F.explode(tarr).alias("t"))
+        b.select("url", "block_idx", "node_idx", F.explode(tarr).alias("t"))
         .select(
             F.col("url").alias("subj"),
             F.col("t.pred").alias("pred"),
             F.col("t.obj").alias("obj"),
             "block_idx",
+            "node_idx",
         )
         .where(
             F.col("obj").isNotNull()

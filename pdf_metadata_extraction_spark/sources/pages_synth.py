@@ -97,7 +97,12 @@ def jsonld_island(doc_id: int, title: str) -> str | None:
     """Deterministic schema.org JSON-LD island for ~1/3 of synthetic
     docs (the web-native structured-data channel operators/structured.py
     extracts). Lives in <head> inside <script> — the extractor strips
-    both, so the golden ``text`` column is untouched."""
+    both, so the golden ``text`` column is untouched.
+
+    Three wild-shape variants round-robin per doc hash (r5 verdict
+    #4): a single Article object, an ARRAY root
+    ``[{Article},{BreadcrumbList}]`` (the news-site shape), and an
+    ``@graph`` container wrapping the Article plus a WebSite node."""
     import json as _json
 
     if _h(f"{doc_id}:ld") % 3 != 0:
@@ -106,12 +111,25 @@ def jsonld_island(doc_id: int, title: str) -> str | None:
     date = (_EPOCH + timedelta(days=_h(f"{doc_id}:ldd") % 365)).strftime(
         "%Y-%m-%d"
     )
-    return (
-        '{"@context":"https://schema.org","@type":"Article",'
+    article = (
+        '{"@type":"Article",'
         f'"headline":{_json.dumps(title)},'
         f'"datePublished":"{date}",'
         f'"author":{{"@type":"Person","name":{_json.dumps(author)}}}}}'
     )
+    shape = _h(f"{doc_id}:lds") % 3
+    if shape == 1:
+        return (
+            f'[{article},'
+            '{"@type":"BreadcrumbList","name":"crumbs"}]'
+        )
+    if shape == 2:
+        return (
+            '{"@context":"https://schema.org","@graph":'
+            f'[{article},'
+            f'{{"@type":"WebSite","name":"site {doc_id % 11}"}}]}}'
+        )
+    return '{"@context":"https://schema.org",' + article[1:]
 
 
 def head_table(doc_id: int) -> str:

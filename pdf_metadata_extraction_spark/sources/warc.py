@@ -26,15 +26,24 @@ Documented contract (mirrored by the ``warc_roundtrip`` oracle):
   warcinfo records are skipped (Common Crawl interleaves them).
 - The HTTP response envelope is stripped: ``html`` is the bytes after
   the first CRLFCRLF of the payload. Identity transfer coding only
-  (Common Crawl re-chunks to identity); a chunked/continuation record
-  is the caller's problem, not silently mangled.
+  (Common Crawl re-chunks to identity); chunked records quarantine —
+  see below.
 - ``warc_ts`` parses the ISO 8601 ``WARC-Date`` (second precision, Z).
 - Per-record gzip (magic ``1f 8b``) is sniffed and all members
   inflated before splitting; plain concatenation parses as-is.
 - Malformed records (missing Content-Length / truncated body / no
-  Target-URI) are DROPPED, counted per batch into an optional
-  accumulator — never a job failure: one broken record in a 100 TB
-  crawl must not kill the stage.
+  Target-URI / bad WARC-Date) and records whose HTTP envelope declares
+  ``Transfer-Encoding: chunked`` (identity-only contract — emitting
+  the raw chunked body would interleave chunk-size lines into the
+  html) are QUARANTINED: dropped and counted into the optional
+  ``quarantine`` accumulator — never a job failure and never mangled
+  output: one broken record in a 100 TB crawl must not kill the
+  stage (r5 verdict #7, pinned by the chunked/truncation fixtures).
+- ``read_warc_ranges`` is the (path, offset, length) member-range
+  listing-table path: each listing row fetches exactly its byte range
+  (pyarrow.fs — local paths and object stores alike) and feeds the
+  same parser, the start-anywhere layout Common Crawl gzip members
+  exist for.
 """
 
 from __future__ import annotations
@@ -104,15 +113,24 @@ def _inflate_members(blob: bytes) -> bytes:
     return b"".join(parts)
 
 
-def _parse_blob(blob: bytes):
+def _parse_blob(blob: bytes, counts: dict | None = None):
     """Yield (url, warc_ts datetime, html bytes) per well-formed
-    response record; malformed records are skipped."""
+    identity-coded response record; malformed/chunked records are
+    quarantined — skipped and tallied into ``counts['quarantined']``
+    when a dict is passed (request/metadata/warcinfo records are
+    SKIPPED-by-design, not quarantine)."""
+
+    def _q():
+        if counts is not None:
+            counts["quarantined"] = counts.get("quarantined", 0) + 1
+
     if blob is None or len(blob) == 0:
         return
     if blob[:2] == _GZIP_MAGIC:
         try:
             blob = _inflate_members(blob)
         except zlib.error:
+            _q()  # undecodable member: one quarantined unit
             return
     pos = 0
     n = len(blob)
@@ -122,6 +140,7 @@ def _parse_blob(blob: bytes):
             break
         hdr_end = blob.find(_CRLF2, start)
         if hdr_end < 0:
+            _q()  # header block never terminates: truncated record
             break
         headers = {}
         for line in blob[start:hdr_end].split(b"\r\n")[1:]:
@@ -131,27 +150,36 @@ def _parse_blob(blob: bytes):
         try:
             clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
+            _q()
             pos = hdr_end + 4
             continue
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end > n:
-            break  # truncated final record
+            _q()  # truncated final record
+            break
         pos = body_end  # next find() skips the inter-record CRLFs
         if headers.get(b"warc-type") != b"response":
             continue
         uri = headers.get(b"warc-target-uri")
         date = headers.get(b"warc-date")
         if not uri or not date:
+            _q()
             continue
         try:
             ts = datetime.strptime(
                 date.decode("ascii"), "%Y-%m-%dT%H:%M:%SZ"
             ).replace(tzinfo=timezone.utc)
         except ValueError:
+            _q()
             continue
         payload = blob[body_start:body_end]
         sep = payload.find(_CRLF2)
+        if sep >= 0 and b"chunked" in _http_transfer_coding(
+            payload[:sep]
+        ):
+            _q()  # identity-only contract: never emit a chunked body
+            continue
         html = payload[sep + 4:] if sep >= 0 else payload
         yield (
             uri.decode("utf-8", "surrogateescape"),
@@ -160,7 +188,19 @@ def _parse_blob(blob: bytes):
         )
 
 
-def parse_warc(blobs: DataFrame, blob_col: str = "content") -> DataFrame:
+def _http_transfer_coding(envelope: bytes) -> bytes:
+    """Lower-cased ``Transfer-Encoding`` value of an HTTP header block
+    (empty bytes when absent) — bytes-level scan, no regex."""
+    for line in envelope.split(b"\r\n"):
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"transfer-encoding":
+            return v.strip().lower()
+    return b""
+
+
+def parse_warc(
+    blobs: DataFrame, blob_col: str = "content", quarantine=None
+) -> DataFrame:
     """Parse a DataFrame of WARC byte blobs (one file/member-range per
     row — e.g. ``spark.read.format("binaryFile")``'s ``content``) into
     the input_hint page shape ``(url, warc_ts, html)``.
@@ -170,16 +210,26 @@ def parse_warc(blobs: DataFrame, blob_col: str = "content") -> DataFrame:
     crawl parses with zero shuffles. Output rows per input row are
     unbounded (one blob → many records) — exactly what mapInPandas is
     for (a pandas_udf could not change the row count).
+
+    ``quarantine``: optional ``spark.sparkContext.accumulator(0)`` —
+    incremented once per quarantined record (truncated / chunked /
+    header-less; see module contract) when the stage EXECUTES. Like
+    every Spark accumulator it is an at-least-once task-retry counter:
+    an audit signal for the lineage metrics row, never a value results
+    may depend on.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, tss, htmls = [], [], []
+            counts: dict = {}
             for blob in pdf[blob_col]:
-                for url, ts, html in _parse_blob(blob):
+                for url, ts, html in _parse_blob(blob, counts):
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(html)
+            if quarantine is not None and counts.get("quarantined"):
+                quarantine.add(counts["quarantined"])
             # explicit dtypes: an empty batch must not degrade the
             # timestamp column to float64 (Arrow can't cast that)
             yield pd.DataFrame(
@@ -193,3 +243,36 @@ def parse_warc(blobs: DataFrame, blob_col: str = "content") -> DataFrame:
             )
 
     return blobs.mapInPandas(gen, schema=WARC_PAGE_SCHEMA)
+
+
+def read_warc_ranges(spark, listing: DataFrame) -> DataFrame:
+    """The member-range listing-table path: ``listing`` rows
+    ``(path string, offset long, length long)`` each name one gzip
+    member (or identity-framed record run) inside a WARC file; fetch
+    EXACTLY that byte range and parse it with the same record splitter
+    — the start-anywhere layout Common Crawl ships gzip members for.
+
+    Scale shape: map-only like ``parse_warc`` — one ranged read per
+    listing row on the executor (pyarrow.fs resolves local paths and
+    object-store URIs alike; a ranged GET on S3-compatible stores),
+    zero shuffles, parallelism == listing partitioning. The driver
+    never sees blob bytes; the listing table is the only thing it
+    plans over."""
+    import pyarrow.fs as pafs
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for path, off, length in zip(
+                pdf["path"], pdf["offset"], pdf["length"]
+            ):
+                fs, rel = pafs.FileSystem.from_uri(str(path)) if "://" in str(
+                    path
+                ) else (pafs.LocalFileSystem(), str(path))
+                with fs.open_input_file(rel) as f:
+                    f.seek(int(off))
+                    blobs.append(f.read(int(length)))
+            yield pd.DataFrame({"content": pd.Series(blobs, dtype="object")})
+
+    blobs = listing.mapInPandas(fetch, schema="content binary")
+    return parse_warc(blobs)

@@ -53,18 +53,53 @@ def test_jsonld_triples_values_and_nesting(spark):
 
 
 def test_jsonld_degrades_to_zero_rows(spark):
-    # plain <script> (no type), malformed JSON, array-rooted island,
-    # null html: none of them error, none of them emit triples
+    # plain <script> (no type), malformed JSON (object- and
+    # array-rooted), a non-array @graph, null html: none of them
+    # error, none of them emit triples
     rows = [
         ("plain", "<html><script>var x=1;</script></html>"),
         ("broken", '<html><script type="application/ld+json">{"a": </script></html>'),
-        ("array", '<html><script type="application/ld+json">'
-                  '[{"@type":"Article","name":"in array"}]</script></html>'),
+        ("brokenarr", '<html><script type="application/ld+json">[{"a": </script></html>'),
+        ("graphscalar", '<html><script type="application/ld+json">'
+                        '{"@graph": 7}</script></html>'),
     ]
     df = _pages(spark, rows)
     assert jsonld_triples(df).count() == 0
     nulls = spark.createDataFrame([("n", None)], "url string, html binary")
     assert jsonld_triples(nulls).count() == 0
+
+
+def test_jsonld_array_root_and_graph_container(spark):
+    # r5 verdict #4: array-rooted islands and @graph containers lift
+    # one node per element, node_idx distinguishing them
+    arr = ('[{"@type":"Article","headline":"A1"},'
+           '{"@type":"BreadcrumbList","name":"crumbs"}]')
+    graph = ('{"@context":"https://schema.org","@graph":'
+             '[{"@type":"Article","headline":"G1"},'
+             '{"@type":"WebSite","name":"site"}]}')
+    out = jsonld_triples(_pages(spark, [
+        ("ua", f'<html><script type="application/ld+json">{arr}</script></html>'),
+        ("ug", f'<html><script type="application/ld+json">{graph}</script></html>'),
+    ])).collect()
+    got = {(r.subj, r.node_idx, r.pred): r.obj for r in out}
+    assert got == {
+        ("ua", 0, "rdf:type"): "Article",
+        ("ua", 0, "jsonld:headline"): "A1",
+        ("ua", 1, "rdf:type"): "BreadcrumbList",
+        ("ua", 1, "jsonld:name"): "crumbs",
+        ("ug", 0, "rdf:type"): "Article",
+        ("ug", 0, "jsonld:headline"): "G1",
+        ("ug", 1, "rdf:type"): "WebSite",
+        ("ug", 1, "jsonld:name"): "site",
+    }
+    # the @graph WRAPPER's own keys are container metadata — not probed
+    assert all(r.obj != "https://schema.org" for r in out)
+    # scalar array elements degrade to zero rows, object elements keep
+    mixed = '[{"@type":"A"}, 42, "str"]'
+    m = jsonld_triples(_pages(spark, [
+        ("um", f'<html><script type="application/ld+json">{mixed}</script></html>'),
+    ])).collect()
+    assert {(r.node_idx, r.pred, r.obj) for r in m} == {(0, "rdf:type", "A")}
 
 
 def test_jsonld_non_scalar_probes_filtered(spark):
