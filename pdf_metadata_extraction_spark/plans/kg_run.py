@@ -50,6 +50,10 @@ def run_kg_pipeline(
     jsonld: bool = False,
     tables: bool = False,
     export_ntriples: bool = False,
+    frontier: bool = False,
+    robots: DataFrame | None = None,
+    frontier_agent: str = "*",
+    frontier_slots: int = 64,
 ) -> dict[str, DataFrame]:
     """Full pipeline with stage checkpoints + lineage. Returns the stage
     DataFrames {segments, linked, edges, nodes} (+ {host_edges,
@@ -167,7 +171,22 @@ def run_kg_pipeline(
     and ranked with checkpointed fixed-point PageRank (``host_ranks``
     stage; per-iteration parquet checkpoints live under the run's
     stage tree, so a killed run resumes mid-PageRank exactly like
-    mid-CC, and each iteration writes a pr_iter_N lineage row)."""
+    mid-CC, and each iteration writes a pr_iter_N lineage row).
+
+    ``frontier``: opt-in next-crawl schedule (r5 verdict #8) — the
+    frontier pieces composed end-to-end from the run's OWN outputs:
+    resolved outlink urls the corpus references but never crawled
+    (``frontier_candidates`` stage), gated on the ``robots`` fixture
+    table ``(host, body)`` per RFC 9309 when given
+    (``frontier_allowed`` stage + ``frontier_robots_gate`` lineage
+    row: urls-in vs allowed), then politeness-scheduled with
+    ``schedule_frontier`` — slot = md5(host) shard, within-slot
+    fetch_order by the run's own ``host_ranks`` PageRank desc (the
+    two-pass global-rank shape, never a slot-sized window) — and
+    joined with each host's RFC 9309 ``Crawl-delay`` (broadcast; NULL
+    = crawler default). Requires ``link_graph=True``; checkpoints as
+    ``frontier_schedule`` (url, host, slot, fetch_order, delay_s)
+    with a ``frontier_scheduling`` lineage row."""
     lw = LineageWriter(spark, work_dir, run_id)
     t0 = time.monotonic()
 
@@ -400,6 +419,80 @@ def run_kg_pipeline(
         )
         out_extra["host_edges"] = host_edges
         out_extra["host_ranks"] = lw.checkpoint_stage("host_ranks", ranks)
+
+    if frontier:
+        if not link_graph:
+            raise ValueError(
+                "frontier=True requires link_graph=True: the schedule "
+                "orders hosts by the run's own host_ranks PageRank"
+            )
+        from pdf_metadata_extraction_spark.operators.links import (
+            extract_links,
+            resolve_hrefs,
+        )
+        from pdf_metadata_extraction_spark.operators.robots import (
+            crawl_delays,
+            parse_robots,
+            robots_allowed,
+            schedule_frontier,
+        )
+
+        tf = time.monotonic()
+        pages_txt = pages.select(
+            "url", F.col("html").cast("string").alias("html_text")
+        )
+        cand = (
+            resolve_hrefs(extract_links(pages_txt))
+            .where(F.col("abs_url").isNotNull())
+            .select(F.col("abs_url").alias("url"))
+            .distinct()
+            .join(pages.select("url"), "url", "left_anti")
+        )
+        cand = lw.checkpoint_stage("frontier_candidates", cand)
+        n_cand = cand.count()
+        allowed = cand
+        if robots is not None:
+            tg = time.monotonic()
+            rules = parse_robots(robots)
+            allowed = (
+                robots_allowed(cand, rules, agent=frontier_agent)
+                .where(F.col("robots_allowed"))
+                .select("url")
+            )
+            allowed = lw.checkpoint_stage(
+                "frontier_allowed", allowed, input_rows=n_cand
+            )
+            lw.record(
+                "frontier_robots_gate", input_rows=n_cand,
+                output_rows=allowed.count(),
+                wall_ms=int((time.monotonic() - tg) * 1000),
+            )
+        sched = schedule_frontier(
+            allowed,
+            ranks=out_extra["host_ranks"].select(
+                F.col("node").alias("host"), "rank"
+            ),
+            n_slots=frontier_slots,
+        )
+        if robots is not None:
+            # host-keyed and tiny by protocol — broadcast, never shuffle
+            # the frontier for a delay lookup
+            sched = sched.join(
+                F.broadcast(crawl_delays(robots, agent=frontier_agent)),
+                "host", "left",
+            )
+        else:
+            sched = sched.withColumn(
+                "delay_s", F.lit(None).cast("long")
+            )
+        out_extra["frontier"] = lw.checkpoint_stage(
+            "frontier_schedule", sched, input_rows=n_cand
+        )
+        lw.record(
+            "frontier_scheduling", input_rows=n_cand,
+            output_rows=out_extra["frontier"].count(),
+            wall_ms=int((time.monotonic() - tf) * 1000),
+        )
 
     segs = segments_from_pages(pages).withColumn(
         "extraction_name", F.lit(extraction_name)
