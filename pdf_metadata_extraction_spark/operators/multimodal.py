@@ -130,19 +130,20 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by PNG color type (palette=3 is unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(data: bytes) -> np.ndarray:
     """Pure-python PNG decoder (stdlib zlib only) → HxWx3 uint8 RGB.
 
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 4
-    (gray+alpha) and 6 (RGBA), non-interlaced — the overwhelming
-    majority of web PNGs. Gray expands to RGB; alpha is DROPPED
-    (features describe the stored pixels, not a composite).
-    Palette (type 3), 16-bit and Adam7-interlaced images raise
-    ``NotImplementedError``; malformed streams raise ``ValueError`` —
-    one bad blob fails its row, never the task.
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3
+    (palette — PLTE lookup after un-filtering the 1-byte index
+    plane), 4 (gray+alpha) and 6 (RGBA), non-interlaced — the
+    overwhelming majority of web PNGs. Gray expands to RGB; alpha
+    (including palette tRNS) is DROPPED (features describe the stored
+    pixels, not a composite). 16-bit and Adam7-interlaced images
+    raise ``NotImplementedError``; malformed streams raise
+    ``ValueError`` — one bad blob fails its row, never the task.
 
     Scanline un-filtering implements all five RFC 2083 filters; Sub /
     Average / Paeth have an intra-row byte dependency, so those rows
@@ -156,6 +157,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG stream")
     pos, n = 8, len(data)
     w = h = None
+    plte = None
     idat: list[bytes] = []
     while pos + 8 <= n:
         length, ctype = struct.unpack_from(">I4s", data, pos)
@@ -174,6 +176,10 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise NotImplementedError(f"PNG color type {color} unsupported")
             if interlace != 0:
                 raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -220,6 +226,13 @@ def decode_png(data: bytes) -> np.ndarray:
         return np.repeat(px, 3, axis=2).copy()
     if color == 2:
         return px.copy()
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     if color == 4:
         return np.repeat(px[..., :1], 3, axis=2).copy()
     return px[..., :3].copy()  # RGBA: drop alpha
@@ -411,3 +424,90 @@ def synth_media(spark, n: int) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _dims_of_bytes(raw: bytes):
+    """(format, width, height) from the HEADER bytes of a PNG / GIF /
+    JPEG / BMP blob — no pixel decode, no codec lib; (None, None,
+    None) for anything unrecognized or truncated. Bytes-level slicing
+    only (struct.unpack_from), the same carve-out as the WARC record
+    splitter."""
+    import struct
+
+    try:
+        if raw[:8] == PNG_SIG and raw[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", raw, 16)
+            return "png", w, h
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", raw, 6)
+            return "gif", w, h
+        if raw[:2] == b"BM" and len(raw) >= 26:
+            # BITMAPINFOHEADER (size >= 40): signed int32 dims; the
+            # legacy BITMAPCOREHEADER (size 12) carries uint16
+            hdr_size = struct.unpack_from("<I", raw, 14)[0]
+            if hdr_size >= 40:
+                w, h = struct.unpack_from("<ii", raw, 18)
+                return "bmp", abs(w), abs(h)
+            w, h = struct.unpack_from("<HH", raw, 18)
+            return "bmp", w, h
+        if raw[:2] == b"\xff\xd8":  # JPEG SOI: scan segments for SOFn
+            pos, n = 2, len(raw)
+            while pos + 4 <= n:
+                if raw[pos] != 0xFF:
+                    break
+                marker = raw[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2  # standalone markers carry no length
+                    continue
+                seglen = struct.unpack_from(">H", raw, pos + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    h, w = struct.unpack_from(">HH", raw, pos + 5)
+                    return "jpeg", w, h
+                pos += 2 + seglen
+    except struct.error:
+        pass
+    return None, None, None
+
+
+def image_dims(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Header-only image metadata at corpus scale — ``(media_id,
+    format, width, height)`` for PNG / GIF / JPEG / BMP blobs without
+    decoding a single pixel (the dimension audit every multimodal
+    training pipeline runs BEFORE spending decode: resolution filters,
+    aspect-ratio gates, thumbnail-vs-content splits read only these
+    few header bytes). Unknown/truncated blobs yield NULL columns,
+    never an error.
+
+    Map-only mapInPandas over the blob column; per-row work is a few
+    dozen header bytes regardless of blob size, so the stage is scan-
+    bound — at 100 TB prefer a (path, offset, length) listing with
+    ranged reads (the WARC pattern) so only headers ever move."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for content in pdf[content_col].values:
+                f, w, h = _dims_of_bytes(
+                    bytes(content) if content is not None else b""
+                )
+                fmts.append(f)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "format": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(ws, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int64"),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema="media_id long, format string, width long, height long"
+    )

@@ -598,12 +598,73 @@ def test_multimodal_real_png_wav_decode(spark):
     assert got["png1"][0] == 5.0 and got["png1"][1] == 4.0  # height, width
     assert abs(got["wav1"][0] - 1000.0) < 1e-3
 
-    # unsupported PNG shapes fail loudly, not silently
-    pal = png_from_raw(b"\x00" * 4, 1, 1, 3, 1)
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(pal)
+    # palette PNGs decode via PLTE lookup (r6: the documented r5 gap)
+    def png_palette(idx_img, plte_rgb):
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", crc))
+        h2, w2 = idx_img.shape
+        raw = b"".join(
+            b"\x00" + idx_img[y].astype(np.uint8).tobytes()
+            for y in range(h2)
+        )
+        ihdr = struct.pack(">IIBBBBB", w2, h2, 8, 3, 0, 0, 0)
+        return (mm.PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", plte_rgb.astype(np.uint8).tobytes())
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    got_pal = mm.decode_png(png_palette(idx, plte))
+    assert np.array_equal(got_pal, plte[idx])
+    # missing PLTE / out-of-range index fail loudly, not silently
+    no_plte = png_from_raw(b"\x00\x00", 1, 1, 3, 1)
+    with pytest.raises(ValueError):
+        mm.decode_png(no_plte)
+    with pytest.raises(ValueError):
+        mm.decode_png(png_palette(np.array([[7]], np.uint8), plte))
     with pytest.raises(ValueError):
         mm.decode_wav(b"RIFFxxxxWAVEjunk")
+
+
+def test_image_dims_header_probe(spark):
+    """Header-only dims for PNG/GIF/JPEG/BMP — no pixel decode; the
+    resolution-audit primitive a multimodal pipeline runs before
+    spending decode. Unknown blobs yield NULLs, never errors."""
+    import struct
+
+    import numpy as np
+
+    from pdf_metadata_extraction_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    png = mm.encode_png(rng.randint(0, 256, size=(7, 9, 3), dtype=np.uint8))
+    bmp = mm.encode_bmp(rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    # minimal JPEG: SOI, APP0 stub, SOF0 with dims, EOI
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03\x00\x00\x00"
+        + b"\xff\xd9"
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(gif)),
+         (4, bytearray(jpeg)), (5, bytearray(b"not an image")), (6, None)],
+        "media_id long, content binary",
+    )
+    got = {
+        r.media_id: (r.format, r.width, r.height)
+        for r in mm.image_dims(media).collect()
+    }
+    assert got[1] == ("png", 9, 7)
+    assert got[2] == ("bmp", 6, 5)
+    assert got[3] == ("gif", 320, 200)
+    assert got[4] == ("jpeg", 640, 480)
+    assert got[5] == (None, None, None)
+    assert got[6] == (None, None, None)
 
 
 def test_winnow_fingerprints_detect_partial_copy(spark):
