@@ -228,7 +228,7 @@ def main() -> None:
         "line_dedup_clean", "packed_sequences", "ce_quality_tiers",
         "decontam_scrubbed", "hreflang_extract", "meta_refresh_chains",
         "graph_hits", "triple_timeline", "graph_coreness",
-        "graph_clustering",
+        "graph_clustering", "frontier_schedule", "frontier_composed",
     ]:
         fn = run_query(name)
         fn()
@@ -474,6 +474,21 @@ def main() -> None:
             "immediate same-HEAD re-run at total 87.7 s with warm "
             "median 2.79 (spread 2.53-3.01), graph_clustering 0.74, "
             "graph_coreness 0.99: the session-end quiet reference"
+        ),
+        "round6": (
+            "frontier_schedule and frontier_composed join the timed "
+            "list. frontier_schedule's within-slot order is now the "
+            "two-pass global rank (r5 verdict #2) — two extra small "
+            "jobs (per-range counts + per-slot base) replace the "
+            "slot-sized window, so expect ~+0.3-0.6 s vs the r5 "
+            "number at bench scale; the plan is the one that survives "
+            "a 1e12-url frontier. graph_coreness swapped its per-node "
+            "neighbor-value sort for a count-bucket hash aggregate + "
+            "max_h-bounded window (r5 verdict #3) — value-identical, "
+            "hub-safe. jsonld_extract's harness now rotates "
+            "object/array/@graph island shapes (r5 verdict #4) and "
+            "the synthetic corpus embeds all three (bench pages cache "
+            "self-invalidates via the pages_synth fingerprint)."
         ),
     }
 
