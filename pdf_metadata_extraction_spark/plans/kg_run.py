@@ -52,6 +52,7 @@ def run_kg_pipeline(
     export_ntriples: bool = False,
     frontier: bool = False,
     robots: DataFrame | None = None,
+    sitemaps: DataFrame | None = None,
     frontier_agent: str = "*",
     frontier_slots: int = 64,
 ) -> dict[str, DataFrame]:
@@ -175,9 +176,12 @@ def run_kg_pipeline(
 
     ``frontier``: opt-in next-crawl schedule (r5 verdict #8) — the
     frontier pieces composed end-to-end from the run's OWN outputs:
-    resolved outlink urls the corpus references but never crawled
-    (``frontier_candidates`` stage), gated on the ``robots`` fixture
-    table ``(host, body)`` per RFC 9309 when given
+    resolved outlink urls the corpus references but never crawled,
+    unioned with the ``<loc>`` urls of the optional ``sitemaps``
+    fixture table ``(url, body)`` (parse_sitemap; kind='url' rows —
+    index recursion is the fetch scheduler's loop, upstream of this
+    stage) into the ``frontier_candidates`` stage, gated on the
+    ``robots`` fixture table ``(host, body)`` per RFC 9309 when given
     (``frontier_allowed`` stage + ``frontier_robots_gate`` lineage
     row: urls-in vs allowed), then politeness-scheduled with
     ``schedule_frontier`` — slot = md5(host) shard, within-slot
@@ -445,8 +449,19 @@ def run_kg_pipeline(
             resolve_hrefs(extract_links(pages_txt))
             .where(F.col("abs_url").isNotNull())
             .select(F.col("abs_url").alias("url"))
-            .distinct()
-            .join(pages.select("url"), "url", "left_anti")
+        )
+        if sitemaps is not None:
+            from pdf_metadata_extraction_spark.operators.sitemap import (
+                parse_sitemap,
+            )
+
+            cand = cand.unionAll(
+                parse_sitemap(sitemaps)
+                .where(F.col("kind") == "url")
+                .select(F.col("loc").alias("url"))
+            )
+        cand = cand.distinct().join(
+            pages.select("url"), "url", "left_anti"
         )
         cand = lw.checkpoint_stage("frontier_candidates", cand)
         n_cand = cand.count()

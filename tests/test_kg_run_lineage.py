@@ -864,14 +864,30 @@ def test_kg_run_frontier_stage(spark, tmp_path):
           "User-agent: *\nDisallow: /private/\nCrawl-delay: 3\n")],
         "host string, body string",
     )
+    # sitemap-sourced candidates union into the frontier (one allowed,
+    # one robots-forbidden, one already crawled — each path exercised)
+    crawled_url = pages.select("url").first().url
+    sitemaps = spark.createDataFrame(
+        [("https://new.example/sitemap.xml",
+          "<urlset>"
+          "<url><loc>https://new.example/ok/from-sitemap</loc></url>"
+          "<url><loc>https://new.example/private/sm</loc></url>"
+          f"<url><loc>{crawled_url}</loc></url>"
+          "</urlset>")],
+        "url string, body string",
+    )
     work = str(tmp_path / "kgf")
     out = run_kg_pipeline(
         spark, pages, _options(spark), work, run_id="fr1",
         link_graph=True, frontier=True, robots=robots,
+        sitemaps=sitemaps,
     )
     sched = out["frontier"].collect()
     # the forbidden url and the crawled self-links are gone
-    assert {r.url for r in sched} >= {"https://new.example/ok/1"}
+    assert {r.url for r in sched} >= {
+        "https://new.example/ok/1",
+        "https://new.example/ok/from-sitemap",
+    }
     assert all("/private/" not in r.url for r in sched)
     crawled = {r.url for r in pages.select("url").collect()}
     assert all(r.url not in crawled for r in sched)
@@ -892,7 +908,9 @@ def test_kg_run_frontier_stage(spark, tmp_path):
     n_allowed = rows["frontier_robots_gate"][1]
     n_sched = rows["frontier_scheduling"][1]
     assert rows["frontier_robots_gate"][0] == n_cand
-    assert n_allowed == n_cand - 1  # exactly the /private/ url dropped
+    # exactly the two /private/ urls (anchor- and sitemap-sourced)
+    # dropped; the crawled sitemap loc never became a candidate
+    assert n_allowed == n_cand - 2
     assert n_sched == n_allowed == len(sched)
     # frontier without the link graph is an explicit refusal
     with pytest.raises(ValueError, match="requires link_graph"):
