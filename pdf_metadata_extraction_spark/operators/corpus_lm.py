@@ -192,3 +192,173 @@ def tfidf_top_terms(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# Per-doc bigram array: struct(w1, w2) for consecutive token pairs.
+# sequence(1, n) DESCENDS when n == 0 (Spark quirk) — the size guard
+# keeps sub-2-token docs at an empty array instead of a bogus pair.
+_BIGRAMS = (
+    "CASE WHEN size({toks}) < 2 THEN array() "
+    "ELSE transform(sequence(1, size({toks}) - 1), "
+    "i -> struct({toks}[i-1] AS w1, {toks}[i] AS w2)) END"
+)
+
+
+def _doc_bigram_tf(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2, tf) — per-document bigram frequency, rolled up
+    BEFORE any model join (the same skew-compression discipline as
+    ``_doc_tf``: a doc contributes 'of the' once, not 400 times)."""
+    toks = _TOKENS.format(t=text_col)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(_BIGRAMS.format(toks=toks))).alias("b"),
+        )
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def bigram_lm(
+    train: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Stupid-Backoff bigram model (Brants et al., "Large Language
+    Models in Machine Translation", EMNLP 2007 — the web-scale n-gram
+    scheme: no discounting to estimate, one multiplicative backoff
+    α = 0.4) trained on ``train``.
+
+    Returns ``(seen, uni)``:
+
+    - ``seen (w1, w2, cost_micro)``: for corpus bigrams,
+      ``cost = -ln(c(w1,w2) / ctx(w1))`` with ``ctx(w1)`` the exact
+      context count (Σ over w2 of c(w1, w2) — NOT the unigram count,
+      which also counts doc-final tokens that predict nothing).
+    - ``uni (w2, backoff_micro)``: the backoff cost
+      ``-ln(0.4 · c(w2) / total)`` per vocabulary word; scoring uses
+      ``-ln(0.4 · 1 / total)`` for words outside the training
+      vocabulary (the max(c, 1) floor — Stupid Backoff's scores are
+      ranking weights, not a normalized distribution, so the floor is
+      legal and keeps every token finite).
+
+    Integer micro-nat discipline throughout (round6(ln)·1e6 → BIGINT,
+    the module contract), so the DuckDB oracle matches bit-for-bit.
+    Scale shape: bigram counts roll up per (doc, w1, w2) first, then
+    one global (w1, w2) aggregate (map-side partials); ctx(w1) is a
+    second aggregate OF THE COUNTS table (vocabulary-sized, not
+    token-sized); ``total`` rides in as a broadcast one-row cross
+    join."""
+    btf = _doc_bigram_tf(train, id_col, text_col)
+    bc = btf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c"))
+    ctx = bc.groupBy("w1").agg(F.sum("c").cast("long").alias("ctx"))
+    seen = bc.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.round(F.log(F.col("ctx") / F.col("c")), 6) * 1000000.0, 0
+        )
+        .cast("long")
+        .alias("cost_micro"),
+    )
+    counts = (
+        train.select(
+            F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w2")
+        )
+        .groupBy("w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("_total"))
+    uni = counts.crossJoin(F.broadcast(total)).select(
+        "w2",
+        F.round(
+            F.round(F.log(F.col("_total") / (F.col("c") * 0.4)), 6)
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("backoff_micro"),
+    )
+    return seen, uni
+
+
+def doc_bigram_ce(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, ce_total_micro, avg_nats): per-document
+    cross-entropy under a Stupid-Backoff bigram model — the next rung
+    of the CCNet quality ladder above ``doc_cross_entropy``'s unigram
+    (a keyword-stuffed page has plausible WORDS but implausible
+    TRANSITIONS; the bigram model separates them).
+
+    ``train`` defaults to ``df`` itself (the corpus-is-its-own-model
+    CCNet shape, where every scored bigram is seen); pass a reference
+    slice to score held-out text, where unseen bigrams pay the
+    backoff cost and out-of-vocabulary words pay the OOV floor
+    ``-ln(0.4 / total)``. Docs with < 2 tokens report zeros.
+
+    Scale shape: per-doc bigram tf joins the seen-cost table on
+    (w1, w2) LEFT (vocabulary²-bounded model side, AQE picks the
+    strategy), then the unmatched remainder joins the vocabulary-sized
+    backoff table on w2 LEFT — two joins total, both after tf
+    compression; sums are exact BIGINT."""
+    if train is None:
+        train = df
+    seen, uni = bigram_lm(train, id_col, text_col)
+    btf = _doc_bigram_tf(df, id_col, text_col)
+    scored = (
+        btf.join(seen, ["w1", "w2"], "left")
+        .join(uni, "w2", "left")
+    )
+    # OOV floor = the backoff cost at count 1: round6(ln(total/0.4))·1e6,
+    # injected as a broadcast one-row scalar (the module's standard shape)
+    floor = (
+        train.select(
+            F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w")
+        )
+        .agg(F.count("*").cast("long").alias("_total"))
+        .select(
+            F.round(
+                F.round(F.log(F.col("_total") / 0.4), 6) * 1000000.0, 0
+            )
+            .cast("long")
+            .alias("_floor_micro")
+        )
+    )
+    per_doc = (
+        scored.crossJoin(F.broadcast(floor))
+        .select(
+            "id",
+            "tf",
+            F.coalesce(
+                "cost_micro", "backoff_micro", "_floor_micro"
+            ).alias("cm"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("cm")).cast("long").alias(
+                "ce_total_micro"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id")).distinct()
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("ce_total_micro", F.lit(0)).cast("long").alias(
+            "ce_total_micro"
+        ),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(
+                F.col("ce_total_micro") / F.col("n_bigrams") / 1000000.0, 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_nats"),
+    )

@@ -313,3 +313,47 @@ def test_contamination_eval_side_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_ce_self_trained_hand_values(spark):
+    """Stupid-Backoff bigram CE (corpus_lm.doc_bigram_ce), self-
+    trained: every bigram is seen, costs are -ln(c(w1,w2)/ctx(w1)) in
+    micro-nats, sub-2-token docs report zeros."""
+    from pdf_metadata_extraction_spark.operators.corpus_lm import (
+        doc_bigram_ce,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.ce_total_micro, r.avg_nats)
+           for r in doc_bigram_ce(df).collect()}
+    # corpus bigrams: (a,b)x2 (b,a)x1 (a,c)x1; ctx(a)=3, ctx(b)=1
+    # doc1: 2*-ln(2/3) + 1*-ln(1/1) = 2*405465 + 0
+    assert got[1] == (3, 810930, round(810930 / 3 / 1e6, 6))
+    # doc2: -ln(1/3) = 1098612 micro-nats
+    assert got[2] == (1, 1098612, 1.098612)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_bigram_ce_heldout_backoff_and_oov_floor(spark):
+    """Held-out scoring: unseen bigrams pay -ln(0.4*c(w2)/total),
+    out-of-vocabulary words pay the count-1 floor -ln(0.4/total)."""
+    from pdf_metadata_extraction_spark.operators.corpus_lm import (
+        doc_bigram_ce,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )  # unigrams: a3 b2 c1, total 6
+    held = spark.createDataFrame(
+        [(9, "x a d")], "doc_id long, text string"
+    )
+    got = doc_bigram_ce(held, train).collect()[0]
+    # (x,a): unseen bigram, c(a)=3 -> -ln(0.4*3/6)=ln(5)=1609438
+    # (a,d): d OOV -> floor -ln(0.4/6)=ln(15)=2708050
+    assert got.n_bigrams == 2
+    assert got.ce_total_micro == 1609438 + 2708050
+    assert got.avg_nats == round((1609438 + 2708050) / 2 / 1e6, 6)
