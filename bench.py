@@ -490,6 +490,20 @@ def main() -> None:
             "the synthetic corpus embeds all three (bench pages cache "
             "self-invalidates via the pages_synth fingerprint)."
         ),
+        "round6_reference": (
+            "quiet-phase round-6 reference at HEAD (load 0.08, 62 "
+            "timed queries): total 90.06 s, kg_pipeline_warm 2.345, "
+            "graph_pagerank 3.33, canonical_components 7.73, "
+            "graph_coreness 1.25, frontier_schedule 1.69 (the "
+            "predicted +0.3-0.6 over the r5 slot-window number — the "
+            "scale-safe plan's two extra small jobs), "
+            "frontier_composed 7.82 (NEW: sitemap union + robots "
+            "gate + politeness schedule end-to-end, 5 checkpointed "
+            "stages — wall is per-stage job latency at bench scale). "
+            "Two earlier same-HEAD loud-phase samples read 118.8 and "
+            "~119 total with untouched pii_scrub at 1.7 (vs 0.89-1.2 "
+            "quiet) — box phase, per the standing disclosure."
+        ),
     }
 
     total = round(sum(timings.values()), 3)
