@@ -229,6 +229,8 @@ def main() -> None:
         "decontam_scrubbed", "hreflang_extract", "meta_refresh_chains",
         "graph_hits", "triple_timeline", "graph_coreness",
         "graph_clustering", "frontier_schedule", "frontier_composed",
+        "hll_distinct", "asof_event_state", "dsir_resample_gate",
+        "content_main_blocks", "bigram_ce",
     ]:
         fn = run_query(name)
         fn()
@@ -503,6 +505,16 @@ def main() -> None:
             "Two earlier same-HEAD loud-phase samples read 118.8 and "
             "~119 total with untouched pii_scrub at 1.7 (vs 0.89-1.2 "
             "quiet) — box phase, per the standing disclosure."
+        ),
+        "round6_session2": (
+            "NEW in the timed list: hll_distinct (register sketch + "
+            "exact side-by-side), asof_event_state (bucketed as-of "
+            "join over 100k events), dsir_resample_gate (two unigram "
+            "LM builds + gate), content_main_blocks (map-only block "
+            "classifier over the 400-doc harness), bigram_ce "
+            "(previously driver-gated only) — expect ~+3-5 s total "
+            "vs the 90.06 s round-6 reference from the five "
+            "additions themselves, not from regressions."
         ),
     }
 

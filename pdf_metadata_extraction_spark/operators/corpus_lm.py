@@ -362,3 +362,112 @@ def doc_bigram_ce(
         .otherwise(F.lit(0.0))
         .alias("avg_nats"),
     )
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) — per-document importance weight
+    log p_target(x) - log p_raw(x) under two unigram LMs: one trained
+    on the TARGET slice (``target_pred``, a boolean SQL predicate over
+    ``df``'s columns — e.g. the high-quality source), one on the whole
+    corpus.  The weight says how much more target-like than average a
+    document reads; resampling by it shifts the corpus toward the
+    target distribution without hand-written rules.
+
+    Integer discipline: cost_micro = round(round6(ln(total/c))·1e6) per
+    word from ``unigram_lm`` for both models; a word unseen by the
+    target model costs round(round6(ln(2·total_target))·1e6) (the c=0.5
+    add-half fallback, one broadcast scalar).  w_micro =
+    Σ tf·(cost_raw - cost_target) is an exact BIGINT — positive means
+    more target-like.  Plan: two LM builds (map-side-combined counts),
+    one tf⋈lm_raw⋈lm_target join on the compressed (doc, word, tf)
+    table, one sum.  No window, no UDF.
+
+    Output: (id_col, n_tokens, w_micro).  Docs with no tokens weigh 0.
+    """
+    tf = _doc_tf(df, id_col, text_col)
+    lm_raw = unigram_lm(df, id_col, text_col).select(
+        "word", F.col("cost_micro").alias("_cost_raw")
+    )
+    target = df.where(target_pred)
+    lm_t = unigram_lm(target, id_col, text_col).select(
+        "word", F.col("cost_micro").alias("_cost_t")
+    )
+    total_t = (
+        target.select(
+            F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w")
+        )
+        .agg(F.count("*").cast("long").alias("_tt"))
+        .select(
+            F.round(F.round(F.log(F.col("_tt") * 2.0), 6) * 1e6, 0)
+            .cast("long")
+            .alias("_oov_t")
+        )
+    )
+    scored = (
+        tf.join(lm_raw, "word")
+        .join(lm_t, "word", "left")
+        .crossJoin(F.broadcast(total_t))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * (
+                    F.col("_cost_raw")
+                    - F.coalesce(F.col("_cost_t"), F.col("_oov_t"))
+                )
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id")).distinct()
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("w_micro", F.lit(0)).cast("long").alias("w_micro"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame, id_col: str = "doc_id", salt: str = "dsir:"
+) -> DataFrame:
+    """Deterministic Bernoulli(min(1, e^w)) resample over
+    ``dsir_weights`` output: keep a document iff ln(u) < w, with
+    u = (md5_ppm(id)+1)/1e6 — the same portable hash-uniform as
+    `sample.hash_sample`, so the kept set is stable across runs,
+    partitionings and engines.  Comparison is integer micro-nats
+    (ln(u) rounded to 6dp then scaled), map-only over the weights
+    table.  Adds ``kept``; w >= 0 documents are always kept."""
+    from pdf_metadata_extraction_spark.operators.sample import _hash_ppm
+
+    u_micro = (
+        F.round(
+            F.round(
+                F.log(
+                    (
+                        _hash_ppm(
+                            F.concat(
+                                F.lit(salt), F.col(id_col).cast("string")
+                            )
+                        )
+                        + 1
+                    )
+                    / 1e6
+                ),
+                6,
+            )
+            * 1e6,
+            0,
+        )
+    ).cast("long")
+    return weights.withColumn("kept", u_micro < F.col("w_micro"))

@@ -357,3 +357,69 @@ def test_bigram_ce_heldout_backoff_and_oov_floor(spark):
     assert got.n_bigrams == 2
     assert got.ce_total_micro == 1609438 + 2708050
     assert got.avg_nats == round((1609438 + 2708050) / 2 / 1e6, 6)
+
+
+def test_dsir_weight_direction_and_exact_values(spark):
+    """Target docs use vocabulary A, raw-only docs vocabulary B: an
+    A-worded doc must weigh positive (more target-like than average),
+    a B-worded doc negative; values checked in exact micro-nats."""
+    import math
+
+    from pdf_metadata_extraction_spark.operators.corpus_lm import (
+        dsir_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", "wiki"),
+            (2, "alpha beta beta", "wiki"),
+            (3, "spam spam spam", "web"),
+            (4, "alpha spam", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    w = {
+        r.doc_id: r.w_micro
+        for r in dsir_weights(df, "source = 'wiki'").collect()
+    }
+
+    def cost(total, c):
+        return round(round(math.log(total / c), 6) * 1e6)
+
+    # raw: alpha 4, beta 3, spam 4, total 11; target: alpha 3, beta 3, total 6
+    cr = {"alpha": cost(11, 4), "beta": cost(11, 3), "spam": cost(11, 4)}
+    ct = {"alpha": cost(6, 3), "beta": cost(6, 3)}
+    oov = round(round(math.log(2 * 6), 6) * 1e6)
+    assert w[1] == 2 * (cr["alpha"] - ct["alpha"]) + (cr["beta"] - ct["beta"])
+    assert w[3] == 3 * (cr["spam"] - oov)
+    assert w[1] > 0 > w[3], w
+
+
+def test_dsir_resample_rule_and_determinism(spark):
+    """kept == (round6(ln((md5_ppm(id)+1)/1e6))*1e6 < w_micro), and two
+    runs keep the identical set (the md5-uniform is the randomness)."""
+    import math
+
+    from pdf_metadata_extraction_spark.operators.corpus_lm import (
+        dsir_resample,
+    )
+    from pdf_metadata_extraction_spark.operators.sample import (
+        SAMPLE_BUCKETS,
+    )
+    import hashlib
+
+    weights = spark.createDataFrame(
+        [(i, 10, (i - 50) * 20_000) for i in range(100)],
+        "doc_id long, n_tokens long, w_micro long",
+    )
+    got = {r.doc_id: r.kept for r in dsir_resample(weights).collect()}
+    again = {r.doc_id: r.kept for r in dsir_resample(weights).collect()}
+    assert got == again
+    for i in range(100):
+        ppm = (
+            int(hashlib.md5(f"dsir:{i}".encode()).hexdigest()[:15], 16)
+            % SAMPLE_BUCKETS
+        )
+        ln_u = round(round(math.log((ppm + 1) / 1e6), 6) * 1e6)
+        assert got[i] == (ln_u < (i - 50) * 20_000), i
+    assert any(got.values()) and not all(got.values())
