@@ -41,6 +41,7 @@ def run_kg_pipeline(
     follow_redirects: bool = False,
     link_graph: bool = False,
     quality_gate: bool = False,
+    content_gate: bool = False,
     decontam_eval: DataFrame | None = None,
     domain_cap: int | None = None,
     segment_dedup: int | None = None,
@@ -92,6 +93,18 @@ def run_kg_pipeline(
     byte-identity extractor never runs twice per page (the fused
     segment stage still tokenizes the kept pages for boxes/positions,
     which text alone cannot supply).
+
+    ``content_gate``: opt-in main-content extraction (round-6) — the
+    text every downstream text consumer (quality gate, decontam,
+    corpus export, packing) reads becomes the page's link-density-kept
+    MAIN content (operators.content.main_content: jusText signal —
+    navigation, footers and link farms stripped) instead of the full
+    page text; the (url, text, n_blocks_kept, n_blocks_dropped) table
+    checkpoints as ``pages_main_content`` and a ``pages_content_gate``
+    lineage row records pages-in vs pages-with-content (pages whose
+    every block is furniture yield empty text and fall to the quality
+    gate). The KG segment path is untouched — entity mentions in
+    furniture are still the link graph's business, not the corpus's.
 
     ``decontam_eval``: opt-in benchmark decontamination (round-5) — a
     (url, text) DataFrame of evaluation-suite documents; pages whose
@@ -260,16 +273,44 @@ def run_kg_pipeline(
         )
 
     txt = None
-    if quality_gate or export_corpus or decontam_eval is not None:
-        from pdf_metadata_extraction_spark.operators.extract import (
-            extract_text,
-        )
+    if (
+        quality_gate
+        or export_corpus
+        or content_gate
+        or decontam_eval is not None
+    ):
+        if content_gate:
+            from pdf_metadata_extraction_spark.operators.content import (
+                main_content,
+            )
 
-        # the byte-identity extractor runs ONCE; the gate and the
-        # corpus export both read this stage
-        txt = lw.checkpoint_stage(
-            "pages_text", extract_text(pages.select("url", "html"))
-        )
+            tm = time.monotonic()
+            n_in_m = pages.count()
+            mc = main_content(pages.select("url", "html")).select(
+                "url",
+                F.col("main_text").alias("text"),
+                "n_blocks_kept",
+                "n_blocks_dropped",
+            )
+            mc_stage = lw.checkpoint_stage("pages_main_content", mc)
+            lw.record(
+                "pages_content_gate", input_rows=n_in_m,
+                output_rows=mc_stage.where(
+                    F.col("n_blocks_kept") > 0
+                ).count(),
+                wall_ms=int((time.monotonic() - tm) * 1000),
+            )
+            txt = mc_stage.select("url", "text")
+        else:
+            from pdf_metadata_extraction_spark.operators.extract import (
+                extract_text,
+            )
+
+            # the byte-identity extractor runs ONCE; the gate and the
+            # corpus export both read this stage
+            txt = lw.checkpoint_stage(
+                "pages_text", extract_text(pages.select("url", "html"))
+            )
 
     if quality_gate:
         from pyspark.sql import Window

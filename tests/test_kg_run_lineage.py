@@ -796,6 +796,7 @@ def test_kg_run_every_stage_at_once(spark, tmp_path):
     out = run_kg_pipeline(
         spark, pages, _options(spark), work, run_id="all1",
         normalize_urls=True, follow_redirects=True, quality_gate=True,
+        content_gate=True,
         decontam_eval=eval_df, domain_cap=50, segment_dedup=4,
         export_corpus=True, pack_seq_len=128,
         jsonld=True, tables=True, fuse=True, link_graph=True,
@@ -813,7 +814,8 @@ def test_kg_run_every_stage_at_once(spark, tmp_path):
         for r in spark.read.parquet(f"{work}/lineage").collect()
     }
     for stage in (
-        "pages_quality_gate", "pages_decontam_gate", "pages_domain_cap",
+        "pages_quality_gate", "pages_content_gate", "pages_decontam_gate",
+        "pages_domain_cap",
         "segments_boiler_gate", "jsonld_extraction", "table_extraction",
         "edges_fusion", "ntriples_export", "sequence_packing",
         "pipeline_total",
@@ -918,3 +920,53 @@ def test_kg_run_frontier_stage(spark, tmp_path):
             spark, pages, _options(spark), str(tmp_path / "kgf2"),
             run_id="fr2", frontier=True,
         )
+
+
+def test_kg_run_content_gate(spark, tmp_path):
+    """Opt-in main-content gate: the corpus export carries the
+    link-density-kept article text (nav/footer stripped), the
+    pages_main_content stage checkpoints with block counts, and the
+    pages_content_gate lineage row pins pages-in vs pages-with-content
+    (an all-furniture page yields empty text)."""
+    article = (
+        "the spark engine processes a perfectly ordinary paragraph of "
+        "english text with enough words to pass the length gate "
+        "comfortably and a pleasant mean word length overall"
+    )
+    nav = (
+        "<div><a href='/a'>home</a> <a href='/b'>products</a> "
+        "<a href='/c'>about</a></div>"
+    )
+
+    def page(u, body):
+        return (u, (f"<html><body>{nav}{body}</body></html>").encode())
+
+    rows = [
+        page("https://a.example/1", f"<p>{article} one</p>"),
+        page("https://a.example/2", f"<p>{article} two</p>"),
+        page("https://a.example/3", ""),  # furniture only
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    work = str(tmp_path / "kgc")
+    out = run_kg_pipeline(
+        spark, pages, _options(spark), work, run_id="c1",
+        content_gate=True, quality_gate=True, export_corpus=True,
+    )
+    lineage = {r["stage"]: r for r in
+               spark.read.parquet(f"{work}/lineage").collect()
+               if r["partition_range"] == "all"}
+    gate = lineage["pages_content_gate"]
+    assert gate["input_rows"] == 3 and gate["output_rows"] == 2
+    mc = {
+        r["url"]: r
+        for r in spark.read.parquet(
+            f"{work}/stages/c1/pages_main_content"
+        ).collect()
+    }
+    assert mc["https://a.example/1"]["n_blocks_dropped"] >= 1
+    assert mc["https://a.example/3"]["text"] == ""
+    corpus = {r["url"]: r["text"] for r in out["corpus"].collect()}
+    # furniture page fails the quality gate; kept texts are nav-free
+    assert set(corpus) == {"https://a.example/1", "https://a.example/2"}
+    assert all("home products" not in t for t in corpus.values())
+    assert all(t.startswith("the spark engine") for t in corpus.values())
