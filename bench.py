@@ -230,7 +230,7 @@ def main() -> None:
         "graph_hits", "triple_timeline", "graph_coreness",
         "graph_clustering", "frontier_schedule", "frontier_composed",
         "hll_distinct", "asof_event_state", "dsir_resample_gate",
-        "content_main_blocks", "bigram_ce",
+        "content_main_blocks", "bigram_ce", "weighted_priority_sample",
     ]:
         fn = run_query(name)
         fn()

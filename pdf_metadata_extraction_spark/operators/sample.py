@@ -66,3 +66,42 @@ def stratified_cap(
         df.withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .where(F.col("pick_rank") <= cap)
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis & Spirakis 2006: rank by u^(1/w), keep the k largest)
+    — the curation primitive when documents carry a quality/importance
+    weight and the cap must prefer heavy rows without becoming a
+    deterministic top-k by weight.
+
+    Deterministic and cross-engine: u = (md5_ppm(salt||id)+1)/1e6, and
+    instead of u^(1/w) (pow is not correctly rounded) rows rank by the
+    order-equivalent ln(u)/w — ln rounded to 6dp the moment it is
+    produced (the repo-wide discipline), then ONE IEEE division by the
+    integer weight; ties broken by id. Rows with weight <= 0 are never
+    sampled. One stratum-key shuffle (same contract as
+    ``stratified_cap``); adds ``es_rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        _hash_ppm(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1
+    ) / 1e6
+    score = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
+    pos = df.where(F.col(weight_col) > 0).withColumn("_es", score)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_es").desc(), F.col(id_col)
+    )
+    return (
+        pos.withColumn("es_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("es_rank") <= k)
+        .drop("_es")
+    )

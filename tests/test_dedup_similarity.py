@@ -862,3 +862,47 @@ def test_service_search_task_uses_persistent_index(spark, tmp_path):
     )
     hits2 = {row["id"] for row in spark.read.parquet(r2["data_url"]).collect()}
     assert hits2 == {3}
+
+
+def test_priority_sample_rule_weights_and_determinism(spark):
+    """Efraimidis-Spirakis: ranks match the exact ln(u)/w rule
+    recomputed in python; a 10^6x-weight row always samples; two runs
+    agree; k rows per stratum without replacement."""
+    import hashlib
+    import math
+
+    from pdf_metadata_extraction_spark.operators.sample import (
+        SAMPLE_BUCKETS,
+        priority_sample,
+    )
+
+    rows = [(i, "s", 1_000_000 if i == 7 else 1 + (i % 3)) for i in range(40)]
+    rows += [(100 + i, "t", 5) for i in range(6)]
+    rows += [(200, "t", 0)]  # weight 0: never sampled
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+
+    got = priority_sample(df, "grp", "doc_id", "w", 5).collect()
+    again = priority_sample(df, "grp", "doc_id", "w", 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["s"]) == 5 and len(by_grp["t"]) == 5
+    assert len({r.doc_id for r in by_grp["s"]}) == 5
+    assert 7 in {r.doc_id for r in by_grp["s"]}  # the heavy row
+    assert 200 not in {r.doc_id for r in by_grp["t"]}
+
+    def es(i, w):
+        ppm = (
+            int(hashlib.md5(f"es:{i}".encode()).hexdigest()[:15], 16)
+            % SAMPLE_BUCKETS
+        )
+        return round(math.log((ppm + 1) / 1e6), 6) / w
+
+    expect_t = sorted(
+        ((100 + i, es(100 + i, 5)) for i in range(6)),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [r.doc_id for r in sorted(by_grp["t"], key=lambda r: r.es_rank)] \
+        == [i for i, _ in expect_t]
