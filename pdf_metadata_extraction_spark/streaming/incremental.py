@@ -147,3 +147,63 @@ def run_decontam_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_distinct_sketch(
+    pages_stream: DataFrame,
+    work_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    available_now: bool = True,
+):
+    """Streaming incremental cardinality: per micro-batch HLL registers
+    appended as a ``batch_id``-keyed partition, plus a merged estimate
+    snapshot after every batch — "distinct urls per host, ever" over a
+    continuous crawl WITHOUT rescanning or even retaining the accepted
+    pages (the register table is ≤ 2^p rows per key per batch, and the
+    merge is a register-wise max).
+
+    This is the sketch-mergeability contract made operational: state
+    is parquet partitions (Iceberg in production), bounded, append-only;
+    a replayed batch overwrites its own partition and merges exactly
+    the partitions its first attempt saw (``batch_id <= N``) — the
+    module's standard idempotent re-run contract.
+
+    Layout: ``{work_dir}/registers/batch_id=N/`` (keys, bucket,
+    register), ``{work_dir}/estimates/batch_id=N/`` (keys,
+    zero_registers, est — the estimate as of batch N inclusive),
+    ``{work_dir}/ck/`` — the stream checkpoint.
+    """
+    from pdf_metadata_extraction_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        merge_registers,
+    )
+
+    root = work_dir.rstrip("/")
+    reg_dir = f"{root}/registers"
+    est_dir = f"{root}/estimates"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        regs = hll_registers(batch_df, key_cols, value_col, p=p)
+        regs.write.mode("overwrite").parquet(
+            f"{reg_dir}/batch_id={batch_id}"
+        )
+        merged = merge_registers(
+            sp.read.parquet(reg_dir)
+            .where(F.col("batch_id") <= batch_id)
+            .drop("batch_id")
+        )
+        hll_estimate(merged, key_cols, p=p).write.mode("overwrite").parquet(
+            f"{est_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{root}/ck")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -334,3 +334,57 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
     # one survivor per hash: u1 (first 'hello world'), u3, u5
     assert got == ["u1", "u3", "u5"]
+
+
+def test_streaming_distinct_sketch(spark, tmp_path):
+    """Round-6: incremental HLL cardinality as a streaming sink — the
+    merged register state after the last batch equals the batch-built
+    sketch of the union (mergeability), overlapping values across
+    batches are not double-counted, and a per-batch estimate snapshot
+    materializes."""
+    import json
+
+    from pdf_metadata_extraction_spark.operators.sketch import (
+        distinct_estimate,
+        hll_registers,
+    )
+    from pdf_metadata_extraction_spark.streaming.incremental import (
+        run_distinct_sketch,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = T.StructType(
+        [T.StructField("host", T.StringType()),
+         T.StructField("url", T.StringType())]
+    )
+    b1 = [{"host": "h1", "url": f"u{i}"} for i in range(120)]
+    # batch 2 overlaps 60 of batch 1's urls and adds 80 new ones
+    b2 = [{"host": "h1", "url": f"u{i}"} for i in range(60, 260, 1)][:140]
+    (feed / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+    (feed / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in b2))
+    work = str(tmp_path / "sk")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed))
+    q = run_distinct_sketch(stream, work, ["host"], "url", p=6)
+    q.awaitTermination(180)
+
+    whole = spark.createDataFrame(
+        [(r["host"], r["url"]) for r in b1 + b2], "host string, url string"
+    )
+    expect_regs = hll_registers(whole, ["host"], "url", p=6)
+    merged = (
+        spark.read.parquet(f"{work}/registers")
+        .drop("batch_id")
+        .groupBy("host", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert merged.subtract(expect_regs).count() == 0
+    assert expect_regs.subtract(merged).count() == 0
+
+    ests = spark.read.parquet(f"{work}/estimates")
+    last = ests.where("batch_id = 1").collect()[0]
+    batch_est = distinct_estimate(whole, ["host"], "url", p=6).collect()[0]
+    assert last["est"] == batch_est["est"]
+    assert ests.where("batch_id = 0").count() == 1
