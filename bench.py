@@ -231,6 +231,7 @@ def main() -> None:
         "graph_clustering", "frontier_schedule", "frontier_composed",
         "hll_distinct", "asof_event_state", "dsir_resample_gate",
         "content_main_blocks", "bigram_ce", "weighted_priority_sample",
+        "exact_length_quantiles",
     ]:
         fn = run_query(name)
         fn()

@@ -99,3 +99,35 @@ def test_pack_no_global_partitionless_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, line
+
+
+def test_exact_quantiles_definition_and_range_invariance(spark):
+    """Exact discrete quantiles: value at rank max(1, ceil(q*n)) in
+    (value, id) order — checked against a python recompute, invariant
+    to num_ranges, NULLs excluded."""
+    import math
+
+    from pdf_metadata_extraction_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    vals = [(i, ((i * 37) % 101) + 1) for i in range(200)]
+    rows = vals + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    qs = [0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q_ppm"]: (r["value"], r["n"])
+        for r in exact_quantiles(df, "v", "doc_id", qs).collect()
+    }
+    ordered = sorted(vals, key=lambda t: (t[1], t[0]))
+    for q in qs:
+        rank = max(1, math.ceil(q * 200))
+        assert got[int(round(q * 1e6))] == (ordered[rank - 1][1], 200), q
+    for nr in (1, 3, 64):
+        alt = {
+            r["q_ppm"]: (r["value"], r["n"])
+            for r in exact_quantiles(
+                df, "v", "doc_id", qs, num_ranges=nr
+            ).collect()
+        }
+        assert alt == got, nr
