@@ -124,6 +124,8 @@ def asof_join_bucketed(
     no partition outgrows a key's per-bucket row count; cross-bucket
     state rides a #keys × #buckets spine. Result-identical to
     ``asof_join`` (pinned by test)."""
+    if int(bucket_width) < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     u = _aligned_union(
         probes, snapshots, key_cols, ts_col, tiebreak_col,
         value_cols, probe_cols,
