@@ -508,14 +508,23 @@ def main() -> None:
             "quiet) — box phase, per the standing disclosure."
         ),
         "round6_session2": (
-            "NEW in the timed list: hll_distinct (register sketch + "
-            "exact side-by-side), asof_event_state (bucketed as-of "
-            "join over 100k events), dsir_resample_gate (two unigram "
-            "LM builds + gate), content_main_blocks (map-only block "
-            "classifier over the 400-doc harness), bigram_ce "
-            "(previously driver-gated only) — expect ~+3-5 s total "
-            "vs the 90.06 s round-6 reference from the five "
-            "additions themselves, not from regressions."
+            "SEVEN new timed queries (hll_distinct, asof_event_state, "
+            "dsir_resample_gate, content_main_blocks, bigram_ce, "
+            "weighted_priority_sample, exact_length_quantiles). "
+            "Session-end reference at HEAD: 115.9 s over 69 queries "
+            "(mild mid-run load 2-3), per-query MIN across the 4 "
+            "session-end samples sums to 95.2 s — consistent with the "
+            "62-query 90.06 s quiet reference plus ~6 s of genuinely "
+            "new work (new-query mins: hll 3.05, asof 0.31, dsir "
+            "0.38, content 0.39, bigram 0.43, wps 0.23, quantiles "
+            "1.02). Two of the four samples were loud-phase (~259 s "
+            "totals, non-uniform 2-4x on untouched queries, the "
+            "documented pattern). hll_distinct initially cost "
+            "9.5-15 s: the AUDIT query derives the gram set twice "
+            "(sketch + exact sides; Catalyst does not reuse the "
+            "shared subtree) — now capped at 1000 docs (a no-op at "
+            "the sf0.01 oracle scale) and disclosed in the query "
+            "docstring; production runs the sketch alone."
         ),
     }
 
