@@ -87,21 +87,38 @@ def priority_sample(
     order-equivalent ln(u)/w — ln rounded to 6dp the moment it is
     produced (the repo-wide discipline), then ONE IEEE division by the
     integer weight; ties broken by id. Rows with weight <= 0 are never
-    sampled. One stratum-key shuffle (same contract as
-    ``stratified_cap``); adds ``es_rank`` (1-based).
+    sampled. Adds ``es_rank`` (1-based within the stratum).
+
+    Scale shape: NEVER a window partitioned by the stratum (a
+    mega-domain stratum with 10^9 rows would be one task — the
+    schedule_frontier lesson). Instead: the two-pass global rank over
+    (stratum, -score, id) — range partition, broadcast per-range
+    prefixes, intra-range row_number — then each row's within-stratum
+    rank is its global rank minus the stratum's min global rank + 1,
+    computed with one map-side-combinable agg and an equi-join (NO
+    driver-side per-stratum table, so the stratum COUNT is unbounded
+    too, unlike the frontier's fixed slot set).
     """
-    from pyspark.sql import Window
+    from pdf_metadata_extraction_spark.operators.packing import (
+        global_rank,
+    )
 
     u = (
         _hash_ppm(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1
     ) / 1e6
     score = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
-    pos = df.where(F.col(weight_col) > 0).withColumn("_es", score)
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.col("_es").desc(), F.col(id_col)
+    pos = df.where(F.col(weight_col) > 0).withColumn(
+        "_neg_es", -score
+    )
+    ranked = global_rank(pos, [stratum_col, "_neg_es", id_col])
+    base = ranked.groupBy(stratum_col).agg(
+        F.min("rnk").alias("_base")
     )
     return (
-        pos.withColumn("es_rank", F.row_number().over(w).cast("long"))
+        ranked.join(base, stratum_col)
+        .withColumn(
+            "es_rank", (F.col("rnk") - F.col("_base") + 1).cast("long")
+        )
         .where(F.col("es_rank") <= k)
-        .drop("_es")
+        .drop("_neg_es", "rnk", "_base")
     )

@@ -331,3 +331,31 @@ def test_schedule_frontier_has_no_slot_sized_window(spark):
     for spec in specs:
         assert "_pid#" in spec, plan
         assert "slot#" not in spec, plan
+
+
+def test_priority_sample_has_no_stratum_sized_window(spark):
+    """Weighted sampling must never rank inside a window partitioned
+    by the stratum (a mega-domain stratum = one task); the only
+    allowed window partition key is the range-partition id `_pid`
+    (the schedule_frontier discipline, with the per-stratum base as a
+    distributed agg+join instead of a broadcast table)."""
+    import re
+
+    from pdf_metadata_extraction_spark.operators.sample import (
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}", 1 + i % 7) for i in range(60)],
+        "doc_id long, grp string, w long",
+    )
+    plan = _plan(priority_sample(df, "grp", "doc_id", "w", 3))
+    specs = [
+        re.findall(r"\], \[([^\]]*)\], \[", line)[0]
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert specs, plan
+    for spec in specs:
+        assert "_pid#" in spec, plan
+        assert "grp#" not in spec, plan
