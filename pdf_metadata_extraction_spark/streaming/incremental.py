@@ -174,6 +174,14 @@ def run_distinct_sketch(
     register), ``{work_dir}/estimates/batch_id=N/`` (keys,
     zero_registers, est — the estimate as of batch N inclusive),
     ``{work_dir}/ck/`` — the stream checkpoint.
+
+    Long-run note: register ROWS are bounded (≤ 2^p per key per batch)
+    but the PARTITION COUNT grows one directory per batch — at 10^5
+    batches the merge read lists 10^5 dirs (a small-files concern, not
+    a data-volume one). Production compacts: periodically rewrite
+    partitions < N as one merged ``batch_id=N-1`` table (register-max
+    is associative, so compaction commutes with future merges) — the
+    same maintenance an Iceberg table would schedule.
     """
     from pdf_metadata_extraction_spark.operators.sketch import (
         hll_estimate,
@@ -207,3 +215,56 @@ def run_distinct_sketch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_registers(
+    spark, work_dir: str, upto_batch: int
+) -> None:
+    """Compact the sketch sink's register partitions: merge every
+    ``batch_id < upto_batch`` partition into ONE partition stored as
+    ``batch_id = upto_batch - 1`` and delete the originals. Register-
+    max is associative, so compaction commutes with all future merges
+    and with replay (a replayed batch N >= upto_batch still reads
+    exactly the state its first attempt saw — now in fewer files).
+
+    This is the maintenance job the module docstring promises: rows
+    were always bounded; this bounds the DIRECTORY count too. Write is
+    tmp-then-rename via the Hadoop FileSystem API (works on file:/
+    hdfs:/ s3a: alike, same as the CC checkpoint sidecars).
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_metadata_extraction_spark.operators import ckpt
+
+    reg_dir = work_dir.rstrip("/") + "/registers"
+    fs, jroot = ckpt.fs_for(spark, reg_dir)
+    if not fs.exists(jroot):
+        return
+    olds = [
+        s.getPath()
+        for s in fs.listStatus(jroot)
+        if s.getPath().getName().startswith("batch_id=")
+        and int(s.getPath().getName().split("=", 1)[1]) < upto_batch
+    ]
+    if len(olds) <= 1:
+        return
+    merged = (
+        spark.read.parquet(reg_dir)
+        .where(F.col("batch_id") < upto_batch)
+        .drop("batch_id")
+    )
+    keys = [c for c in merged.columns if c != "register"]
+    compacted = merged.groupBy(*keys).agg(
+        F.max("register").alias("register")
+    )
+    tmp = f"{reg_dir}/_compact_tmp_{upto_batch}"
+    compacted.write.mode("overwrite").parquet(tmp)
+    for p in olds:
+        fs.delete(p, True)
+    jvm = spark._jvm
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(
+            f"{reg_dir}/batch_id={upto_batch - 1}"
+        ),
+    )

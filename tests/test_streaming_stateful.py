@@ -388,3 +388,59 @@ def test_streaming_distinct_sketch(spark, tmp_path):
     batch_est = distinct_estimate(whole, ["host"], "url", p=6).collect()[0]
     assert last["est"] == batch_est["est"]
     assert ests.where("batch_id = 0").count() == 1
+
+
+def test_streaming_sketch_compaction_preserves_state(spark, tmp_path):
+    """compact_registers merges all pre-N partitions into batch_id=N-1
+    and deletes the originals; the merged state (and therefore every
+    future estimate) is unchanged — register-max is associative."""
+    import json
+
+    from pdf_metadata_extraction_spark.operators.sketch import (
+        hll_registers,
+    )
+    from pdf_metadata_extraction_spark.streaming.incremental import (
+        compact_registers,
+        run_distinct_sketch,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = T.StructType(
+        [T.StructField("host", T.StringType()),
+         T.StructField("url", T.StringType())]
+    )
+    allrows = []
+    for b in range(3):
+        rows = [{"host": "h", "url": f"u{b}-{i}"} for i in range(50)]
+        allrows += rows
+        (feed / f"b{b}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    work = str(tmp_path / "sk")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed))
+    run_distinct_sketch(stream, work, ["host"], "url", p=5)\
+        .awaitTermination(180)
+
+    compact_registers(spark, work, upto_batch=2)
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(f"{work}/registers")
+        if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=1", "batch_id=2"], parts
+    whole = spark.createDataFrame(
+        [(r["host"], r["url"]) for r in allrows], "host string, url string"
+    )
+    expect = hll_registers(whole, ["host"], "url", p=5)
+    merged = (
+        spark.read.parquet(f"{work}/registers")
+        .drop("batch_id")
+        .groupBy("host", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert merged.subtract(expect).count() == 0
+    assert expect.subtract(merged).count() == 0
