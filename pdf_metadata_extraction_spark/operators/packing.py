@@ -71,9 +71,17 @@ def with_global_offsets(
     the concatenated stream, ordered by (md5(id), id).
 
     Two-pass distributed prefix sum — see module docstring.  The
-    driver-collected prefix table has ``num_ranges`` rows (NOT data
-    rows); size ``num_ranges`` to the cluster, the offsets themselves
-    do not depend on it.
+    prefix table has ``num_ranges`` rows (NOT data rows); size
+    ``num_ranges`` to the cluster, the offsets themselves do not
+    depend on it.
+
+    Round 7 (guide §2.4): both passes live in ONE plan. The per-range
+    totals are rolled into running prefixes by a window over the
+    ``num_ranges``-row aggregate (bounded by the range count, never
+    data) and broadcast back; Catalyst's ReuseExchange then feeds the
+    aggregate and the rank pass from the SAME range shuffle, so the
+    input is scanned and shuffled once — the driver-collect version
+    recomputed the scan + range exchange for every pass.
     """
     keyed = counts.select(
         "id",
@@ -81,21 +89,20 @@ def with_global_offsets(
         F.md5(F.col("id").cast("string")).alias("_k"),
     ).repartitionByRange(num_ranges, "_k", "id")
     keyed = keyed.withColumn("_pid", F.spark_partition_id())
-    # pass 1: per-range totals (rows == num_ranges, driver-bounded)
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in keyed.groupBy("_pid")
-        .agg(F.sum("n_tokens").cast("long").alias("_t"))
-        .collect()
-    }
-    prefix, acc = {}, 0
-    for pid in sorted(totals):
-        prefix[pid] = acc
-        acc += totals[pid]
+    # pass 1: per-range totals → running prefix (num_ranges rows; the
+    # single-task window is bounded by the range count)
+    wp = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     pref_df = F.broadcast(
-        keyed.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in prefix.items()],
-            "_pid int, _prefix long",
+        keyed.groupBy("_pid")
+        .agg(F.sum("n_tokens").cast("long").alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_t").over(wp), F.lit(0))
+            .cast("long")
+            .alias("_prefix"),
         )
     )
     # pass 2: intra-range running sum, shifted by the range's prefix
@@ -124,27 +131,27 @@ def global_rank(
     """1-based dense global rank over a TOTAL order (``order_cols``
     must be tie-free), computed with the same two-pass discipline as
     ``with_global_offsets`` — range partition on the order key,
-    per-range row counts collected (rows == num_ranges), broadcast
-    prefixes, intra-range ``row_number`` — never a single-task global
-    window.  The result is independent of ``num_ranges`` and input
-    layout for the same reason the offsets are."""
+    per-range row counts (rows == num_ranges) rolled into running
+    prefixes by a bounded window and broadcast back, intra-range
+    ``row_number`` — never a single-task global window over data.
+    The result is independent of ``num_ranges`` and input layout for
+    the same reason the offsets are.
+
+    One plan, one shuffle (round 7, guide §2.4): the count pass and
+    the rank pass share the range exchange via ReuseExchange instead
+    of a driver collect that recomputed the input per pass."""
     keyed = df.repartitionByRange(num_ranges, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    totals = {
-        r["_pid"]: r["_n"]
-        for r in keyed.groupBy("_pid")
-        .agg(F.count("*").cast("long").alias("_n"))
-        .collect()
-    }
-    prefix, acc = {}, 0
-    for pid in sorted(totals):
-        prefix[pid] = acc
-        acc += totals[pid]
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     pref_df = F.broadcast(
-        keyed.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in prefix.items()],
-            "_pid int, _prefix long",
+        keyed.groupBy("_pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(wp), F.lit(0))
+            .cast("long")
+            .alias("_prefix"),
         )
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)

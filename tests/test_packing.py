@@ -131,3 +131,29 @@ def test_exact_quantiles_definition_and_range_invariance(spark):
             ).collect()
         }
         assert alt == got, nr
+
+
+def test_global_rank_exact_at_boundary_sampling_scale(spark):
+    """Regression (round 7): with enough rows that the range
+    partitioner SAMPLES boundaries (spark.sql.execution.rangeExchange
+    .sampleSizePerPartition ~100/partition) instead of seeing every
+    row, the count pass and the rank pass MUST observe the same
+    boundaries. The old two-action form (driver-collected totals, then
+    a separate rank job) re-sampled boundaries per action with a
+    different seed and produced duplicated/skipped ranks; the one-plan
+    form shares one exchange, so ranks are exactly 1..n."""
+    from pdf_metadata_extraction_spark.operators.packing import global_rank
+
+    n = 60_000
+    df = spark.range(0, n).select(
+        (F.col("id") % 997).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    ranked = global_rank(df, ["k", "v"], num_ranges=8)
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rnk").alias("d"),
+        F.min("rnk").alias("lo"),
+        F.max("rnk").alias("hi"),
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
