@@ -54,6 +54,26 @@ def _doc_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _lm_from_tf(tf: DataFrame) -> DataFrame:
+    """``unigram_lm`` derived from an existing (id, word, tf) table:
+    corpus counts are Σtf per word — the same integers the explode
+    path produces, but the tf table's exchange is REUSED by Catalyst
+    when the caller also consumes ``tf`` (doc_cross_entropy,
+    dsir_weights), so the tokenizing explode over the corpus runs
+    once instead of once per LM (round 7, guide §2.3/§2.4)."""
+    counts = tf.groupBy("word").agg(F.sum("tf").cast("long").alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "word",
+        "c",
+        F.round(
+            F.round(F.log(F.col("_total") / F.col("c")), 6) * 1000000.0, 0
+        )
+        .cast("long")
+        .alias("cost_micro"),
+    )
+
+
 def unigram_lm(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -90,7 +110,9 @@ def doc_cross_entropy(
     operands are exact integers, so the division is reproducible
     cross-engine.  Empty docs report zeros."""
     tf = _doc_tf(df, id_col, text_col)
-    lm = unigram_lm(df, id_col, text_col).select("word", "cost_micro")
+    # LM derived from tf, not a second explode: identical integers
+    # (counts = Σtf), and the tf exchange is shared (guide §2.4)
+    lm = _lm_from_tf(tf).select("word", "cost_micro")
     per_doc = (
         tf.join(lm, "word")
         .groupBy("id")
@@ -137,7 +159,14 @@ def ce_quality_tiers(
         F.col(id_col).alias("id"), "avg_nats"
     )
     ranked = global_rank(ce, ["avg_nats", "id"])
-    total = ce.agg(F.count("*").cast("long").alias("_total"))
+    # |ce| == |distinct ids| by construction (doc_cross_entropy left-
+    # joins back onto the distinct-id base) — count THAT, not the CE
+    # chain: the total branch then costs one column-pruned scan
+    # instead of re-running the explode/LM joins (round 7, guide §1.2)
+    total = (
+        df.select(F.col(id_col).alias("id")).distinct()
+        .agg(F.count("*").cast("long").alias("_total"))
+    )
     return ranked.crossJoin(F.broadcast(total)).select(
         F.col("id").alias(id_col),
         "avg_nats",
@@ -230,7 +259,9 @@ def bigram_lm(
     scheme: no discounting to estimate, one multiplicative backoff
     α = 0.4) trained on ``train``.
 
-    Returns ``(seen, uni)``:
+    Returns ``(seen, uni, total)`` (``total`` the one-row training
+    token count the OOV floor needs — returned so callers never
+    re-explode the training text for it, round 7 guide §2.3):
 
     - ``seen (w1, w2, cost_micro)``: for corpus bigrams,
       ``cost = -ln(c(w1,w2) / ctx(w1))`` with ``ctx(w1)`` the exact
@@ -280,7 +311,7 @@ def bigram_lm(
         .cast("long")
         .alias("backoff_micro"),
     )
-    return seen, uni
+    return seen, uni, total
 
 
 def doc_bigram_ce(
@@ -308,26 +339,23 @@ def doc_bigram_ce(
     compression; sums are exact BIGINT."""
     if train is None:
         train = df
-    seen, uni = bigram_lm(train, id_col, text_col)
+    seen, uni, total = bigram_lm(train, id_col, text_col)
     btf = _doc_bigram_tf(df, id_col, text_col)
     scored = (
         btf.join(seen, ["w1", "w2"], "left")
         .join(uni, "w2", "left")
     )
     # OOV floor = the backoff cost at count 1: round6(ln(total/0.4))·1e6,
-    # injected as a broadcast one-row scalar (the module's standard shape)
-    floor = (
-        train.select(
-            F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w")
+    # injected as a broadcast one-row scalar (the module's standard
+    # shape). ``total`` comes from the model build — the same exact
+    # BIGINT the old per-call explode produced, without re-tokenizing
+    # the training text (round 7, guide §2.3).
+    floor = total.select(
+        F.round(
+            F.round(F.log(F.col("_total") / 0.4), 6) * 1000000.0, 0
         )
-        .agg(F.count("*").cast("long").alias("_total"))
-        .select(
-            F.round(
-                F.round(F.log(F.col("_total") / 0.4), 6) * 1000000.0, 0
-            )
-            .cast("long")
-            .alias("_floor_micro")
-        )
+        .cast("long")
+        .alias("_floor_micro")
     )
     per_doc = (
         scored.crossJoin(F.broadcast(floor))
@@ -387,25 +415,43 @@ def dsir_weights(
     target model costs round(round6(ln(2·total_target))·1e6) (the c=0.5
     add-half fallback, one broadcast scalar).  w_micro =
     Σ tf·(cost_raw - cost_target) is an exact BIGINT — positive means
-    more target-like.  Plan: two LM builds (map-side-combined counts),
-    one tf⋈lm_raw⋈lm_target join on the compressed (doc, word, tf)
-    table, one sum.  No window, no UDF.
+    more target-like.  Plan (round 7): ONE tokenizing explode — both
+    LMs and the target total are rollups of one (id, word, tf) table
+    whose exchange Catalyst reuses — then one tf⋈lm_raw⋈lm_target
+    join, one sum.  No window, no UDF.
 
     Output: (id_col, n_tokens, w_micro).  Docs with no tokens weigh 0.
     """
-    tf = _doc_tf(df, id_col, text_col)
-    lm_raw = unigram_lm(df, id_col, text_col).select(
+    # ONE tokenizing explode for the whole operator (round 7, guide
+    # §2.3/§2.4): the target flag rides the tf aggregation as a
+    # per-doc-constant column, so the raw LM, the target LM and the
+    # target token total are all rollups of the SAME (id, word, tf)
+    # table — Catalyst reuses its exchange across the branches. The
+    # counts are identical integers to the per-slice explode form
+    # (Σtf per word over the slice).
+    tfx = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(target_pred).alias("_is_t"),
+            F.explode(F.expr(_TOKENS.format(t=text_col))).alias("word"),
+        )
+        .groupBy("id", "word")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            # _is_t is constant within a doc; max() just carries it
+            F.max("_is_t").alias("_is_t"),
+        )
+    )
+    tf = tfx.select("id", "word", "tf")
+    lm_raw = _lm_from_tf(tf).select(
         "word", F.col("cost_micro").alias("_cost_raw")
     )
-    target = df.where(target_pred)
-    lm_t = unigram_lm(target, id_col, text_col).select(
+    tf_t = tfx.where(F.col("_is_t")).select("id", "word", "tf")
+    lm_t = _lm_from_tf(tf_t).select(
         "word", F.col("cost_micro").alias("_cost_t")
     )
     total_t = (
-        target.select(
-            F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w")
-        )
-        .agg(F.count("*").cast("long").alias("_tt"))
+        tf_t.agg(F.sum("tf").cast("long").alias("_tt"))
         .select(
             F.round(F.round(F.log(F.col("_tt") * 2.0), 6) * 1e6, 0)
             .cast("long")
