@@ -2406,18 +2406,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         # audit query: it runs BOTH the sketch and the exact distinct
-        # over the same gram set, so the gram derivation executes
-        # twice (Catalyst does not reuse the shared subtree across
-        # branches — the standing repo finding); production runs the
-        # sketch alone. The 1000-doc cap bounds the double scan at
-        # bench scale and is a no-op at the sf0.01 oracle scale.
+        # over the same gram set. Round 7 (guide §2.4): both sides are
+        # rollups of ONE deduped (source, gram) table — the exact side
+        # needs that distinct shuffle anyway, and HLL registers over
+        # distinct values are identical to registers over raw values
+        # (duplicates share a hash), so Catalyst reuses the dedup
+        # exchange and the gram derivation runs ONCE (it used to run
+        # once per side). Production runs the sketch alone (no dedup
+        # shuffle at all). The 1000-doc cap bounds the audit at bench
+        # scale and is a no-op at the sf0.01 oracle scale.
         d = _t(spark, sf_dir, "documents").where("doc_id < 1000")
         grams = _doc_grams(d, "doc_id", "source", "text", 4).select(
             F.col("grp").alias("source"), F.explode("_g").alias("gram")
-        )
+        ).distinct()
         est = distinct_estimate(grams, ["source"], "gram", p=8)
         exact = grams.groupBy("source").agg(
-            F.countDistinct("gram").cast("long").alias("exact")
+            F.count("*").cast("long").alias("exact")
         )
         return est.join(exact, "source").select(
             "source",
