@@ -131,14 +131,36 @@ def asof_join_bucketed(
         value_cols, probe_cols,
     ).withColumn("_bkt", F.expr(f"_ts div {int(bucket_width)}"))
 
-    # within-bucket carry: bounded window partitions
+    # within-bucket carry: bounded window partitions. The bucket-top
+    # snapshot (max struct over the whole partition) is computed in the
+    # SAME (key, bucket) window pass — the spine below is then a rollup
+    # of this one shuffled table instead of two more scans of ``u``
+    # (old shape: a separate where+groupBy for the bucket tops plus a
+    # distinct+join for the spine — three passes over the union; round
+    # 7, guide §2.4: every branch now reads the one reused exchange,
+    # and column pruning drops whichever window column a branch does
+    # not use).
     w_in = (
         Window.partitionBy(*key_cols, "_bkt")
         .orderBy(F.col("_ts"), F.col("_is_snap").desc(), F.col("_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_all = Window.partitionBy(*key_cols, "_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     snap_struct = F.when(
         F.col("_is_snap") == 1, F.struct(*[F.col(c) for c in value_cols])
+    )
+    # latest snapshot of the bucket: max(struct) — order-independent,
+    # (ts, tiebreak) leads the struct so the value payload never
+    # decides the max; NULL when the bucket holds no snapshot
+    top_struct = F.when(
+        F.col("_is_snap") == 1,
+        F.struct(
+            F.col("_ts"),
+            F.col("_tb"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
+        ),
     )
     within = u.select(
         *key_cols,
@@ -147,30 +169,15 @@ def asof_join_bucketed(
         "_is_snap",
         *probe_cols,
         F.last(snap_struct, ignorenulls=True).over(w_in).alias("_vin"),
+        F.max(top_struct).over(w_all).alias("_top"),
     )
 
-    # bucket-level spine: latest snapshot per (key, bucket) as one
-    # max(struct) hash aggregate (order-independent — (ts, tiebreak)
-    # leads the struct so the value payload never decides the max),
+    # bucket-level spine: one row per (key, bucket) with the bucket's
+    # latest snapshot (NULL if none), rolled up from the window pass,
     # then carry the latest non-null snapshot of any EARLIER bucket
-    # forward — the window table has one row per (key, bucket).
-    last_snap = (
-        u.where(F.col("_is_snap") == 1)
-        .groupBy(*key_cols, "_bkt")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("_ts"),
-                    F.col("_tb"),
-                    F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
-                )
-            ).alias("_top")
-        )
-    )
-    spine = (
-        u.select(*key_cols, "_bkt")
-        .distinct()
-        .join(last_snap, [*key_cols, "_bkt"], "left")
+    # forward — the carry window table is #keys × #buckets rows.
+    spine = within.groupBy(*key_cols, "_bkt").agg(
+        F.max("_top").alias("_top")
     )
     w_carry = (
         Window.partitionBy(*key_cols)

@@ -184,8 +184,11 @@ def test_asof_bucketed_plan_windows_are_bucket_scoped(spark):
             ["probe_id"], bucket_width=100,
         )
     )
+    # a Window line prints "[funcs], [partitionSpec](, [orderSpec])" —
+    # the order list is absent for unordered frames (the round-7
+    # bucket-top max window), so take the second bracket group
     specs = [
-        re.findall(r"\], \[([^\]]*)\], \[", line)[0]
+        re.findall(r"\[([^\[\]]*)\]", line)[1]
         for line in plan.splitlines()
         if "windowspecdefinition" in line
     ]
