@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 DEFAULT_PERMS = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows
 
+# CC round-checkpoint sizing: ~4M (u, v) rows ≈ 100 MB per partition
+# (guide §2.2/§6 file-sizing discipline applied to the iterate state)
+_CC_ROWS_PER_PARTITION = 4_000_000
+
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct char n-gram shingles of the lower-cased, space-collapsed text."""
@@ -168,88 +172,42 @@ def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, perms: int = DEFAUL
     return joined.select("id_a", "id_b", (agree / F.lit(perms)).alias("est_jaccard"))
 
 
-HUB_DEGREE_THRESHOLD = 1_000_000  # max rows one window task should see
-_HUB_SALT = 64
+def _cc_star(cur: DataFrame, large: bool) -> DataFrame:
+    """One large/small-star round over an (u, v) edge set.
 
-
-def _with_neighbor_min(
-    sym: DataFrame,
-    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
-    n_salt: int = _HUB_SALT,
-    caches: list | None = None,
-) -> DataFrame:
-    """Attach ``m = least(u, min(v) over u's rows)`` to every sym row,
-    hub-safe (round-2 verdict #2: a 10⁹-degree hub key funnels the whole
-    first round through one window task before large-star shrinks it).
-
-    ``hub_threshold=None`` → the plain single-shuffle window path. Else
-    degrees + per-key mins come first from a SALTED two-phase agg
-    (groupBy(u, salt) partials are map-side-combinable and spread a hub
-    key over ``n_salt`` reducers — never a straggler; reuses skew.py's
-    two-phase pattern on a derived salt). Keys above the threshold are
-    tiny in number by construction (each holds >threshold rows), so
-    their mins ship driver-side and their rows take the min from a
-    literal map — map-side, zero shuffle; everything else keeps the
-    window path, whose partitions are now ≤ threshold by construction.
-    """
-    w = Window.partitionBy("u")
-    window_path = lambda df: df.withColumn(  # noqa: E731
-        "m", F.least(F.col("u"), F.min("v").over(w))
+    Rows stay narrow, and no task ever sees one key's whole row set
+    (round 7, guide §2.3/§2.5): the per-node neighborhood min is ONE
+    map-side-combinable hash aggregate — a 10⁹-degree hub key arrives
+    at its reducer as a handful of per-map-task partial mins, so the
+    hub problem the old window-plus-salting branch existed for cannot
+    occur — joined back on the same key (the join's probe side REUSES
+    the aggregate's exchange; residual join skew is AQE skew-split).
+    This replaces the round-2..6 ``_with_neighbor_min`` window/salted-
+    hub machinery: same rows out, one aggregation instead of a per-key
+    sorted window, and partial aggregation shrinks the shuffle from
+    |sym| rows to ≤ (#map tasks × #distinct keys) partials."""
+    sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("m")
     )
-    if hub_threshold is None:
-        return window_path(sym)
-    # the hub path reads sym several times (salted degree agg for the
-    # collect below, then the window branch and the isin/anti scans of
-    # the returned plan) — persist it for the round so those are cache
-    # scans, not recomputations; the caller unpersists after the round
-    # materializes (caches list)
-    if caches is not None:
-        sym = sym.persist()
-        caches.append(sym)
-    hub_df = (
-        sym.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(n_salt)))
-        .groupBy("u", "_salt")
-        .agg(F.min("v").alias("_mv"), F.count("*").alias("_cnt"))
-        .groupBy("u")
-        .agg(F.min("_mv").alias("_mn"), F.sum("_cnt").alias("_deg"))
-        .where(F.col("_deg") > hub_threshold)
-        .select("u", "_mn")
-    )
-    # hub keys are few by construction (each holds > threshold rows), but
-    # guard the driver: collect at most 4096; beyond that, attach the
-    # mins via a broadcast join instead of driver-side literals
-    hubs = hub_df.limit(4097).collect()
-    if not hubs:
-        return window_path(sym)
-    if len(hubs) > 4096:
-        # hub_df feeds TWO broadcast joins below — persist so the
-        # salted aggregation runs once, not once per join
-        if caches is not None:
-            hub_df = hub_df.persist()
-            caches.append(hub_df)
-        hub_rows = sym.join(F.broadcast(hub_df), "u").select(
-            "u", "v", F.least(F.col("u"), F.col("_mn")).alias("m")
-        )
-        rest = window_path(
-            sym.join(F.broadcast(hub_df.select("u")), "u", "left_anti")
-        )
-        return rest.unionByName(hub_rows)
-    hub_min = F.create_map(
-        *[F.lit(x) for r in hubs for x in (r["u"], r["_mn"])]
-    )
-    hub_ids = [r["u"] for r in hubs]
-    hub_rows = sym.where(F.col("u").isin(hub_ids)).withColumn(
-        "m", F.least(F.col("u"), hub_min[F.col("u")])
-    )
-    rest = window_path(sym.where(~F.col("u").isin(hub_ids)))
-    return rest.unionByName(hub_rows)
+    joined = sym.join(mins, "u")
+    cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    out = joined.where(cond).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    ).union(mins.select("u", F.col("m").alias("v")))
+    out = out.where(F.col("u") != F.col("v"))
+    # the inter-star distinct looks optional (duplicate edges don't
+    # change any neighborhood min) but it PAYS: star rounds emit ~|E|
+    # duplicate (v, min) rows on near-dup graphs and the distinct
+    # collapses them to ~|V| before the next shuffle — measured 2× on
+    # the sf0.1 bench when skipped
+    return out.distinct()
 
 
 def connected_components(
     edges: DataFrame,
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
-    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
     lineage=None,
 ) -> DataFrame:
     """Alternating large-star / small-star → (id, component).
@@ -276,9 +234,16 @@ def connected_components(
     - **small-star**: for every node, connect all neighbors ≤ node to
       that minimum.
     Fixpoint = edge set stable; components are then the (node → min
-    neighbor) pairs. Every round is two shuffles (groupBy both
-    directions); ``localCheckpoint`` cuts the otherwise-exponential
+    neighbor) pairs. ``localCheckpoint`` cuts the otherwise-exponential
     lineage (swap for reliable checkpoint on a real cluster).
+
+    Round 7: each star's per-node min is a map-side-combinable hash
+    aggregate joined back on the same key (one reused exchange) — the
+    r2-r6 window + salted-hub-branch machinery is gone, because a
+    partial-aggregated min never funnels a hub key's rows through one
+    task in the first place (guide §2.3/§2.5); the one spot where a
+    key's row set must be co-located (the join probe) is an AQE
+    skew-splittable join, not a window.
     """
     import time
 
@@ -303,29 +268,6 @@ def connected_components(
         .distinct()
         .persist()
     )
-
-    def _star(cur: DataFrame, large: bool, ht: int | None,
-              dedup: bool = True, caches: list | None = None) -> DataFrame:
-        # Rows stay narrow: instead of materializing each node's whole
-        # neighborhood with collect_set (one array of 10⁷⁺ ids for a hub
-        # node of a mega-component ⇒ executor OOM), attach the per-node
-        # min neighbor via _with_neighbor_min — a window aggregate over
-        # the u partitioning (ONE shuffle; spill-safe streaming buffer),
-        # with keys above ``ht`` routed through the salted two-phase min
-        # + literal-map branch so no single task sees a hub's full row set.
-        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        with_min = _with_neighbor_min(sym, ht, caches=caches)
-        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        out = with_min.where(cond).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        ).union(with_min.select("u", F.col("m").alias("v")))
-        out = out.where(F.col("u") != F.col("v"))
-        # the inter-star distinct looks optional (duplicate edges don't
-        # change any window min) but it PAYS: star rounds emit ~|E|
-        # duplicate (v, min) rows on near-dup graphs and the distinct
-        # collapses them to ~|V| before the next shuffle — measured 2×
-        # on the sf0.1 bench when skipped
-        return out.distinct() if dedup else out
 
     prev_hash = None
     rounds = 0
@@ -367,23 +309,22 @@ def connected_components(
     while not converged and rounds < max_iter:
         t0 = time.monotonic()
         rounds += 1
-        # hub detection only when a key COULD exceed the threshold: a
-        # key's degree is bounded by |sym| ≤ 4·|edges| across the two
-        # star calls — below that the detection agg is skipped entirely,
-        # so small runs pay zero overhead
-        ht = (
-            hub_threshold
-            if hub_threshold is not None and 4 * cur_n > hub_threshold
-            else None
-        )
-        round_caches: list = []
-        mid = _star(e, large=True, ht=ht, caches=round_caches)
-        if ht is not None:
-            # the small star's hub-detection collect is an extra action
-            # over mid's lineage — persist mid so the large star runs
-            # once (not once for detection + once for materialization)
-            mid = mid.persist()
-        e2 = _star(mid, large=False, ht=ht, caches=round_caches)
+        # both stars run in ONE plan per round: no driver actions mid-
+        # round (the old hub-detection collects are gone — the agg+join
+        # star has no hub failure mode to detect), and the small star's
+        # branches share the large star's distinct exchange via
+        # ReuseExchange
+        e2 = _cc_star(_cc_star(e, large=True), large=False)
+        # scale-adaptive round materialization (guide §2.2): the edge
+        # count is KNOWN (cur_n from the previous fingerprint), so size
+        # the checkpointed partition count from it — ~4M edge rows
+        # (~100 MB) per partition — instead of inheriting the static
+        # shuffle-partition count. At oracle/bench scale that is ONE
+        # partition (every downstream stage stops paying 32-64 empty
+        # task launches per round); at 10¹² edges it is thousands.
+        # coalesce never increases partition count, so a huge round
+        # keeps its natural parallelism.
+        e2 = e2.coalesce(max(1, -(-cur_n // _CC_ROWS_PER_PARTITION)))
         # materialize the round: reliable parquet checkpoint when a dir
         # is given (resumable across drivers), localCheckpoint otherwise
         if checkpoint_dir:
@@ -391,10 +332,6 @@ def connected_components(
             e2 = spark.read.parquet(_round_dir(rounds))
         else:
             e2 = e2.localCheckpoint(eager=True)
-        if ht is not None:
-            mid.unpersist()
-        for c in round_caches:
-            c.unpersist()
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"), F.count("*").alias("n")
@@ -415,7 +352,11 @@ def connected_components(
                 wall_ms=int((time.monotonic() - t0) * 1000),
             )
         e.unpersist()
-        e = e2.persist()
+        # the localCheckpoint path is ALREADY cached (MEMORY_AND_DISK
+        # on the checkpointed RDD) — persisting again would populate a
+        # second InMemoryRelation copy per round; only the parquet
+        # read-back needs a cache
+        e = e2.persist() if checkpoint_dir else e2
         cur_n = h["n"]
         if cur_hash == prev_hash:
             break

@@ -478,6 +478,11 @@ def pagerank_fixed(
 
     start_iter = 0
     if checkpoint_dir:
+        # the deduped edge chain feeds TWO actions here (fingerprint
+        # collect, then the parquet write) — persist it so an expensive
+        # upstream (host_pagerank's regex anchor extraction) runs once,
+        # not once per action (round 7, guide §1.2/§5)
+        e = e.persist()
         hash_expr = (
             "bit_xor(xxhash64(src, dst, w))" if weight_col is not None
             else "bit_xor(xxhash64(src, dst))"
@@ -505,6 +510,7 @@ def pagerank_fixed(
         if not ckpt.fs_exists(spark, f"{edir}/_SUCCESS"):
             eout = e.coalesce(1) if row["n"] <= 1_000_000 else e
             eout.write.mode("overwrite").parquet(edir)
+        e.unpersist()
         e = spark.read.parquet(edir)
     else:
         e = e.localCheckpoint(eager=True)
@@ -602,24 +608,33 @@ def pagerank_fixed(
             .select("dst", F.expr(contrib).alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("s"))
         )
-        extra = 0
+        upd = nb.join(sums, nb.node == sums.dst, "left")
         if redistribute_dangling:
-            # integer sink mass this iteration, floor-shared per node —
-            # a 1-row driver scalar (order-free integer sum → exact)
-            drow = (
+            # integer sink mass this iteration, floor-shared per node.
+            # Round 7: the scalar rides in as a broadcast one-row cross
+            # join (the repo's standard scalar-injection shape) instead
+            # of a per-iteration driver collect — same exact integer
+            # (order-free sum, flooring div), one fewer blocking driver
+            # round-trip per iteration (guide §5: the driver should do
+            # almost no data work)
+            dmass = (
                 r.join(dangling, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
-                .collect()[0]
+                .agg(
+                    F.expr(f"coalesce(sum(rank), 0L) div {n}").alias(
+                        "_extra"
+                    )
+                )
             )
-            extra = drow["d"] // n
+            upd = upd.crossJoin(F.broadcast(dmass))
+        else:
+            upd = upd.withColumn("_extra", F.lit(0).cast("long"))
         r = (
-            nb.join(sums, nb.node == sums.dst, "left")
-            .select(
+            upd.select(
                 "node",
                 (
                     F.col("_base")
                     + F.expr(
-                        f"({damp_num} * (coalesce(s, 0L) + {extra}))"
+                        f"({damp_num} * (coalesce(s, 0L) + _extra))"
                         f" div {damp_den}"
                     )
                 ).cast("long").alias("rank"),

@@ -203,51 +203,53 @@ def test_connected_components_mega_star(spark):
     assert len(agg) == 1 and agg[0]["component"] == 0 and agg[0]["count"] == n
 
 
-def test_neighbor_min_hub_branch_equals_window_path(spark):
-    """_with_neighbor_min with a tiny threshold (hub branch active) must
-    return exactly the plain window-path rows on a mixed-degree graph."""
+def test_cc_star_round_no_window_and_exact_rows(spark):
+    """Round-7 hub contract: a star round's per-node min is a partial-
+    aggregated groupBy joined back on the same key — the plan must
+    contain NO Window operator (the pre-r7 per-key window was the
+    reason the salted-hub branch existed). Row set pinned against a
+    python recompute of the Kiveris star definition."""
     from pdf_metadata_extraction_spark.operators.canonicalize import (
-        _with_neighbor_min,
+        _cc_star,
     )
 
-    edges = spark.createDataFrame(
-        [(0, i) for i in range(1, 20)] + [(30, 31), (31, 32), (40, 41)],
-        "u long, v long",
-    )
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    plain = sorted(tuple(r) for r in _with_neighbor_min(sym, None).collect())
-    salted = sorted(tuple(r) for r in _with_neighbor_min(sym, 5).collect())
-    assert plain == salted
+    pairs = [(0, i) for i in range(1, 20)] + [(30, 31), (31, 32), (40, 41)]
+    cur = spark.createDataFrame(pairs, "u long, v long")
+    for large in (True, False):
+        df = _cc_star(cur, large=large)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "windowspecdefinition" not in plan, plan
+        # python reference: m(u) = min(u ∪ neighbors(u)) on the
+        # symmetrized graph; large keeps v > u rows, small keeps v <= u
+        sym = pairs + [(b, a) for a, b in pairs]
+        mins = {}
+        for a, b in sym:
+            mins[a] = min(mins.get(a, a), b)
+        expect = set()
+        for a, b in sym:
+            if (b > a) if large else (b <= a):
+                if b != mins[a]:
+                    expect.add((b, mins[a]))
+        for a in mins:
+            if a != mins[a]:
+                expect.add((a, mins[a]))
+        got = {(r["u"], r["v"]) for r in df.collect()}
+        assert got == expect, large
 
 
-def test_connected_components_hub_salting_bounds_task_input(spark):
-    """1M-edge single star with the hub threshold forced low (round-2
-    verdict #3): the hub key's rows take the salted-min branch, so the
-    max WINDOW-partition input (= max non-hub degree) stays below the
-    fixed bound, and CC still converges to one component."""
+def test_connected_components_mega_hub_converges_bounded(spark):
+    """1M-edge single star (hub node 0): with the agg+join star, the
+    hub key reaches its reducer as per-map-task partial mins (never its
+    full row set), and CC converges to one component."""
     from pdf_metadata_extraction_spark.operators.canonicalize import (
         connected_components,
     )
 
     n = 1_000_000
-    ht = 10_000
     edges = spark.range(1, n).select(
         F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
     )
-    # the bound the hub branch enforces: every key above ht is routed
-    # around the window, so remaining window partitions are <= ht rows
-    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
-        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
-    deg = sym.groupBy("u").count()
-    hubs = [r["u"] for r in deg.where(F.col("count") > ht).collect()]
-    assert hubs == [0]
-    max_rest = (
-        deg.where(~F.col("u").isin(hubs)).agg(F.max("count")).collect()[0][0]
-    )
-    assert max_rest <= ht
-
-    comp = connected_components(edges, hub_threshold=ht)
+    comp = connected_components(edges)
     agg = comp.groupBy("component").count().collect()
     assert len(agg) == 1 and agg[0]["component"] == 0 and agg[0]["count"] == n
 
