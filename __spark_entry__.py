@@ -87,11 +87,22 @@ def _scratch_dir(prefix: str) -> str:
     measure a no-op; resume/fingerprint semantics are pinned by
     tests/test_graph_urlnorm.py instead."""
     import atexit
+    import os
     import shutil
     import tempfile
 
     if not _SCRATCH_ROOT:
-        root = tempfile.mkdtemp(prefix="spark_graft_ck_")
+        # round 7: checkpoint scratch prefers fast local storage (tmpfs
+        # here — /tmp sits on the hypervisor-shared disk whose stall
+        # phases dominate FS-heavy queries; see OPTIMIZATION_r07.md).
+        # The checkpoint CONTRACT (fingerprints, resume) is
+        # FS-agnostic; durable production runs pass an explicit
+        # checkpoint_dir on HDFS/S3-class storage instead.
+        base = os.environ.get(
+            "SPARK_GRAFT_SCRATCH",
+            "/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        root = tempfile.mkdtemp(prefix="spark_graft_ck_", dir=base)
         _SCRATCH_ROOT.append(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])

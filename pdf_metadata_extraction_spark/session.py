@@ -15,6 +15,7 @@ Design notes (100 TB target):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -30,6 +31,16 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # make the package importable in python WORKER processes no matter
+    # the launch cwd: the preloading daemon module below is resolved by
+    # a fresh `python -m` in each executor's daemon (children of the
+    # JVM, which inherits this env)
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + (os.pathsep + _pp if _pp else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -57,7 +68,36 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        # round 7 (guide §4.5): fork python workers from a daemon that
+        # has pandas/pyarrow/numpy ALREADY imported — each worker
+        # otherwise re-imports them on its first Arrow batch (paid once
+        # per worker per session, at every core in parallel)
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get(
+                "SPARK_GRAFT_PY_DAEMON",
+                "pdf_metadata_extraction_spark.daemon_preload",
+            ),
+        )
         .config("spark.sql.session.timeZone", "UTC")
+        # round 7 (guide §2.1/§7.4 and the box's measured failure mode):
+        # shuffle blocks live under spark.local.dir; this sandbox's /tmp
+        # sits on a hypervisor-shared virtio disk whose stall phases
+        # (load-avg 10+ at ~95% idle CPU, pure iowait/steal) inflate
+        # every shuffle-bearing query 2-10x. Spill-class I/O belongs on
+        # the fastest local storage available — tmpfs here (shuffles
+        # are MBs at bench scale, box has 128 GiB); on a real cluster
+        # point SPARK_GRAFT_LOCAL_DIR at the NVMe/SSD scratch array
+        # (shuffle data at 100 TB scale exceeds RAM).
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark_graft_local"
+                if os.path.isdir("/dev/shm")
+                else tempfile.gettempdir(),
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

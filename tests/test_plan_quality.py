@@ -11,6 +11,25 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _window_specs(plan: str) -> list[tuple[str, str]]:
+    """(partition_spec, order_spec) for every Window line. A Window
+    prints `Window [exprs], [partitionSpec](, [orderSpec])` — the order
+    list is absent for unordered frames, the partition list is empty
+    for the bounded global prefix window (round 7 global_rank: a
+    window over the num_ranges-ROW aggregate, never over data)."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        groups = re.findall(r"\[([^\[\]]*)\]", line)
+        part = groups[1] if len(groups) > 1 else ""
+        order = groups[2] if len(groups) > 2 else ""
+        out.append((part, order))
+    return out
+
+
 def test_filter_pushdown_and_column_pruning(spark, tmp_path):
     path = str(tmp_path / "pages")
     write_pages(spark, path, 64)
@@ -318,15 +337,15 @@ def test_schedule_frontier_has_no_slot_sized_window(spark):
         "url string",
     )
     plan = _plan(schedule_frontier(urls, None, n_slots=4, num_ranges=3))
-    import re
-
-    # physical Window prints `Window [exprs], [partitionSpec], [orderSpec]`
-    # — the partition spec is the bracket group right after the exprs
-    specs = [
-        re.findall(r"\], \[([^\]]*)\], \[", line)[0]
-        for line in plan.splitlines()
-        if "windowspecdefinition" in line
-    ]
+    specs = []
+    for part, order in _window_specs(plan):
+        if part == "":
+            # the only allowed GLOBAL window is global_rank's prefix
+            # roll-up over the num_ranges-row per-range count table —
+            # bounded by the range count, never by data
+            assert "_pid#" in order, plan
+            continue
+        specs.append(part)
     assert specs, plan
     for spec in specs:
         assert "_pid#" in spec, plan
@@ -339,8 +358,6 @@ def test_priority_sample_has_no_stratum_sized_window(spark):
     allowed window partition key is the range-partition id `_pid`
     (the schedule_frontier discipline, with the per-stratum base as a
     distributed agg+join instead of a broadcast table)."""
-    import re
-
     from pdf_metadata_extraction_spark.operators.sample import (
         priority_sample,
     )
@@ -350,11 +367,14 @@ def test_priority_sample_has_no_stratum_sized_window(spark):
         "doc_id long, grp string, w long",
     )
     plan = _plan(priority_sample(df, "grp", "doc_id", "w", 3))
-    specs = [
-        re.findall(r"\], \[([^\]]*)\], \[", line)[0]
-        for line in plan.splitlines()
-        if "windowspecdefinition" in line
-    ]
+    specs = []
+    for part, order in _window_specs(plan):
+        if part == "":
+            # bounded global prefix window over the num_ranges-row
+            # count table (see schedule_frontier test)
+            assert "_pid#" in order, plan
+            continue
+        specs.append(part)
     assert specs, plan
     for spec in specs:
         assert "_pid#" in spec, plan
