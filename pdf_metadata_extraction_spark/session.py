@@ -101,6 +101,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # round 7 (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold — skips both
+        # sides' sorts. Min-of-3 at sf0.1: asof_event_state 1.68→0.33,
+        # minhash_dup_pairs 1.70→0.53, no query slower.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
