@@ -259,12 +259,24 @@ def compact_registers(
     )
     tmp = f"{reg_dir}/_compact_tmp_{upto_batch}"
     compacted.write.mode("overwrite").parquet(tmp)
-    for p in olds:
-        fs.delete(p, True)
+    # crash-safety (round-7 ADVICE): shrink the unsafe window to the
+    # single colliding partition. Delete ONLY batch_id=upto_batch-1
+    # (the rename target), rename tmp into place and REFUSE silently-
+    # failed renames, and only then drop the other old partitions —
+    # the merged estimate equals the originals at every intermediate
+    # state except between target-delete and rename, versus the old
+    # delete-everything-then-rename ordering (and an ignored rename
+    # result) which could silently undercount every later merge.
     jvm = spark._jvm
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(
-            f"{reg_dir}/batch_id={upto_batch - 1}"
-        ),
+    target = jvm.org.apache.hadoop.fs.Path(
+        f"{reg_dir}/batch_id={upto_batch - 1}"
     )
+    fs.delete(target, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target):
+        raise IOError(
+            f"compact_registers: rename {tmp} -> {target} failed; "
+            f"sink left uncompacted (originals intact)"
+        )
+    for p in olds:
+        if p.getName() != f"batch_id={upto_batch - 1}":
+            fs.delete(p, True)
