@@ -17,6 +17,13 @@ import pyarrow  # noqa: F401
 import pyarrow.pandas_compat  # noqa: F401  (lazy half of arrow<->pandas)
 import numpy  # noqa: F401
 
+try:  # the engine's own python kernels (segmenter, linker) — another
+    # ~0.1 s per fork; guarded so a partially-shipped package can
+    # never take the daemon down with it
+    import pdf_metadata_extraction_spark.plans.pipeline  # noqa: F401
+except Exception:  # pragma: no cover - defensive only
+    pass
+
 from pyspark.daemon import manager
 
 if __name__ == "__main__":
