@@ -2427,9 +2427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle at all). The 1000-doc cap bounds the audit at bench
         # scale and is a no-op at the sf0.01 oracle scale.
         d = _t(spark, sf_dir, "documents").where("doc_id < 1000")
+        # NULL grams are filtered BEFORE the dedup (countDistinct
+        # semantics — and it keeps both branches' dedup subtrees
+        # canonically identical so the exchange is actually reused;
+        # hll_registers' own null guard is then a no-op above it)
         grams = _doc_grams(d, "doc_id", "source", "text", 4).select(
             F.col("grp").alias("source"), F.explode("_g").alias("gram")
-        ).distinct()
+        ).where(F.col("gram").isNotNull()).distinct()
         est = distinct_estimate(grams, ["source"], "gram", p=8)
         exact = grams.groupBy("source").agg(
             F.count("*").cast("long").alias("exact")
