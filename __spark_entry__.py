@@ -68,7 +68,24 @@ _LANGS = list(_MARKERS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read an sf table; spread SUB-SPLIT inputs over the cores.
+
+    Round 7 (guide §2.5, input skew): a table smaller than one scan
+    split arrives as ONE partition, so every per-row map chain built
+    on it (regex link extraction, tokenize+shingle, PII folds) runs
+    single-task regardless of cores — including the map-side partial
+    aggregation that follows. A deterministic round-robin repartition
+    to the session's parallelism costs one tiny shuffle of the raw
+    rows (~KBs here) and restores the map-side parallelism. The
+    condition is layout-derived, not a constant: any input that
+    already yields at least parallelism/4 scan tasks (every real-scale
+    table) is untouched.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= par:
+        df = df.repartition(par)
+    return df
 
 
 _SCRATCH_ROOT: list[str] = []  # lazily-created, removed at process exit
