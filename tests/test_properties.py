@@ -232,6 +232,9 @@ def test_literal_u0001_is_boundary_not_deleted():
     assert inner == "\u00e9s"           # highlight on the original span
 
 
+@settings(deadline=None)  # r6 verdict #8: a loaded box (hypervisor
+# stall phases) manufactured a deadline flake on this exact test; the
+# property is value-equality, not latency
 @given(
     st.lists(
         st.one_of(
