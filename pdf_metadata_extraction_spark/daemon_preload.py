@@ -12,17 +12,21 @@ pdf_metadata_extraction_spark.daemon_preload`` (set by
 importable on every worker host — true for local mode and for any
 cluster that ships the package."""
 
-import pandas  # noqa: F401
-import pyarrow  # noqa: F401
-import pyarrow.pandas_compat  # noqa: F401  (lazy half of arrow<->pandas)
-import numpy  # noqa: F401
-
-try:  # the engine's own python kernels (segmenter, linker) — another
-    # ~0.1 s per fork; guarded so a partially-shipped package can
-    # never take the daemon down with it
-    import pdf_metadata_extraction_spark.plans.pipeline  # noqa: F401
-except Exception:  # pragma: no cover - defensive only
-    pass
+# EVERY preload import is individually guarded: a missing/broken
+# library must degrade to the stock lazy-import behavior, never take
+# the daemon (and with it every python stage of the session) down.
+for _mod in (
+    "pandas",
+    "pyarrow",
+    "pyarrow.pandas_compat",  # the lazy half of arrow<->pandas
+    "numpy",
+    # the engine's own python kernels (segmenter, linker)
+    "pdf_metadata_extraction_spark.plans.pipeline",
+):
+    try:
+        __import__(_mod)
+    except Exception:  # pragma: no cover - defensive only
+        pass
 
 from pyspark.daemon import manager
 
